@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact.{davg, dsum, sqlAvg, sqlSum}
+import graft.sources.Tables
+
+/** Relational query surface (SURVEY.md §2.G): scans, filters/projections,
+  * hash/broadcast/semi/anti joins, partial+final aggregation, HAVING, ORDER BY,
+  * windows, set ops, string/date/math/JSON functions — over the driver's
+  * TPC-H-ish tables.
+  *
+  * Every query is deterministic (total ORDER BY) and every double aggregate
+  * uses the decimal-exact trick (graft.functions.Exact) so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  *
+  * Scale notes (100 TB design): all aggregations are partial+final hash aggs;
+  * dimension joins (region/nation/supplier/customer-at-0.01×lineitem) are
+  * explicitly broadcast; fact-fact joins shuffle on their keys and rely on AQE
+  * for skew. No query collects to the driver.
+  */
+object RelationalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_top_customers" -> q02,
+    "q03_revenue_by_nation" -> q03,
+    "q04_priority_semi_join" -> q04,
+    "q05_customers_no_orders" -> q05,
+    "q06_window_top_orders" -> q06,
+    "q07_nation_set_ops" -> q07,
+    "q08_conditional_agg" -> q08,
+    "q09_string_date_funcs" -> q09,
+    "q10_json_events" -> q10,
+    "q11_rollup" -> q11,
+    "q12_corr_exists" -> q12)
+
+  /** TPC-H Q1-style pricing summary: wide partial+final hash agg over the fact
+    * table, no joins, filter pushed to parquet. */
+  private def q01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1999-12-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Customers by revenue: broadcast dim join + agg + HAVING + total-order sort. */
+  private def q02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = broadcast(Tables.customer(s, d))
+    Tables.orders(s, d)
+      .join(c, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+      .filter($"n_orders" >= 5)
+      .orderBy(desc("revenue"), $"c_custkey")
+      .limit(50)
+  }
+
+  /** Multi-way star join lineitem⋈orders⋈customer⋈nation⋈region: the dims are
+    * broadcast; only the fact-fact lineitem⋈orders edge shuffles. */
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d).filter(year($"o_orderdate") === 1996)
+    val cu = broadcast(Tables.customer(s, d))
+    val na = broadcast(Tables.nation(s, d))
+    val re = broadcast(Tables.region(s, d))
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(cu, $"o_custkey" === $"c_custkey")
+      .join(na, $"c_nationkey" === $"n_nationkey")
+      .join(re, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Left-semi join (Cypher `WHERE x IN collected` analog — SURVEY §2.G):
+    * orders having at least one late lineitem, counted by priority. */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val late = Tables.lineitem(s, d).filter($"l_shipdate" > lit("2000-06-01").cast("timestamp"))
+    Tables.orders(s, d)
+      .join(late, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Left-anti join: customers with no big finished orders. */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bigF = Tables.orders(s, d)
+      .filter($"o_orderstatus" === "F" && $"o_totalprice" > 400000.0)
+    Tables.customer(s, d)
+      .join(bigF, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Window functions: rank orders per customer by price, keep top 3. The
+    * window shuffles once on o_custkey; rank + running sum share the shuffle. */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy(desc("o_totalprice"), $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("run_sum",
+        sum($"o_totalprice".cast("decimal(28,10)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk", $"run_sum")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** Set ops: nations having customers INTERSECT / EXCEPT nations having
+    * suppliers, tagged and unioned. */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cn = Tables.customer(s, d).select($"c_nationkey".cast("long").as("nationkey")).distinct()
+    val sn = Tables.supplier(s, d).select($"s_nationkey".cast("long").as("nationkey")).distinct()
+    val both = cn.intersect(sn).withColumn("tag", lit("both"))
+    val custOnly = cn.except(sn).withColumn("tag", lit("customer_only"))
+    both.unionByName(custOnly).orderBy($"tag", $"nationkey")
+  }
+
+  /** Conditional aggregation + distinct agg: per market segment, revenue split
+    * by order status via sum(CASE WHEN …), plus countDistinct. */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        dsum(when($"o_orderstatus" === "F", $"o_totalprice").otherwise(lit(0.0))).as("rev_f"),
+        dsum(when($"o_orderstatus" === "O", $"o_totalprice").otherwise(lit(0.0))).as("rev_o"),
+        dsum(when($"o_orderstatus" === "P", $"o_totalprice").otherwise(lit(0.0))).as("rev_p"),
+        countDistinct($"o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** String + date functions: brand prefix, type token, ship year/month
+    * buckets. Exercises substring/upper/like/year/month (SURVEY §2.G). */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .filter($"p_type".like("%LARGE%") || $"p_type".like("%PROMO%"))
+      .groupBy(
+        upper(substring($"p_brand", 1, 7)).as("brand"),
+        year($"l_shipdate").cast("long").as("ship_year"))
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"brand", $"ship_year")
+  }
+
+  /** JSON extraction over events.props + per-type aggregation. */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"), $"value")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        max($"k").as("max_k"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  /** ROLLUP over (status, priority): grouping-set aggregation; null grouping
+    * keys are sentinel-filled so the oracle's sort order matches exactly. */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders", $"revenue")
+      .orderBy($"status", $"priority")
+  }
+
+  /** Correlated-EXISTS shape: parts that ship in quantity > 45 at least once,
+    * with their max single-shipment quantity — semi-join + agg join. */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, d).filter($"l_quantity" > 45.0)
+      .groupBy($"l_partkey").agg(max($"l_quantity").as("max_qty"), count(lit(1)).as("n_big"))
+    broadcast(Tables.part(s, d))
+      .join(big, $"p_partkey" === $"l_partkey")
+      .select($"p_partkey", $"p_brand", $"max_qty", $"n_big")
+      .orderBy($"p_partkey")
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${sqlAvg("l_quantity")} AS avg_qty,
+         |  ${sqlAvg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_top_customers" ->
+      s"""SELECT c_custkey, c_name, ${sqlSum("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_custkey, c_name
+         |HAVING COUNT(*) >= 5
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 50""".stripMargin,
+    "q03_revenue_by_nation" ->
+      s"""SELECT r_name, n_name,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE year(o_orderdate) = 1996
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+    "q04_priority_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > TIMESTAMP '2000-06-01 00:00:00')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q05_customers_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderstatus = 'F' AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk, run_sum FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS BIGINT) AS rk,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER
+        |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS run_sum
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) t WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q07_nation_set_ops" ->
+      """WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+        |     sn AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+        |SELECT nationkey, 'both' AS tag FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS tag FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+        |ORDER BY tag, nationkey""".stripMargin,
+    "q08_conditional_agg" ->
+      s"""SELECT c_mktsegment,
+         |  ${sqlSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")} AS rev_f,
+         |  ${sqlSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")} AS rev_o,
+         |  ${sqlSum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END")} AS rev_p,
+         |  COUNT(DISTINCT o_custkey) AS n_customers,
+         |  COUNT(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin,
+    "q09_string_date_funcs" ->
+      s"""SELECT upper(substring(p_brand, 1, 7)) AS brand,
+         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_type LIKE '%LARGE%' OR p_type LIKE '%PROMO%'
+         |GROUP BY 1, 2
+         |ORDER BY brand, ship_year""".stripMargin,
+    "q10_json_events" ->
+      s"""SELECT event_type,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         |  MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k,
+         |  ${sqlSum("value")} AS sum_value
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin,
+    "q11_rollup" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+    "q12_corr_exists" ->
+      """SELECT p_partkey, p_brand, max_qty, n_big FROM part
+        |JOIN (SELECT l_partkey, MAX(l_quantity) AS max_qty, COUNT(*) AS n_big
+        |      FROM lineitem WHERE l_quantity > 45.0 GROUP BY l_partkey) b
+        |  ON p_partkey = l_partkey
+        |ORDER BY p_partkey""".stripMargin)
+}
