@@ -1,0 +1,363 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.{EventGraph, EventGraphSql}
+
+/** The reference's 14-query benchmark surface (SURVEY.md §2.C), re-expressed
+  * over the EventGraph tables. Query numbering mirrors the reference registry
+  * (`cypher_query_timing.py:207-212`); the b/c variants are the reference's
+  * hand-written plan alternates (Q5b, Q6b, Q9b, Q11b/c) — semantically equal,
+  * formulated differently so Catalyst plans them differently; the driver
+  * oracle-checks each one and our ScalaTest suite cross-checks variants
+  * against each other (the reference's own differential-testing trick).
+  *
+  * Plan shape at scale: probes are 1-row broadcasts; actor-name lookups are
+  * broadcast hash joins; the only wide shuffles are the groupBys keyed on
+  * actor/frame ids. The triangle queries (c11*) pre-filter the edge set to the
+  * probe hour BEFORE any self-join — the same structural optimization the
+  * reference's timeline tree provides (`cypher_query_timing.py:161-170`) —
+  * so the join pyramid runs over a tiny edge set even at 100 TB of events.
+  */
+object ParityQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_frame_range_scan" -> c01,
+    "c02_snapshot_actors" -> c02,
+    "c03_snapshot_interactions" -> c03,
+    "c04_actor_activity" -> c04,
+    "c05_active_actors" -> c05,
+    "c05b_active_actors_alt" -> c05b,
+    "c06_actor_days" -> c06,
+    "c06b_actor_days_denorm" -> c06b,
+    "c07_neighbors" -> c07,
+    "c08_neighbors_on_day" -> c08,
+    "c09_common_neighbors" -> c09,
+    "c09b_common_neighbors_4hop" -> c09b,
+    "c10_degree" -> c10,
+    "c11a_ego_triangles" -> c11a,
+    "c11b_ego_triangles_anchored" -> c11b,
+    "c11c_ego_triangles_denorm" -> c11c)
+
+  /** The `other endpoint` of canonicalized undirected edges incident to the
+    * 1-row probe `p` (column `pCol`) — Cypher's 2-hop-via-hypernode pattern
+    * collapsed to one predicate (SURVEY §2.C C7). */
+  private def incidentOther(edges: DataFrame, p: DataFrame, pCol: String): DataFrame = {
+    val pc = col(pCol)
+    edges.join(broadcast(p), col("actor1") === pc || col("actor2") === pc)
+      .select(when(col("actor1") === pc, col("actor2")).otherwise(col("actor1")).as("actor_id"))
+      .distinct()
+  }
+
+  /** C1/QUERY1: frames of a fixed (year, month, day, hour-range) window,
+    * ordered — the timeline-tree descent is partition/predicate pruning. */
+  private def c01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    g.frames
+      .filter($"year" === 2024 && $"month" === 1 && $"day" === 15 && $"hour".between(9, 12))
+      .select($"frame_id", $"ts_start", $"hour")
+      .orderBy($"ts_start")
+  }
+
+  /** C2/QUERY2: actor names present in the probe frame. */
+  private def c02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    g.frameActors.join(broadcast(g.probeFrame), $"frame_id" === $"pf")
+      .join(g.actors, "actor_id")
+      .select($"name")
+      .orderBy($"name")
+  }
+
+  /** C3/QUERY3: interactions of the probe frame with weight > 0. */
+  private def c03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    g.frameInteractions.join(broadcast(g.probeFrame), $"frame_id" === $"pf")
+      .filter($"weight" > 0)
+      .select($"actor1", $"actor2", $"weight")
+      .orderBy($"actor1", $"actor2")
+  }
+
+  /** C4/QUERY4: frames-present count per actor over the whole run. */
+  private def c04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    g.frameActors.groupBy($"actor_id").agg(count(lit(1)).as("freq"))
+      .join(g.actors, "actor_id")
+      .select($"actor_id", $"name", $"freq")
+      .orderBy($"actor_id")
+  }
+
+  /** C5/QUERY5: C4 + HAVING freq > threshold + ORDER BY freq DESC. */
+  private def c05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    g.frameActors.groupBy($"actor_id").agg(count(lit(1)).as("freq"))
+      .filter($"freq" > 50)
+      .join(g.actors, "actor_id")
+      .select($"actor_id", $"name", $"freq")
+      .orderBy(desc("freq"), $"actor_id")
+  }
+
+  /** C5b/QUERY5b: same result, alternate two-stage formulation (join the
+    * names first, aggregate after — the reference's hand-written plan B). */
+  private def c05b(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    g.frameActors.join(g.actors, "actor_id")
+      .groupBy($"actor_id", $"name").agg(count(lit(1)).as("freq"))
+      .filter($"freq" > 50)
+      .select($"actor_id", $"name", $"freq")
+      .orderBy(desc("freq"), $"actor_id")
+  }
+
+  /** C6/QUERY6: distinct active days of the probe actor (via frame join). */
+  private def c06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    g.frameActors.join(broadcast(g.probeActor1), $"actor_id" === $"pa1")
+      .join(g.frames, "frame_id")
+      .select($"day").distinct()
+      .orderBy($"day")
+  }
+
+  /** C6b/QUERY6b: same via the denormalized day column — our native layout;
+    * formulated with dropDuplicates after projection. */
+  private def c06b(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    g.frames.select($"frame_id", $"day")
+      .join(g.frameActors.join(broadcast(g.probeActor1), $"actor_id" === $"pa1"), "frame_id")
+      .select($"day").dropDuplicates("day")
+      .orderBy($"day")
+  }
+
+  /** C7/QUERY7: neighbor list of the probe actor, ordered by name. */
+  private def c07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    incidentOther(g.interactions, g.probeActor1, "pa1")
+      .join(g.actors, "actor_id")
+      .select($"actor_id", $"name")
+      .orderBy($"name")
+  }
+
+  /** C8/QUERY8: distinct neighbors whose shared interaction is active on the
+    * probe day. */
+  private def c08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    val active = g.frameInteractions
+      .join(g.frames.select($"frame_id", $"day"), "frame_id")
+      .join(broadcast(g.probeDay), $"day" === $"pd")
+      .select($"actor1", $"actor2")
+    incidentOther(active, g.probeActor1, "pa1")
+      .join(g.actors, "actor_id")
+      .select($"actor_id", $"name")
+      .orderBy($"name")
+  }
+
+  /** C9/QUERY9: common neighbors of the two probe actors (INTERSECT). */
+  private def c09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    incidentOther(g.interactions, g.probeActor1, "pa1")
+      .intersect(incidentOther(g.interactions, g.probeActor2, "pa2"))
+      .join(g.actors, "actor_id")
+      .select($"actor_id", $"name")
+      .orderBy($"actor_id")
+  }
+
+  /** C9b/QUERY9b: same via the pure 4-hop pattern (equi-join of the two
+    * neighbor sets — the reference's plan B, `cypher_query_timing.py:144-148`). */
+  private def c09b(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    val n1 = incidentOther(g.interactions, g.probeActor1, "pa1")
+    val n2 = incidentOther(g.interactions, g.probeActor2, "pa2")
+    n1.join(n2, "actor_id")
+      .join(g.actors, "actor_id")
+      .select($"actor_id", $"name")
+      .orderBy($"actor_id")
+  }
+
+  /** C10/QUERY10: degree per actor (interaction endpoints), ORDER BY DESC. */
+  private def c10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    val endpoints = g.interactions.select($"actor1".as("actor_id"))
+      .unionAll(g.interactions.select($"actor2".as("actor_id")))
+    endpoints.groupBy($"actor_id").agg(count(lit(1)).as("degree"))
+      .join(g.actors, "actor_id")
+      .select($"actor_id", $"name", $"degree")
+      .orderBy(desc("degree"), $"actor_id")
+  }
+
+  /** Edges active in the probe (day, hour) window — the pre-filter all c11
+    * variants share (reference prunes via the timeline tree first,
+    * `cypher_query_timing.py:161-170`). */
+  private def activeHourEdges(g: EventGraph): DataFrame = {
+    val fi = g.frameInteractions
+    fi.join(g.frames.select(col("frame_id"), col("day"), col("hour")), "frame_id")
+      .join(broadcast(g.probeDayHour), col("day") === col("pd") && col("hour") === col("ph"))
+      .select(col("actor1"), col("actor2")).distinct()
+  }
+
+  /** Ego = highest-degree actor within the active window (deterministic probe). */
+  private def windowEgo(active: DataFrame): DataFrame = {
+    active.select(col("actor1").as("actor_id"))
+      .unionAll(active.select(col("actor2").as("actor_id")))
+      .groupBy(col("actor_id")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("actor_id")).limit(1)
+      .select(col("actor_id").as("pe"))
+  }
+
+  private def triangles(active: DataFrame, ego: DataFrame): DataFrame = {
+    val nb = incidentOther(active, ego, "pe")
+    active
+      .join(nb.withColumnRenamed("actor_id", "actor1"), Seq("actor1"), "left_semi")
+      .join(nb.withColumnRenamed("actor_id", "actor2"), Seq("actor2"), "left_semi")
+      .select(col("actor1").as("n1"), col("actor2").as("n2"))
+      .orderBy(col("n1"), col("n2"))
+  }
+
+  /** C11a/QUERY11a: ego triangles inside the probe (day, hour) window:
+    * distinct pairs (n1, n2) both adjacent to the ego and to each other,
+    * all three edges active in the window. */
+  private def c11a(s: SparkSession, d: String): DataFrame = {
+    val g = EventGraph(s, d)
+    val active = activeHourEdges(g)
+    triangles(active, windowEgo(active))
+  }
+
+  /** C11b/QUERY11b: same semantics, hour window resolved first and the edge
+    * set restricted by left-semi join on frame ids (the reference's
+    * pre-resolved-anchor plan). */
+  private def c11b(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    val hourFrames = g.frames
+      .join(broadcast(g.probeDayHour), $"day" === $"pd" && $"hour" === $"ph")
+      .select($"frame_id")
+    val active = g.frameInteractions
+      .join(hourFrames, Seq("frame_id"), "left_semi")
+      .select($"actor1", $"actor2").distinct()
+    triangles(active, windowEgo(active))
+  }
+
+  /** C11c/QUERY11c: same via denormalized date columns carried through the
+    * join (the reference's Q11c formulation). */
+  private def c11c(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = EventGraph(s, d)
+    val active = g.frames.select($"frame_id", $"day", $"hour")
+      .join(g.frameInteractions, "frame_id")
+      .join(broadcast(g.probeDayHour), $"day" === $"pd" && $"hour" === $"ph")
+      .select($"actor1", $"actor2").distinct()
+    triangles(active, windowEgo(active))
+  }
+
+  // ---------------------------------------------------------------- oracle --
+
+  private def q(select: String): String = EventGraphSql.query(select)
+
+  private val neighborsOf =
+    """SELECT DISTINCT CASE WHEN actor1 = %s THEN actor2 ELSE actor1 END AS actor_id
+      |FROM inter, %s WHERE actor1 = %s OR actor2 = %s""".stripMargin
+
+  def oracleSql: Map[String, String] = {
+    val c05Sql = q(
+      """SELECT f.actor_id, a.name, f.freq FROM (
+        |  SELECT actor_id, COUNT(*) AS freq FROM fa GROUP BY actor_id HAVING COUNT(*) > 50
+        |) f JOIN actors a USING (actor_id)
+        |ORDER BY f.freq DESC, f.actor_id""".stripMargin)
+    val c06Sql = q(
+      """SELECT DISTINCT f.day FROM fa
+        |JOIN frames f USING (frame_id)
+        |JOIN probe_a1 ON fa.actor_id = pa1
+        |ORDER BY f.day""".stripMargin)
+    val c09Sql = q(
+      s"""SELECT n.actor_id, a.name FROM (
+         |  ${neighborsOf.format("pa1", "probe_a1", "pa1", "pa1")}
+         |  INTERSECT
+         |  ${neighborsOf.format("pa2", "probe_a2", "pa2", "pa2")}
+         |) n JOIN actors a USING (actor_id)
+         |ORDER BY n.actor_id""".stripMargin)
+    val c11Sql = q(
+      """SELECT n1, n2 FROM (
+        |  WITH active AS (
+        |    SELECT DISTINCT fi.actor1, fi.actor2
+        |    FROM fi JOIN frames USING (frame_id), probe_day_hour
+        |    WHERE frames.day = pd AND frames.hour = ph
+        |  ),
+        |  ego AS (
+        |    SELECT actor_id AS pe FROM (
+        |      SELECT actor1 AS actor_id FROM active
+        |      UNION ALL SELECT actor2 FROM active
+        |    ) e GROUP BY actor_id ORDER BY COUNT(*) DESC, actor_id LIMIT 1
+        |  ),
+        |  nb AS (
+        |    SELECT DISTINCT CASE WHEN actor1 = pe THEN actor2 ELSE actor1 END AS n
+        |    FROM active, ego WHERE actor1 = pe OR actor2 = pe
+        |  )
+        |  SELECT a.actor1 AS n1, a.actor2 AS n2 FROM active a
+        |  WHERE a.actor1 IN (SELECT n FROM nb) AND a.actor2 IN (SELECT n FROM nb)
+        |) t ORDER BY n1, n2""".stripMargin)
+
+    Map(
+      "c01_frame_range_scan" -> q(
+        """SELECT frame_id, ts_start, hour FROM frames
+          |WHERE year = 2024 AND month = 1 AND day = 15 AND hour BETWEEN 9 AND 12
+          |ORDER BY ts_start""".stripMargin),
+      "c02_snapshot_actors" -> q(
+        """SELECT a.name FROM fa
+          |JOIN probe_frame ON fa.frame_id = pf
+          |JOIN actors a USING (actor_id)
+          |ORDER BY a.name""".stripMargin),
+      "c03_snapshot_interactions" -> q(
+        """SELECT actor1, actor2, weight FROM fi
+          |JOIN probe_frame ON fi.frame_id = pf
+          |WHERE weight > 0
+          |ORDER BY actor1, actor2""".stripMargin),
+      "c04_actor_activity" -> q(
+        """SELECT f.actor_id, a.name, f.freq FROM (
+          |  SELECT actor_id, COUNT(*) AS freq FROM fa GROUP BY actor_id
+          |) f JOIN actors a USING (actor_id)
+          |ORDER BY f.actor_id""".stripMargin),
+      "c05_active_actors" -> c05Sql,
+      "c05b_active_actors_alt" -> c05Sql,
+      "c06_actor_days" -> c06Sql,
+      "c06b_actor_days_denorm" -> c06Sql,
+      "c07_neighbors" -> q(
+        s"""SELECT n.actor_id, a.name FROM (
+           |  ${neighborsOf.format("pa1", "probe_a1", "pa1", "pa1")}
+           |) n JOIN actors a USING (actor_id)
+           |ORDER BY a.name""".stripMargin),
+      "c08_neighbors_on_day" -> q(
+        """SELECT n.actor_id, a.name FROM (
+          |  SELECT DISTINCT CASE WHEN actor1 = pa1 THEN actor2 ELSE actor1 END AS actor_id
+          |  FROM (
+          |    SELECT fi.actor1, fi.actor2 FROM fi
+          |    JOIN frames USING (frame_id)
+          |    JOIN probe_day ON frames.day = pd
+          |  ) act, probe_a1
+          |  WHERE actor1 = pa1 OR actor2 = pa1
+          |) n JOIN actors a USING (actor_id)
+          |ORDER BY a.name""".stripMargin),
+      "c09_common_neighbors" -> c09Sql,
+      "c09b_common_neighbors_4hop" -> c09Sql,
+      "c10_degree" -> q(
+        """SELECT e.actor_id, a.name, COUNT(*) AS degree FROM (
+          |  SELECT actor1 AS actor_id FROM inter
+          |  UNION ALL SELECT actor2 FROM inter
+          |) e JOIN actors a ON e.actor_id = a.actor_id
+          |GROUP BY e.actor_id, a.name
+          |ORDER BY degree DESC, e.actor_id""".stripMargin),
+      "c11a_ego_triangles" -> c11Sql,
+      "c11b_ego_triangles_anchored" -> c11Sql,
+      "c11c_ego_triangles_denorm" -> c11Sql)
+  }
+}
