@@ -1,0 +1,97 @@
+package graft.timeline
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's timeline-index API (SURVEY.md §2.D, `BaseTimeline.java` /
+  * `StructuredTimeline.java`) re-expressed as predicate builders over a
+  * timestamp-keyed DataFrame.
+  *
+  * The reference maintains a sorted circular linked list of time nodes plus a
+  * year→month→day→hour tree to give Neo4j point/range access paths. On Spark
+  * the payload table IS the index: a pushed-down timestamp predicate over
+  * Parquet partitioned by (year, month, day) and sorted by timestamp does the
+  * tree descent (partition pruning) and the list scan (row-group min/max
+  * skipping) — see SURVEY.md §3.3. So every method here just builds the
+  * filter; Catalyst turns it into the pruned scan.
+  *
+  * Faithful semantics:
+  *  - range bounds are EXCLUSIVE on both ends, as in the reference
+  *    (`BaseTimeline.java:551,614,658,678`);
+  *  - `allBetween` rejects from >= to (`BaseTimeline.java:637-641`);
+  *  - `nodes(after, before)` dispatches on null-ness (`BaseTimeline.java:417-439`);
+  *  - first/last are min/max aggregates (`BaseTimeline.java:138-170`).
+  */
+final class Timeline(val payload: DataFrame, val tsCol: String) {
+  private def ts: Column = col(tsCol)
+
+  /** D3/D4: point lookup (reference `BaseTimeline.java:481-519`). */
+  def nodesAt(epochSeconds: Long): DataFrame =
+    payload.filter(ts === timestamp_seconds(lit(epochSeconds)))
+  def nodesAt(at: Column): DataFrame = payload.filter(ts === at)
+
+  /** D5: full ordered scan (`BaseTimeline.java:441-461`). */
+  def allNodes: DataFrame = payload.orderBy(ts)
+
+  /** D6: strictly-after range scan (`BaseTimeline.java:521-563`). */
+  def allAfter(epochSeconds: Long): DataFrame =
+    payload.filter(ts > timestamp_seconds(lit(epochSeconds)))
+  def allAfter(after: Column): DataFrame = payload.filter(ts > after)
+
+  /** D7: strictly-before range scan (`BaseTimeline.java:602-632`). */
+  def allBefore(epochSeconds: Long): DataFrame =
+    payload.filter(ts < timestamp_seconds(lit(epochSeconds)))
+  def allBefore(before: Column): DataFrame = payload.filter(ts < before)
+
+  /** D8: exclusive-both-ends range scan (`BaseTimeline.java:634-690`). */
+  def allBetween(fromEpochSeconds: Long, toEpochSeconds: Long): DataFrame = {
+    require(fromEpochSeconds < toEpochSeconds,
+      s"Start time $fromEpochSeconds not before end time $toEpochSeconds")
+    payload.filter(
+      ts > timestamp_seconds(lit(fromEpochSeconds)) &&
+      ts < timestamp_seconds(lit(toEpochSeconds)))
+  }
+  def allBetween(from: Column, to: Column): DataFrame =
+    payload.filter(ts > from && ts < to)
+
+  /** D9: optional-bound dispatch (`BaseTimeline.java:417-439`). */
+  def nodes(afterOrNull: Option[Long], beforeOrNull: Option[Long]): DataFrame =
+    (afterOrNull, beforeOrNull) match {
+      case (None, None) => allNodes
+      case (Some(a), None) => allAfter(a)
+      case (None, Some(b)) => allBefore(b)
+      case (Some(a), Some(b)) => allBetween(a, b)
+    }
+
+  /** D10: first/last timestamps, O(1) from scan metadata (`BaseTimeline.java:138-170`). */
+  def firstLast: DataFrame =
+    payload.agg(min(ts).as("first_ts"), max(ts).as("last_ts"), count(lit(1)).as("n_nodes"))
+}
+
+object Timeline {
+  def apply(payload: DataFrame, tsCol: String = "ts_start"): Timeline =
+    new Timeline(payload, tsCol)
+}
+
+/** D14/E1: named-timeline catalog with the reference's identity guard —
+  * binding an existing name to a different payload throws, mirroring
+  * `assertPropertyIsSame` (`BaseTimeline.java:98,108-126`). */
+final class TimelineCatalog {
+  private val timelines = new ConcurrentHashMap[String, Timeline]()
+
+  def create(name: String, payload: DataFrame, tsCol: String = "ts_start"): Timeline = {
+    val fresh = new Timeline(payload, tsCol)
+    val existing = timelines.putIfAbsent(name, fresh)
+    if (existing == null) fresh
+    else if (existing.payload eq payload) existing
+    else throw new IllegalArgumentException(
+      s"The timeline name '$name' is already bound to a different payload")
+  }
+
+  def get(name: String): Option[Timeline] = Option(timelines.get(name))
+
+  /** D13: drop the timeline binding (`BaseTimeline.java:692-732`). */
+  def delete(name: String): Unit = timelines.remove(name)
+}

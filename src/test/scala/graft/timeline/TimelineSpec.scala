@@ -1,0 +1,64 @@
+package graft.timeline
+
+import graft.SparkSpec
+
+/** Timeline semantics per the reference: EXCLUSIVE range bounds
+  * (`BaseTimeline.java:551,614,658,678`), invalid-range rejection
+  * (`BaseTimeline.java:637-641`), point lookup, first/last. */
+class TimelineSpec extends SparkSpec {
+
+  // timestamps at 100-second grid: 0,100,...,900
+  private lazy val payload = {
+    import org.apache.spark.sql.functions._
+    spark.range(0, 10).toDF("id")
+      .withColumn("ts_start", timestamp_seconds(col("id") * 100))
+  }
+  private lazy val tl = Timeline(payload)
+
+  test("point lookup returns exactly the matching node") {
+    val rows = tl.nodesAt(300L).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("allAfter is strictly greater (exclusive)") {
+    assert(tl.allAfter(300L).count() == 6) // 400..900
+  }
+
+  test("allBefore is strictly less (exclusive)") {
+    assert(tl.allBefore(300L).count() == 3) // 0,100,200
+  }
+
+  test("allBetween excludes both bounds") {
+    val ids = tl.allBetween(200L, 600L).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(3L, 4L, 5L)) // 300,400,500
+  }
+
+  test("allBetween rejects from >= to like the reference") {
+    intercept[IllegalArgumentException](tl.allBetween(600L, 600L))
+    intercept[IllegalArgumentException](tl.allBetween(700L, 600L))
+  }
+
+  test("nodes(after, before) dispatches on null-ness") {
+    assert(tl.nodes(None, None).count() == 10)
+    assert(tl.nodes(Some(300L), None).count() == 6)
+    assert(tl.nodes(None, Some(300L)).count() == 3)
+    assert(tl.nodes(Some(200L), Some(600L)).count() == 3)
+  }
+
+  test("firstLast aggregates min/max/count") {
+    val r = tl.firstLast.collect()(0)
+    assert(r.getTimestamp(0).toInstant.getEpochSecond == 0L)
+    assert(r.getTimestamp(1).toInstant.getEpochSecond == 900L)
+    assert(r.getLong(2) == 10L)
+  }
+
+  test("catalog guards timeline-name reuse with a different payload") {
+    val cat = new TimelineCatalog
+    cat.create("t1", payload)
+    cat.create("t1", payload) // same payload: fine
+    val other = payload.limit(5)
+    intercept[IllegalArgumentException](cat.create("t1", other))
+    cat.delete("t1")
+    cat.create("t1", other) // after delete the name is free
+  }
+}
