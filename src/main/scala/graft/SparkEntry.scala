@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{ParityQueries, RelationalQueries, TimelineQueries}
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ ParityQueries.queries ++ TimelineQueries.queries
+    RelationalQueries.queries ++ ParityQueries.queries ++ TimelineQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ ParityQueries.oracleSql ++ TimelineQueries.oracleSql
+    RelationalQueries.oracleSql ++ ParityQueries.oracleSql ++ TimelineQueries.oracleSql ++
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators for training-data pipelines, over `documents`:
+  * exact (hash), word-3-gram Jaccard, and MinHash+LSH near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-groupBy — embarrassingly scalable;
+  *  - the naive shingle-join (dd2) is the CORRECTNESS baseline; its
+  *    candidate-pair cardinality is quadratic in shingle document frequency,
+  *    so at scale it must be replaced by dd3;
+  *  - MinHash+LSH (dd3) is the scale path: K=12 hashes → 4 bands of 3; a
+  *    pair collides on a band with prob j³ (j = true Jaccard), so ~0.99-dup
+  *    pairs are caught with prob ≈ 1-(1-0.97)⁴ while unrelated pairs almost
+  *    never collide. Candidate generation is a self-join on (band, band-hash)
+  *    buckets — shuffle keyed on the bucket, no quadratic blowup.
+  *
+  * Hashes are md5 hex strings (identical in Spark and DuckDB); min-hash order
+  * is lexicographic on fixed-length hex = numeric order, which keeps every
+  * step exactly reproducible in the oracle.
+  */
+object DedupQueries {
+
+  /** Jaccard threshold for near-dup verification. */
+  private val Tau = 0.8
+  /** MinHash functions / LSH band width. */
+  private val K = 12
+  private val BandWidth = 3
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact_dedup" -> dd1,
+    "dd2_ngram_jaccard" -> dd2,
+    "dd3_minhash_lsh" -> dd3,
+    "dd4_simhash" -> dd4)
+
+  private def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** Distinct word-3-gram shingles per doc (1-based positions, mirroring the
+    * oracle's list indexing). */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id",
+        explode(when(size($"w") >= 3,
+          transform(sequence(lit(1), size($"w") - 2), i =>
+            concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2))))
+          .otherwise(array().cast("array<string>"))).as("sg"))
+      .distinct()
+  }
+
+  /** dd1: exact duplicate detection — md5 over normalized text, canonical id
+    * per cluster via window min. */
+  private def dd1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        md5(regexp_replace(lower(trim($"text")), "\\s+", " ").cast("binary")).as("fp"))
+      .withColumn("canonical_id", min($"doc_id").over(Window.partitionBy($"fp")))
+      .select($"doc_id", $"fp", $"canonical_id",
+        ($"doc_id" =!= $"canonical_id").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  /** Shared-shingle counts for pairs from a candidate set (or all sharing
+    * pairs when `candidates` is None), plus Jaccard. */
+  private def jaccardPairs(s: SparkSession, sh: DataFrame,
+      candidates: Option[DataFrame]): DataFrame = {
+    import s.implicits._
+    val a = sh.select($"doc_id".as("d1"), $"sg")
+    val b = sh.select($"doc_id".as("d2"), $"sg")
+    val shared0 = a.join(b, "sg").filter($"d1" < $"d2")
+    val shared = candidates.fold(shared0)(c => shared0.join(c, Seq("d1", "d2"), "left_semi"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("shared"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    shared
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .select($"d1", $"d2", $"shared",
+        ($"shared".cast("double") / ($"n1" + $"n2" - $"shared").cast("double")).as("jac"))
+      .filter($"jac" >= Tau)
+      .orderBy($"d1", $"d2")
+  }
+
+  /** dd2: n-gram Jaccard near-dup — exhaustive shared-shingle join
+    * (correctness baseline; see class doc for why dd3 replaces it at scale). */
+  private def dd2(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, shingles(s, d), None)
+
+  /** dd3: MinHash+LSH near-dup — banded min-hash signatures generate
+    * candidates, then exact Jaccard verifies. Same output contract as dd2
+    * restricted to LSH-caught candidates. */
+  private def dd3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d)
+    val mh = sh
+      .select($"doc_id", $"sg", explode(sequence(lit(0), lit(K - 1))).as("i"))
+      .withColumn("h", md5(concat($"sg", lit("#"), $"i".cast("string")).cast("binary")))
+      .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
+    val bands = mh
+      .withColumn("band", expr(s"i div $BandWidth"))
+      .groupBy($"doc_id", $"band")
+      .agg(md5(concat_ws("|",
+        sort_array(collect_list(concat(lpad($"i".cast("string"), 2, "0"), lit(":"), $"mh"))))
+        .cast("binary")).as("bh"))
+    val candidates = bands.select($"doc_id".as("d1"), $"band", $"bh")
+      .join(bands.select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2").distinct()
+    jaccardPairs(s, sh, Some(candidates))
+  }
+
+  /** dd4: SimHash near-dup via the native `simhash64` Catalyst expression
+    * (graft.functions.SimHash64). Candidate generation is pigeonhole-complete
+    * banding: the 64-bit hash splits into 4×16-bit chunks; Hamming distance
+    * ≤ 3 forces at least one identical chunk, so the (band, chunk) self-join
+    * finds every such pair without an all-pairs scan — the SimHash analog of
+    * dd3's LSH bands, and the reason this scales to 100 TB. Not expressible
+    * in ANSI SQL (custom expression), so it carries no oracle entry; its
+    * semantics are covered by ScalaTest including cross-checks against dd2. */
+  private val HammingTau = 3
+  private def dd4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.SimHash.simhash64
+    val hashed = Tables.documents(s, d)
+      .select($"doc_id", simhash64(tokens($"text")).as("sh"))
+    val bands = hashed.select($"doc_id", $"sh",
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("chunk", expr("(sh >> (16 * band)) & 65535"))
+    val cand = bands.select($"doc_id".as("d1"), $"sh".as("sh1"), $"band", $"chunk")
+      .join(bands.select($"doc_id".as("d2"), $"sh".as("sh2"), $"band", $"chunk"),
+        Seq("band", "chunk"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2", $"sh1", $"sh2").distinct()
+    cand
+      .withColumn("hamdist", expr("bit_count(sh1 ^ sh2)").cast("long"))
+      .filter($"hamdist" <= HammingTau)
+      .select($"d1", $"d2", $"hamdist")
+      .orderBy($"d1", $"d2")
+  }
+
+  // ---------------------------------------------------------------- oracle --
+
+  private val shSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, sg FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sg
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> len(t) > 0) AS w
+      |          FROM documents))
+      |)""".stripMargin
+
+  private def jaccardSql(pairsFrom: String): String =
+    s"""sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+       |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |  $pairsFrom
+       |  GROUP BY 1, 2
+       |)
+       |SELECT s.d1, s.d2, s.shared,
+       |       CAST(s.shared AS DOUBLE) / (s1.n + s2.n - s.shared) AS jac
+       |FROM shared s
+       |JOIN sizes s1 ON s.d1 = s1.doc_id
+       |JOIN sizes s2 ON s.d2 = s2.doc_id
+       |WHERE CAST(s.shared AS DOUBLE) / (s1.n + s2.n - s.shared) >= $Tau
+       |ORDER BY s.d1, s.d2""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      """SELECT doc_id, fp, canonical_id, doc_id <> canonical_id AS is_dup FROM (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS canonical_id
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "dd2_ngram_jaccard" ->
+      s"""WITH $shSql,
+         |${jaccardSql("")}""".stripMargin,
+    "dd3_minhash_lsh" ->
+      s"""WITH $shSql,
+         |idx AS (SELECT unnest(generate_series(0, ${K - 1})) AS i),
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(sg || '#' || CAST(i AS VARCHAR))) AS mh
+         |  FROM sh, idx GROUP BY doc_id, i
+         |),
+         |bands AS (
+         |  SELECT doc_id, i // $BandWidth AS band,
+         |         md5(array_to_string(list_sort(list(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || mh)), '|')) AS bh
+         |  FROM mh GROUP BY doc_id, i // $BandWidth
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |),
+         |${jaccardSql("JOIN cand c ON a.doc_id = c.d1 AND b.doc_id = c.d2")}""".stripMargin)
+}

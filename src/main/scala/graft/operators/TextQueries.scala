@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline, over the
+  * `documents` table: token counting, quality scoring, language
+  * identification, and document fingerprinting.
+  *
+  * Everything is per-row Catalyst expressions + one final aggregation, so the
+  * work is embarrassingly parallel and whole-stage-codegen'd: at 100 TB each
+  * document is scored in its scan partition, and only small aggregates
+  * shuffle. All scoring math is integer counts + double division (identical
+  * bits on every engine), keeping the DuckDB oracle exact.
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx1_token_stats" -> tx1,
+    "tx2_quality_score" -> tx2,
+    "tx3_lang_id" -> tx3,
+    "tx4_fingerprint" -> tx4)
+
+  /** Whitespace tokens of the lowercased text (empty text → empty array). */
+  private def wsTokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** tx1: token counting — whitespace tokens vs BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation) vs chars. */
+  private def tx1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        size(wsTokens($"text")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("re_tokens"),
+        length($"text").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  private val stop = Seq("the", "a", "and", "of", "to", "in")
+
+  /** tx2: quality scoring — length/punctuation/stopword signals composed into
+    * a deterministic score, the shape of heuristic quality filters used for
+    * pretraining-corpus curation. */
+  private def tx2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = wsTokens($"text")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(stop))).cast("double")
+    val nPunct = size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val nChars = length($"text").cast("double")
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        nTok.cast("long").as("n_tokens"),
+        when(nTok > 0, nStop / nTok).otherwise(lit(0.0)).as("stop_ratio"),
+        when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)).as("punct_ratio"),
+        when(nTok > 0, nChars / nTok).otherwise(lit(0.0)).as("avg_tok_len"))
+      .withColumn("quality",
+        when($"n_tokens" >= 10, lit(1.0)).otherwise(lit(0.0)) *
+          (lit(1.0) - $"punct_ratio") *
+          when($"stop_ratio" > 0.02, lit(1.0)).otherwise(lit(0.5)))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-language stopword marker sets for the n-gram/stopword language-ID
+    * heuristic. The synthetic corpus is English-vocabulary, so the classifier
+    * mostly answers `en` — the operator under test is the scoring plumbing,
+    * not the model. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "nicht"),
+    "es" -> Seq("el", "que", "los"),
+    "fr" -> Seq("le", "les", "une"),
+    "en" -> Seq("the", "and", "of"))
+
+  /** tx3: language ID — score each language's marker set over the tokens,
+    * argmax with a fixed preference order, confusion matrix vs the labeled
+    * `lang` column. */
+  private def tx3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = wsTokens($"text")
+    val scoreCols = Seq($"doc_id", $"lang") ++ langMarkers.map { case (l, ws) =>
+      size(filter(toks, t => t.isInCollection(ws))).as(s"s_$l")
+    }
+    val scored = Tables.documents(s, d).select(scoreCols: _*)
+    // strictly-greater chain = first-listed language wins ties
+    val pred = langMarkers.init.foldRight(lit(langMarkers.last._1)) {
+      case ((l, _), rest) =>
+        val others = langMarkers.filter(_._1 != l).map(m => col(s"s_$l") >= col(s"s_${m._1}"))
+        when(others.reduce(_ && _), lit(l)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+      .groupBy($"lang", $"pred_lang").agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** tx4: document fingerprinting — md5 over whitespace-normalized lowercase
+    * text; per-source uniqueness profile. */
+  private def tx4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source",
+        md5(regexp_replace(lower(trim($"text")), "\\s+", " ").cast("binary")).as("fp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_unique"))
+      .orderBy($"source")
+  }
+
+  // ---------------------------------------------------------------- oracle --
+
+  private val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
+  private def inSet(v: String, ws: Seq[String]) =
+    ws.map(w => s"$v = '$w'").mkString("(", " OR ", ")")
+
+  def oracleSql: Map[String, String] = {
+    val sScores = langMarkers.map { case (l, ws) =>
+      s"len(list_filter($wsTokSql, t -> ${inSet("t", ws)})) AS s_$l"
+    }.mkString(",\n    ")
+    val predCase = {
+      def caseFor(idx: Int): String =
+        if (idx == langMarkers.length - 1) s"'${langMarkers(idx)._1}'"
+        else {
+          val l = langMarkers(idx)._1
+          val conds = langMarkers.filter(_._1 != l).map(m => s"s_$l >= s_${m._1}").mkString(" AND ")
+          s"CASE WHEN $conds THEN '$l' ELSE ${caseFor(idx + 1)} END"
+        }
+      caseFor(0)
+    }
+    Map(
+      "tx1_token_stats" ->
+        s"""SELECT doc_id,
+           |  CAST(len($wsTokSql) AS BIGINT) AS ws_tokens,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "tx2_quality_score" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len($wsTokSql) AS DOUBLE) AS n_tok,
+           |    CAST(len(list_filter($wsTokSql, t -> ${inSet("t", stop)})) AS DOUBLE) AS n_stop,
+           |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+           |    CAST(length(text) AS DOUBLE) AS n_chars
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(n_tok AS BIGINT) AS n_tokens,
+           |  CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+           |  CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+           |  CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END AS avg_tok_len,
+           |  (CASE WHEN n_tok >= 10 THEN 1.0 ELSE 0.0 END)
+           |    * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+           |    * (CASE WHEN (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) > 0.02
+           |        THEN 1.0 ELSE 0.5 END) AS quality
+           |FROM t ORDER BY doc_id""".stripMargin,
+      "tx3_lang_id" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |    $sScores
+           |  FROM documents)
+           |SELECT lang, $predCase AS pred_lang, COUNT(*) AS n
+           |FROM scored GROUP BY lang, pred_lang
+           |ORDER BY lang, pred_lang""".stripMargin,
+      "tx4_fingerprint" ->
+        """SELECT source, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+  }
+}
