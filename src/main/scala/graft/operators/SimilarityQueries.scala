@@ -3,116 +3,115 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.{dsum, sqlSum}
+import graft.functions.Exact.sqlSum
+import graft.functions.VectorOps.{cosineExact, hyperSig}
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (`vec_id, embedding
   * ARRAY<FLOAT>, label`).
   *
   *  - ss1: brute-force cosine top-k against a probe vector — the exactness
-  *    baseline. Dot products are computed positionally (posexplode + join on
-  *    position) with decimal-exact sums, so the score is bit-identical on any
-  *    engine and any partitioning — which is what makes the top-k ORDER
-  *    stable and oracle-checkable.
-  *  - ss2: LSH-bucketed ANN — 8 signed random hyperplanes derived
-  *    deterministically from md5 parity; search only the probe's bucket.
-  *    This is the scale path: at 100 TB the bucket join replaces the
-  *    all-pairs scan, shuffling only on the (small-cardinality) signature.
-  *  - ss3: embedding near-dup pairs — same-label blocking bounds the pair
-  *    cardinality (the label plays the role of a coarse partitioner; swap in
-  *    the ss2 signature for unlabeled corpora).
+  *    baseline. One codegen'd `cosine_exact` per row (no explode), decimal-
+  *    exact internally so the score is bit-identical on any engine and any
+  *    partitioning — which keeps the top-k ORDER stable and oracle-checkable.
+  *  - ss2: ANN top-k — banded hyperplane-LSH candidates first, exact cosine
+  *    only on the candidate set. 32 deterministic ±1 hyperplanes → 4 bands of
+  *    8 sign bits; a vector is a candidate when it matches the probe on at
+  *    least one band (banding-OR recall, vs the round-1 single-signature
+  *    recall cliff).
+  *  - ss3: near-duplicate pairs — the same banded signatures generate
+  *    candidate pairs via a (band, bandkey) self-join (the dd3 LSH pattern),
+  *    then exact cosine verifies. No label blocking and no all-pairs scan, so
+  *    it works on unlabeled corpora and survives 100 TB: the shuffle is keyed
+  *    on (band, 8-bit bucket) and candidate cardinality is the sum of
+  *    per-bucket squares, tunable by BandWidth, never n².
   *
-  * At our scale factors the arrays are 64-dim; the positional explode is 64
-  * rows/vector, aggregated back map-side (partial hash agg) before any
-  * shuffle.
+  * Scale notes: at the reference near-dup operating point (cosine ≥ 0.9,
+  * plane-agreement ≈ 0.86) these parameters catch a true dup with prob
+  * ≈ 1-(1-0.86⁸)⁴ ≈ 0.74 per band set and reject a random pair with prob
+  * ≈ 0.98; the synthetic corpus plants no dups (max cosine ≈ 0.51), so the
+  * declared τ=0.35 exercises the operator on the candidate tail instead.
+  * Raising BandWidth tightens buckets for larger corpora without touching the
+  * query shape. All candidate generation is deterministic (md5-derived
+  * planes, exact-decimal projections), so the identical semantics run in the
+  * DuckDB oracle.
   */
 object SimilarityQueries {
 
   private val TopK = 20
-  /** Near-dup cosine threshold; the synthetic corpus has no planted embedding
-    * dups (max same-label cosine ≈ 0.51), so τ=0.35 exercises the operator. */
+  /** Near-dup cosine threshold; see class doc — exercises the operator on a
+    * corpus with no planted embedding dups. */
   private val Tau = 0.35
-  private val Planes = 8
+  private val Planes = 32
+  private val BandWidth = 8
+  private val NBands = Planes / BandWidth
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss1_cosine_topk" -> ss1,
     "ss2_lsh_topk" -> ss2,
     "ss3_embed_neardup" -> ss3)
 
-  /** (vec_id, pos, e) with pos 1-based and values as exact doubles. */
-  private def unnested(s: SparkSession, d: String): DataFrame = {
+  /** 1-row (pid, pemb): the probe vector (min vec_id). */
+  private def probeEmb(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, d)
-      .select($"vec_id", posexplode($"embedding"))
-      .select($"vec_id", ($"pos" + 1).as("pos"), $"col".cast("double").as("e"))
-  }
-
-  /** Exact cosine of every vector against the probe (min vec_id). */
-  private def cosineVsProbe(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ev = unnested(s, d)
-    val probe = Tables.embeddings(s, d).select(min($"vec_id").as("pid"))
-    val pv = ev.join(broadcast(probe), $"vec_id" === $"pid")
-      .select($"pos", $"e".as("pe"))
-    ev.join(broadcast(pv), "pos")
-      .groupBy($"vec_id")
-      .agg(
-        dsum($"e" * $"pe").as("dot"),
-        dsum($"e" * $"e").as("nx"),
-        dsum($"pe" * $"pe").as("ny"))
-      .select($"vec_id", ($"dot" / (sqrt($"nx") * sqrt($"ny"))).as("cosine"))
-      .join(broadcast(probe), $"vec_id" === $"pid", "left_anti")
+    Tables.embeddings(s, d).orderBy($"vec_id").limit(1)
+      .select($"vec_id".as("pid"), $"embedding".as("pemb"))
   }
 
   /** ss1: brute-force cosine top-k for the probe vector. */
   private def ss1(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    cosineVsProbe(s, d).orderBy(desc("cosine"), $"vec_id").limit(TopK)
-  }
-
-  /** Deterministic ±1 hyperplane signature per vector: plane p's coefficient
-    * at position `pos` is +1 when the first hex digit of md5("p_pos") is 0-7.
-    * Identical construction in the oracle. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    unnested(s, d)
-      .select($"vec_id", $"pos", $"e", explode(sequence(lit(0), lit(Planes - 1))).as("p"))
-      .withColumn("r",
-        when(substring(md5(concat($"p".cast("string"), lit("_"), $"pos".cast("string"))
-          .cast("binary")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1.0))
-          .otherwise(lit(-1.0)))
-      .groupBy($"vec_id", $"p").agg(dsum($"r" * $"e").as("proj"))
-      .groupBy($"vec_id")
-      .agg(concat_ws("", sort_array(collect_list(
-        concat($"p".cast("string"), when($"proj" >= 0, lit("+")).otherwise(lit("-")))))).as("sig"))
-  }
-
-  /** ss2: ANN top-k — exact cosine restricted to the probe's LSH bucket. */
-  private def ss2(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val sig = signatures(s, d)
-    val probe = Tables.embeddings(s, d).select(min($"vec_id").as("pid"))
-    val probeSig = sig.join(broadcast(probe), $"vec_id" === $"pid").select($"sig".as("psig"))
-    val bucket = sig.join(broadcast(probeSig), $"sig" === $"psig").select($"vec_id")
-    cosineVsProbe(s, d)
-      .join(bucket, Seq("vec_id"), "left_semi")
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(probeEmb(s, d)))
+      .filter($"vec_id" =!= $"pid")
+      .select($"vec_id", cosineExact($"embedding", $"pemb").as("cosine"))
       .orderBy(desc("cosine"), $"vec_id").limit(TopK)
   }
 
-  /** ss3: near-duplicate pairs by cosine within same-label blocks. */
+  /** (vec_id, sig): 32-char '+'/'-' hyperplane signature per vector. */
+  private def sigs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"vec_id", hyperSig($"embedding", Planes).as("sig"))
+  }
+
+  /** (vec_id, band, bkey): fixed-width band substrings of the signature. */
+  private def bandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("vec_id"), col("sig"),
+      explode(sequence(lit(0), lit(NBands - 1))).as("band"))
+      .select(col("vec_id"), col("band"),
+        expr(s"substring(sig, band * $BandWidth + 1, $BandWidth)").as("bkey"))
+
+  /** ss2: ANN top-k — banded-LSH candidate set first, exact cosine second. */
+  private def ss2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = probeEmb(s, d)
+    val bd = bandKeys(sigs(s, d))
+    val probeBands = bd.join(broadcast(p), $"vec_id" === $"pid")
+      .select($"band", $"bkey")
+    val cand = bd.join(broadcast(probeBands), Seq("band", "bkey"), "left_semi")
+      .select($"vec_id").distinct()
+    Tables.embeddings(s, d)
+      .join(cand, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(p))
+      .filter($"vec_id" =!= $"pid")
+      .select($"vec_id", cosineExact($"embedding", $"pemb").as("cosine"))
+      .orderBy(desc("cosine"), $"vec_id").limit(TopK)
+  }
+
+  /** ss3: near-duplicate pairs — LSH-banded candidates + exact cosine. */
   private def ss3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val lab = Tables.embeddings(s, d).select($"vec_id", $"label")
-    val ev = unnested(s, d)
-    val a = ev.join(lab, "vec_id").select($"label", $"vec_id".as("v1"), $"pos", $"e".as("e1"))
-    val b = ev.join(lab, "vec_id").select($"label", $"vec_id".as("v2"), $"pos", $"e".as("e2"))
-    a.join(b, Seq("label", "pos")).filter($"v1" < $"v2")
-      .groupBy($"v1", $"v2")
-      .agg(
-        dsum($"e1" * $"e2").as("dot"),
-        dsum($"e1" * $"e1").as("n1"),
-        dsum($"e2" * $"e2").as("n2"))
-      .select($"v1", $"v2", ($"dot" / (sqrt($"n1") * sqrt($"n2"))).as("cosine"))
+    val bd = bandKeys(sigs(s, d))
+    val cand = bd.select($"vec_id".as("v1"), $"band", $"bkey")
+      .join(bd.select($"vec_id".as("v2"), $"band", $"bkey"), Seq("band", "bkey"))
+      .filter($"v1" < $"v2")
+      .select($"v1", $"v2").distinct()
+    val e = Tables.embeddings(s, d)
+    cand
+      .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), "v1")
+      .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), "v2")
+      .select($"v1", $"v2", cosineExact($"e1", $"e2").as("cosine"))
       .filter($"cosine" >= Tau)
       .orderBy($"v1", $"v2")
   }
@@ -126,6 +125,25 @@ object SimilarityQueries {
       |         CAST(unnest(embedding) AS DOUBLE) AS e
       |  FROM embeddings
       |)""".stripMargin
+
+  /** Identical hyperplane/band construction in DuckDB SQL: sign of the
+    * exact-decimal projection per plane, fixed-width band substrings. */
+  private val sigSql =
+    s"""planes AS (SELECT unnest(generate_series(0, ${Planes - 1})) AS p),
+       |proj AS (
+       |  SELECT vec_id, p,
+       |         ${sqlSum("(CASE WHEN substring(md5(CAST(p AS VARCHAR) || '_' || CAST(pos AS VARCHAR)), 1, 1) BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END) * e")} AS proj
+       |  FROM ev, planes GROUP BY vec_id, p
+       |),
+       |sig AS (
+       |  SELECT vec_id,
+       |         string_agg(CASE WHEN proj >= 0 THEN '+' ELSE '-' END, '' ORDER BY p) AS sig
+       |  FROM proj GROUP BY vec_id
+       |),
+       |bands AS (
+       |  SELECT vec_id, b AS band, substring(sig, b * $BandWidth + 1, $BandWidth) AS bkey
+       |  FROM sig, (SELECT unnest(generate_series(0, ${NBands - 1})) AS b) bi
+       |)""".stripMargin
 
   private val cosineSql =
     s"""probe AS (SELECT min(vec_id) AS pid FROM embeddings),
@@ -146,33 +164,38 @@ object SimilarityQueries {
          |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
     "ss2_lsh_topk" ->
       s"""WITH $evSql,
-         |planes AS (SELECT unnest(generate_series(0, ${Planes - 1})) AS p),
-         |proj AS (
-         |  SELECT vec_id, p,
-         |         ${sqlSum("(CASE WHEN substring(md5(CAST(p AS VARCHAR) || '_' || CAST(pos AS VARCHAR)), 1, 1) BETWEEN '0' AND '7' THEN 1.0 ELSE -1.0 END) * e")} AS proj
-         |  FROM ev, planes GROUP BY vec_id, p
+         |$sigSql,
+         |probe AS (SELECT min(vec_id) AS pid FROM embeddings),
+         |pbands AS (SELECT band, bkey FROM bands, probe WHERE vec_id = pid),
+         |cand AS (
+         |  SELECT DISTINCT bands.vec_id
+         |  FROM bands JOIN pbands ON bands.band = pbands.band AND bands.bkey = pbands.bkey
          |),
-         |sig AS (
-         |  SELECT vec_id,
-         |         array_to_string(list_sort(list(CAST(p AS VARCHAR) ||
-         |           CASE WHEN proj >= 0 THEN '+' ELSE '-' END)), '') AS sig
-         |  FROM proj GROUP BY vec_id
-         |),
-         |$cosineSql,
-         |psig AS (SELECT sig AS ps FROM sig, probe WHERE vec_id = pid)
-         |SELECT c.vec_id, c.cosine FROM cos c
-         |JOIN sig ON c.vec_id = sig.vec_id
-         |JOIN psig ON sig.sig = psig.ps
-         |JOIN probe ON c.vec_id <> probe.pid
-         |ORDER BY c.cosine DESC, c.vec_id LIMIT $TopK""".stripMargin,
+         |pv AS (SELECT pos, e AS pe FROM ev, probe WHERE vec_id = pid),
+         |cos AS (
+         |  SELECT ev.vec_id,
+         |         ${sqlSum("ev.e * pv.pe")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("pv.pe * pv.pe")})) AS cosine
+         |  FROM ev
+         |  JOIN cand ON ev.vec_id = cand.vec_id
+         |  JOIN pv USING (pos)
+         |  GROUP BY ev.vec_id
+         |)
+         |SELECT vec_id, cosine FROM cos, probe WHERE vec_id <> pid
+         |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
     "ss3_embed_neardup" ->
       s"""WITH $evSql,
-         |lab AS (SELECT vec_id, label FROM embeddings),
+         |$sigSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+         |),
          |pairs AS (
-         |  SELECT la.vec_id AS v1, lb.vec_id AS v2, a.pos, a.e AS e1, b.e AS e2
-         |  FROM ev a JOIN lab la ON a.vec_id = la.vec_id
-         |  JOIN lab lb ON la.label = lb.label AND la.vec_id < lb.vec_id
-         |  JOIN ev b ON b.vec_id = lb.vec_id AND b.pos = a.pos
+         |  SELECT c.v1, c.v2, a.pos, a.e AS e1, b.e AS e2
+         |  FROM cand c
+         |  JOIN ev a ON a.vec_id = c.v1
+         |  JOIN ev b ON b.vec_id = c.v2 AND b.pos = a.pos
          |),
          |agg AS (
          |  SELECT v1, v2,

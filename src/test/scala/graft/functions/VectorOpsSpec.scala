@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Exact.dsum
+import graft.functions.VectorOps.{cosineExact, hyperSig}
+import graft.sources.Tables
+
+/** Differential tests: the native expressions must reproduce the explode +
+  * decimal-sum construction BIT-FOR-BIT — that construction is the one the
+  * DuckDB oracle mirrors, so exact agreement here is what guarantees the
+  * driver's hash-match (Exact.scala determinism contract). */
+class VectorOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def unnested: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", ($"pos" + 1).as("pos"), $"col".cast("double").as("e"))
+  }
+
+  test("cosineExact matches the posexplode + dsum cosine bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val probe = e.orderBy($"vec_id").limit(1)
+      .select($"vec_id".as("pid"), $"embedding".as("pemb"))
+
+    val native = e.crossJoin(broadcast(probe)).filter($"vec_id" =!= $"pid")
+      .select($"vec_id", cosineExact($"embedding", $"pemb").as("cosine"))
+
+    val ev = unnested
+    val pv = ev.join(broadcast(probe.select($"pid")), $"vec_id" === $"pid")
+      .select($"pos", $"e".as("pe"))
+    val exploded = ev.join(broadcast(pv), "pos")
+      .groupBy($"vec_id")
+      .agg(dsum($"e" * $"pe").as("dot"), dsum($"e" * $"e").as("nx"), dsum($"pe" * $"pe").as("ny"))
+      .select($"vec_id", ($"dot" / (sqrt($"nx") * sqrt($"ny"))).as("cosine"))
+      .join(broadcast(probe.select($"pid")), $"vec_id" === $"pid", "left_anti")
+
+    val a = native.orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = exploded.orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case ((id1, c1), (id2, c2)) =>
+      assert(id1 == id2)
+      // bit-for-bit, not approximate
+      assert(java.lang.Double.doubleToLongBits(c1) == java.lang.Double.doubleToLongBits(c2),
+        s"cosine mismatch for vec $id1: $c1 vs $c2")
+    }
+  }
+
+  test("hyperSig signs match the explode + dsum projection construction") {
+    val s = spark
+    import s.implicits._
+    val planes = 32
+    val native = Tables.embeddings(s, dir)
+      .select($"vec_id", hyperSig($"embedding", planes).as("sig"))
+
+    // sign string rebuilt from the round-1 explode-based projections
+    val alt = unnested
+      .select($"vec_id", $"pos", $"e", explode(sequence(lit(0), lit(planes - 1))).as("p"))
+      .withColumn("r",
+        when(substring(md5(concat($"p".cast("string"), lit("_"), $"pos".cast("string"))
+          .cast("binary")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1.0))
+          .otherwise(lit(-1.0)))
+      .groupBy($"vec_id", $"p").agg(dsum($"r" * $"e").as("proj"))
+      .groupBy($"vec_id")
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct($"p", $"proj"))),
+          x => when(x.getField("proj") >= 0, lit("+")).otherwise(lit("-")))).as("sig"))
+
+    val a = native.orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = alt.orderBy($"vec_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.length == b.length && a.length > 0)
+    assert(a.forall(_._2.length == planes))
+    a.zip(b).foreach { case ((id1, s1), (id2, s2)) =>
+      assert(id1 == id2)
+      assert(s1 == s2, s"signature mismatch for vec $id1: $s1 vs $s2")
+    }
+  }
+}
