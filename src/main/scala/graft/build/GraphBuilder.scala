@@ -95,29 +95,43 @@ object GraphBuilder {
     DynamicGraph(frames, actors, interactions, frameActors, frameInteractions)
   }
 
-  /** Persist the graph: frames/memberships partitioned by date, sorted by
-    * frame within partitions — the at-rest layout that replaces the
-    * reference's timeline index (SURVEY.md §4). */
+  /** Persist the graph: frames/memberships partitioned by date, one file per
+    * day, sorted by frame within partitions — the at-rest layout that
+    * replaces the reference's timeline index (SURVEY.md §4): partition
+    * pruning = tree descent, row-group min/max on the sorted frame_id = the
+    * sorted-list scan. Memberships also denormalize `hour`, so an
+    * hour-windowed query (reference Q11) is a pruned scan + pushed filter
+    * with no frames join at all. */
   def write(g: DynamicGraph, path: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
-    g.frames.write.mode(mode).partitionBy("year", "month", "day")
+    val pcols = Seq(col("year"), col("month"), col("day"))
+    g.frames.repartition(pcols: _*).sortWithinPartitions("frame_id")
+      .write.mode(mode).partitionBy("year", "month", "day")
       .parquet(s"$path/frames")
     g.actors.write.mode(mode).parquet(s"$path/actors")
     g.interactions.write.mode(mode).parquet(s"$path/interactions")
-    val byDate = g.frames.select("frame_id", "year", "month", "day")
+    val byDate = g.frames.select("frame_id", "year", "month", "day", "hour")
     g.frameActors.join(byDate, "frame_id")
-      .sortWithinPartitions("frame_id")
+      .repartition(pcols: _*).sortWithinPartitions("frame_id")
       .write.mode(mode).partitionBy("year", "month", "day")
       .parquet(s"$path/frame_actors")
     g.frameInteractions.join(byDate, "frame_id")
-      .sortWithinPartitions("frame_id")
+      .repartition(pcols: _*).sortWithinPartitions("frame_id")
       .write.mode(mode).partitionBy("year", "month", "day")
       .parquet(s"$path/frame_interactions")
   }
 
-  def read(spark: SparkSession, path: String): DynamicGraph = DynamicGraph(
-    frames = spark.read.parquet(s"$path/frames"),
-    actors = spark.read.parquet(s"$path/actors"),
-    interactions = spark.read.parquet(s"$path/interactions"),
-    frameActors = spark.read.parquet(s"$path/frame_actors"),
-    frameInteractions = spark.read.parquet(s"$path/frame_interactions"))
+  /** Read back the at-rest layout. Partition-directory columns infer as INT;
+    * cast them back to the model's BIGINT so schemas match the in-memory
+    * derivation (the cast is a deterministic expression over partition
+    * columns, so Catalyst still prunes on it). */
+  def read(spark: SparkSession, path: String): DynamicGraph = {
+    def longDates(df: DataFrame): DataFrame =
+      Seq("year", "month", "day").foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
+    DynamicGraph(
+      frames = longDates(spark.read.parquet(s"$path/frames")),
+      actors = spark.read.parquet(s"$path/actors"),
+      interactions = spark.read.parquet(s"$path/interactions"),
+      frameActors = longDates(spark.read.parquet(s"$path/frame_actors")),
+      frameInteractions = longDates(spark.read.parquet(s"$path/frame_interactions")))
+  }
 }

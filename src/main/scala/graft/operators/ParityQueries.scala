@@ -1,24 +1,31 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.build.{EventGraph, EventGraphSql}
+import graft.build.{EventGraphSql, GraphCache, MaterializedGraph}
 
 /** The reference's 14-query benchmark surface (SURVEY.md §2.C), re-expressed
-  * over the EventGraph tables. Query numbering mirrors the reference registry
-  * (`cypher_query_timing.py:207-212`); the b/c variants are the reference's
-  * hand-written plan alternates (Q5b, Q6b, Q9b, Q11b/c) — semantically equal,
-  * formulated differently so Catalyst plans them differently; the driver
-  * oracle-checks each one and our ScalaTest suite cross-checks variants
-  * against each other (the reference's own differential-testing trick).
+  * over the materialized dynamic graph. Query numbering mirrors the reference
+  * registry (`cypher_query_timing.py:207-212`); the b/c variants are the
+  * reference's hand-written plan alternates (Q5b, Q6b, Q9b, Q11b/c) —
+  * semantically equal, formulated differently so Catalyst plans them
+  * differently; the driver oracle-checks each one and ScalaTest cross-checks
+  * variants against each other (the reference's own differential trick).
   *
-  * Plan shape at scale: probes are 1-row broadcasts; actor-name lookups are
-  * broadcast hash joins; the only wide shuffles are the groupBys keyed on
-  * actor/frame ids. The triangle queries (c11*) pre-filter the edge set to the
-  * probe hour BEFORE any self-join — the same structural optimization the
-  * reference's timeline tree provides (`cypher_query_timing.py:161-170`) —
-  * so the join pyramid runs over a tiny edge set even at 100 TB of events.
+  * Access-path design (round-2): queries read the AT-REST tables
+  * ([[GraphCache]]) — parquet partitioned by (year, month, day), sorted by
+  * frame_id, memberships carrying a denormalized `hour` — with probe
+  * entities collected once as literals. A probe-scoped query therefore
+  * compiles to a partition-pruned scan with pushed filters (PartitionFilters
+  * + PushedFilters in the plan), exactly the role of the reference's
+  * timeline-tree descent (`StructuredTimeline.java:62-108`), instead of
+  * re-deriving the graph from raw events per query. The only wide shuffles
+  * left are the aggregates keyed on actor/frame ids; actor-name lookups are
+  * broadcast hash joins. The triangle queries (c11*) pre-filter the edge set
+  * to the probe hour BEFORE any self-join — the same structural optimization
+  * the reference's tree provides (`cypher_query_timing.py:161-170`) — so the
+  * join pyramid runs over a tiny edge set even at 100 TB of events.
   */
 object ParityQueries {
 
@@ -41,21 +48,28 @@ object ParityQueries {
     "c11c_ego_triangles_denorm" -> c11c)
 
   /** The `other endpoint` of canonicalized undirected edges incident to the
-    * 1-row probe `p` (column `pCol`) — Cypher's 2-hop-via-hypernode pattern
-    * collapsed to one predicate (SURVEY §2.C C7). */
-  private def incidentOther(edges: DataFrame, p: DataFrame, pCol: String): DataFrame = {
-    val pc = col(pCol)
-    edges.join(broadcast(p), col("actor1") === pc || col("actor2") === pc)
-      .select(when(col("actor1") === pc, col("actor2")).otherwise(col("actor1")).as("actor_id"))
+    * literal probe actor — Cypher's 2-hop-via-hypernode pattern collapsed to
+    * one predicate (SURVEY §2.C C7). */
+  private def incidentOther(edges: DataFrame, p: Long): DataFrame =
+    edges.filter(col("actor1") === p || col("actor2") === p)
+      .select(when(col("actor1") === p, col("actor2")).otherwise(col("actor1")).as("actor_id"))
       .distinct()
+
+  /** Point access to one frame's membership rows: partition predicates on the
+    * frame's (year, month, day) + the frame_id filter — partition pruning
+    * descends to the day directory, the sorted-by-frame_id row groups skip
+    * the rest (the reference's tree descent + list scan). */
+  private def atFrame(table: DataFrame, g: MaterializedGraph, frameId: Long): DataFrame = {
+    val (y, m, d) = g.frameDate(frameId)
+    table.filter(col("year") === y && col("month") === m && col("day") === d &&
+      col("frame_id") === frameId)
   }
 
   /** C1/QUERY1: frames of a fixed (year, month, day, hour-range) window,
     * ordered — the timeline-tree descent is partition/predicate pruning. */
   private def c01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    g.frames
+    GraphCache(s, d).frames
       .filter($"year" === 2024 && $"month" === 1 && $"day" === 15 && $"hour".between(9, 12))
       .select($"frame_id", $"ts_start", $"hour")
       .orderBy($"ts_start")
@@ -64,9 +78,9 @@ object ParityQueries {
   /** C2/QUERY2: actor names present in the probe frame. */
   private def c02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    g.frameActors.join(broadcast(g.probeFrame), $"frame_id" === $"pf")
-      .join(g.actors, "actor_id")
+    val g = GraphCache(s, d)
+    atFrame(g.frameActors, g, g.probes.pf)
+      .join(broadcast(g.actors), "actor_id")
       .select($"name")
       .orderBy($"name")
   }
@@ -74,8 +88,8 @@ object ParityQueries {
   /** C3/QUERY3: interactions of the probe frame with weight > 0. */
   private def c03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    g.frameInteractions.join(broadcast(g.probeFrame), $"frame_id" === $"pf")
+    val g = GraphCache(s, d)
+    atFrame(g.frameInteractions, g, g.probes.pf)
       .filter($"weight" > 0)
       .select($"actor1", $"actor2", $"weight")
       .orderBy($"actor1", $"actor2")
@@ -84,9 +98,9 @@ object ParityQueries {
   /** C4/QUERY4: frames-present count per actor over the whole run. */
   private def c04(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
+    val g = GraphCache(s, d)
     g.frameActors.groupBy($"actor_id").agg(count(lit(1)).as("freq"))
-      .join(g.actors, "actor_id")
+      .join(broadcast(g.actors), "actor_id")
       .select($"actor_id", $"name", $"freq")
       .orderBy($"actor_id")
   }
@@ -94,10 +108,10 @@ object ParityQueries {
   /** C5/QUERY5: C4 + HAVING freq > threshold + ORDER BY freq DESC. */
   private def c05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
+    val g = GraphCache(s, d)
     g.frameActors.groupBy($"actor_id").agg(count(lit(1)).as("freq"))
       .filter($"freq" > 50)
-      .join(g.actors, "actor_id")
+      .join(broadcast(g.actors), "actor_id")
       .select($"actor_id", $"name", $"freq")
       .orderBy(desc("freq"), $"actor_id")
   }
@@ -106,56 +120,55 @@ object ParityQueries {
     * names first, aggregate after — the reference's hand-written plan B). */
   private def c05b(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    g.frameActors.join(g.actors, "actor_id")
+    val g = GraphCache(s, d)
+    g.frameActors.join(broadcast(g.actors), "actor_id")
       .groupBy($"actor_id", $"name").agg(count(lit(1)).as("freq"))
       .filter($"freq" > 50)
       .select($"actor_id", $"name", $"freq")
       .orderBy(desc("freq"), $"actor_id")
   }
 
-  /** C6/QUERY6: distinct active days of the probe actor (via frame join). */
+  /** C6/QUERY6: distinct active days of the probe actor. The at-rest layout
+    * answers this from the membership table's own partition column — no
+    * frames join (the denormalization IS the native layout). */
   private def c06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    g.frameActors.join(broadcast(g.probeActor1), $"actor_id" === $"pa1")
-      .join(g.frames, "frame_id")
+    val g = GraphCache(s, d)
+    g.frameActors.filter($"actor_id" === g.probes.pa1)
       .select($"day").distinct()
       .orderBy($"day")
   }
 
-  /** C6b/QUERY6b: same via the denormalized day column — our native layout;
-    * formulated with dropDuplicates after projection. */
+  /** C6b/QUERY6b: same via an explicit frames join (the reference's
+    * tree-access variant). */
   private def c06b(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    g.frames.select($"frame_id", $"day")
-      .join(g.frameActors.join(broadcast(g.probeActor1), $"actor_id" === $"pa1"), "frame_id")
-      .select($"day").dropDuplicates("day")
+    val g = GraphCache(s, d)
+    g.frames.select($"frame_id", $"day".as("fday"))
+      .join(g.frameActors.filter($"actor_id" === g.probes.pa1), "frame_id")
+      .select($"fday".as("day")).dropDuplicates("day")
       .orderBy($"day")
   }
 
   /** C7/QUERY7: neighbor list of the probe actor, ordered by name. */
   private def c07(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    incidentOther(g.interactions, g.probeActor1, "pa1")
-      .join(g.actors, "actor_id")
+    val g = GraphCache(s, d)
+    incidentOther(g.interactions, g.probes.pa1)
+      .join(broadcast(g.actors), "actor_id")
       .select($"actor_id", $"name")
       .orderBy($"name")
   }
 
   /** C8/QUERY8: distinct neighbors whose shared interaction is active on the
-    * probe day. */
+    * probe day — a partition-pruned scan of the membership table. */
   private def c08(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    val active = g.frameInteractions
-      .join(g.frames.select($"frame_id", $"day"), "frame_id")
-      .join(broadcast(g.probeDay), $"day" === $"pd")
+    val g = GraphCache(s, d)
+    val active = g.frameInteractions.filter($"day" === g.probes.pd)
       .select($"actor1", $"actor2")
-    incidentOther(active, g.probeActor1, "pa1")
-      .join(g.actors, "actor_id")
+    incidentOther(active, g.probes.pa1)
+      .join(broadcast(g.actors), "actor_id")
       .select($"actor_id", $"name")
       .orderBy($"name")
   }
@@ -163,10 +176,10 @@ object ParityQueries {
   /** C9/QUERY9: common neighbors of the two probe actors (INTERSECT). */
   private def c09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    incidentOther(g.interactions, g.probeActor1, "pa1")
-      .intersect(incidentOther(g.interactions, g.probeActor2, "pa2"))
-      .join(g.actors, "actor_id")
+    val g = GraphCache(s, d)
+    incidentOther(g.interactions, g.probes.pa1)
+      .intersect(incidentOther(g.interactions, g.probes.pa2))
+      .join(broadcast(g.actors), "actor_id")
       .select($"actor_id", $"name")
       .orderBy($"actor_id")
   }
@@ -175,11 +188,11 @@ object ParityQueries {
     * neighbor sets — the reference's plan B, `cypher_query_timing.py:144-148`). */
   private def c09b(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    val n1 = incidentOther(g.interactions, g.probeActor1, "pa1")
-    val n2 = incidentOther(g.interactions, g.probeActor2, "pa2")
+    val g = GraphCache(s, d)
+    val n1 = incidentOther(g.interactions, g.probes.pa1)
+    val n2 = incidentOther(g.interactions, g.probes.pa2)
     n1.join(n2, "actor_id")
-      .join(g.actors, "actor_id")
+      .join(broadcast(g.actors), "actor_id")
       .select($"actor_id", $"name")
       .orderBy($"actor_id")
   }
@@ -187,24 +200,22 @@ object ParityQueries {
   /** C10/QUERY10: degree per actor (interaction endpoints), ORDER BY DESC. */
   private def c10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
+    val g = GraphCache(s, d)
     val endpoints = g.interactions.select($"actor1".as("actor_id"))
       .unionAll(g.interactions.select($"actor2".as("actor_id")))
     endpoints.groupBy($"actor_id").agg(count(lit(1)).as("degree"))
-      .join(g.actors, "actor_id")
+      .join(broadcast(g.actors), "actor_id")
       .select($"actor_id", $"name", $"degree")
       .orderBy(desc("degree"), $"actor_id")
   }
 
   /** Edges active in the probe (day, hour) window — the pre-filter all c11
-    * variants share (reference prunes via the timeline tree first,
-    * `cypher_query_timing.py:161-170`). */
-  private def activeHourEdges(g: EventGraph): DataFrame = {
-    val fi = g.frameInteractions
-    fi.join(g.frames.select(col("frame_id"), col("day"), col("hour")), "frame_id")
-      .join(broadcast(g.probeDayHour), col("day") === col("pd") && col("hour") === col("ph"))
+    * variants share. At rest this is one pruned scan: day is the partition
+    * directory, hour a pushed filter on the denormalized column. */
+  private def activeHourEdges(g: MaterializedGraph): DataFrame =
+    g.frameInteractions
+      .filter(col("day") === g.probes.pdhDay && col("hour") === g.probes.pdhHour)
       .select(col("actor1"), col("actor2")).distinct()
-  }
 
   /** Ego = highest-degree actor within the active window (deterministic probe). */
   private def windowEgo(active: DataFrame): DataFrame = {
@@ -215,8 +226,15 @@ object ParityQueries {
       .select(col("actor_id").as("pe"))
   }
 
+  private def egoIncident(edges: DataFrame, ego: DataFrame): DataFrame = {
+    edges.join(broadcast(ego), col("actor1") === col("pe") || col("actor2") === col("pe"))
+      .select(when(col("actor1") === col("pe"), col("actor2"))
+        .otherwise(col("actor1")).as("actor_id"))
+      .distinct()
+  }
+
   private def triangles(active: DataFrame, ego: DataFrame): DataFrame = {
-    val nb = incidentOther(active, ego, "pe")
+    val nb = egoIncident(active, ego)
     active
       .join(nb.withColumnRenamed("actor_id", "actor1"), Seq("actor1"), "left_semi")
       .join(nb.withColumnRenamed("actor_id", "actor2"), Seq("actor2"), "left_semi")
@@ -228,34 +246,34 @@ object ParityQueries {
     * distinct pairs (n1, n2) both adjacent to the ego and to each other,
     * all three edges active in the window. */
   private def c11a(s: SparkSession, d: String): DataFrame = {
-    val g = EventGraph(s, d)
+    val g = GraphCache(s, d)
     val active = activeHourEdges(g)
     triangles(active, windowEgo(active))
   }
 
-  /** C11b/QUERY11b: same semantics, hour window resolved first and the edge
-    * set restricted by left-semi join on frame ids (the reference's
-    * pre-resolved-anchor plan). */
+  /** C11b/QUERY11b: same semantics, hour window resolved on the frames table
+    * first and the edge set restricted by left-semi join on frame ids (the
+    * reference's pre-resolved-anchor plan). */
   private def c11b(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
+    val g = GraphCache(s, d)
     val hourFrames = g.frames
-      .join(broadcast(g.probeDayHour), $"day" === $"pd" && $"hour" === $"ph")
+      .filter($"day" === g.probes.pdhDay && $"hour" === g.probes.pdhHour)
       .select($"frame_id")
     val active = g.frameInteractions
-      .join(hourFrames, Seq("frame_id"), "left_semi")
+      .join(broadcast(hourFrames), Seq("frame_id"), "left_semi")
       .select($"actor1", $"actor2").distinct()
     triangles(active, windowEgo(active))
   }
 
-  /** C11c/QUERY11c: same via denormalized date columns carried through the
-    * join (the reference's Q11c formulation). */
+  /** C11c/QUERY11c: same via the denormalized date columns carried through a
+    * frames join (the reference's Q11c formulation). */
   private def c11c(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    val active = g.frames.select($"frame_id", $"day", $"hour")
-      .join(g.frameInteractions, "frame_id")
-      .join(broadcast(g.probeDayHour), $"day" === $"pd" && $"hour" === $"ph")
+    val g = GraphCache(s, d)
+    val active = g.frames.select($"frame_id", $"day".as("fd"), $"hour".as("fh"))
+      .join(g.frameInteractions.select($"frame_id", $"actor1", $"actor2"), "frame_id")
+      .filter($"fd" === g.probes.pdhDay && $"fh" === g.probes.pdhHour)
       .select($"actor1", $"actor2").distinct()
     triangles(active, windowEgo(active))
   }

@@ -1,16 +1,23 @@
 package graft.operators
 
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.build.{EventGraph, EventGraphSql}
+import graft.build.{EventGraph, EventGraphSql, GraphCache, MaterializedGraph}
 import graft.timeline.Timeline
 
 /** The reference's timeline-index lookups (SURVEY.md §2.D) as oracle-checked
-  * queries over the frame timeline. Anchors are run-quartile timestamps
-  * computed from the data (no hard-coded epochs), mirrored exactly in the
-  * oracle CTE. All scans keep the reference's EXCLUSIVE range-bound semantics
-  * (`BaseTimeline.java:551,614,658,678`). */
+  * queries over the at-rest frame timeline ([[GraphCache]]). Anchors are
+  * run-quartile timestamps computed from the collected run bounds (no
+  * hard-coded epochs), mirrored exactly in the oracle CTE. All scans keep the
+  * reference's EXCLUSIVE range-bound semantics
+  * (`BaseTimeline.java:551,614,658,678`); point/range predicates push down to
+  * the partitioned, frame-sorted parquet, which is what the reference's
+  * sorted list + tree gave Neo4j. */
 object TimelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -19,14 +26,15 @@ object TimelineQueries {
     "d06_range_after" -> d06,
     "d07_range_before" -> d07,
     "d08_range_between" -> d08,
-    "d10_first_last" -> d10)
+    "d10_first_last" -> d10,
+    "e04_date_string_lookup" -> e04)
 
-  /** Quartile anchors (tlo, thi) on the Δ-grid, derived from run bounds. */
-  private def anchors(g: EventGraph): DataFrame = {
+  /** Quartile anchors (tlo, thi) on the Δ-grid, from the collected bounds —
+    * integer arithmetic identical to the oracle's `anchors` CTE. */
+  private def anchors(g: MaterializedGraph): (Long, Long) = {
     val d = g.delta
-    g.bounds.select(
-      expr(s"t0 + (((t1 - t0) div $d + 1) div 4) * $d").as("tlo"),
-      expr(s"t0 + ((3 * ((t1 - t0) div $d + 1)) div 4) * $d").as("thi"))
+    val n = (g.probes.t1 - g.probes.t0) / d + 1
+    (g.probes.t0 + (n / 4) * d, g.probes.t0 + ((3 * n) / 4) * d)
   }
 
   private val anchorsSql =
@@ -37,13 +45,12 @@ object TimelineQueries {
        |  FROM b
        |)""".stripMargin
 
-  /** D3: point lookup at the probe frame's timestamp. */
+  /** D3: point lookup at the probe frame's timestamp — pushed-down point
+    * predicate over the sorted at-rest timeline. */
   private def d03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    val at = g.frames.join(broadcast(g.probeFrame), $"frame_id" === $"pf")
-      .select($"ts_start".as("pts"))
-    Timeline(g.frames.crossJoin(broadcast(at))).nodesAt($"pts")
+    val g = GraphCache(s, d)
+    Timeline(g.frames).nodesAt(g.frameEpoch(g.probes.pf))
       .select($"frame_id", $"ts_start", $"year", $"month", $"day", $"hour")
       .orderBy($"frame_id")
   }
@@ -51,41 +58,53 @@ object TimelineQueries {
   /** D5: full ordered timeline scan. */
   private def d05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    Timeline(g.frames).allNodes.select($"frame_id", $"ts_start")
+    Timeline(GraphCache(s, d).frames).allNodes.select($"frame_id", $"ts_start")
   }
 
   /** D6: nodes strictly after the upper quartile anchor. */
   private def d06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    Timeline(g.frames.crossJoin(broadcast(anchors(g))))
-      .allAfter(timestamp_seconds($"thi"))
+    val g = GraphCache(s, d)
+    Timeline(g.frames).allAfter(anchors(g)._2)
       .select($"frame_id", $"ts_start").orderBy($"frame_id")
   }
 
   /** D7: nodes strictly before the lower quartile anchor. */
   private def d07(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    Timeline(g.frames.crossJoin(broadcast(anchors(g))))
-      .allBefore(timestamp_seconds($"tlo"))
+    val g = GraphCache(s, d)
+    Timeline(g.frames).allBefore(anchors(g)._1)
       .select($"frame_id", $"ts_start").orderBy($"frame_id")
   }
 
   /** D8: exclusive-both-ends interquartile range scan. */
   private def d08(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val g = EventGraph(s, d)
-    Timeline(g.frames.crossJoin(broadcast(anchors(g))))
-      .allBetween(timestamp_seconds($"tlo"), timestamp_seconds($"thi"))
+    val g = GraphCache(s, d)
+    val (tlo, thi) = anchors(g)
+    Timeline(g.frames).allBetween(tlo, thi)
       .select($"frame_id", $"ts_start").orderBy($"frame_id")
   }
 
   /** D10: first/last node + count. */
-  private def d10(s: SparkSession, d: String): DataFrame = {
-    val g = EventGraph(s, d)
-    Timeline(g.frames).firstLast
+  private def d10(s: SparkSession, d: String): DataFrame =
+    Timeline(GraphCache(s, d).frames).firstLast
+
+  /** E4: `get_timeline_nodes_by_date` (`StructuredTimelinePlugin.java:74-89`)
+    * — parse a "yyyy-MM-dd HH:mm:ss" date string, then point lookup. The
+    * probe string is the probe frame's start rendered in UTC; the reference's
+    * sec/ms unit bug (SURVEY §1.2) is deliberately NOT reproduced. */
+  private def e04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = GraphCache(s, d)
+    val dateStr = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(ZoneOffset.UTC)
+      .format(Instant.ofEpochSecond(g.frameEpoch(g.probes.pf)))
+    Timeline(g.frames)
+      .nodesAt(to_timestamp(lit(dateStr), "yyyy-MM-dd HH:mm:ss"))
+      .select($"frame_id", $"ts_start", $"year", $"month", $"day", $"hour",
+        $"minute", $"second")
+      .orderBy($"frame_id")
   }
 
   private def q(select: String): String = EventGraphSql.query(select)
@@ -116,5 +135,14 @@ object TimelineQueries {
     "d10_first_last" -> q(
       """SELECT min(ts_start) AS first_ts, max(ts_start) AS last_ts,
         |  COUNT(*) AS n_nodes
-        |FROM frames""".stripMargin))
+        |FROM frames""".stripMargin),
+    "e04_date_string_lookup" -> q(
+      """SELECT f.frame_id, f.ts_start, f.year, f.month, f.day, f.hour,
+        |       f.minute, f.second
+        |FROM frames f,
+        |     (SELECT strptime(strftime(ts_start, '%Y-%m-%d %H:%M:%S'),
+        |                      '%Y-%m-%d %H:%M:%S') AS pts
+        |      FROM frames JOIN probe_frame ON frame_id = pf) p
+        |WHERE f.ts_start = p.pts
+        |ORDER BY f.frame_id""".stripMargin))
 }
