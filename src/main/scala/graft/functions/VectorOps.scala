@@ -15,76 +15,125 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, S
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native vector primitives for the similarity operators (SURVEY.md §7 step 8,
-  * VERDICT r1 items 1-2): exact cosine and hyperplane-LSH signatures over
-  * `array<float>` embedding columns, as codegen'd Catalyst expressions.
+  * VERDICT r1 items 1-2): exact dot product / squared norm / cosine and
+  * hyperplane-LSH signatures over `array<float>` embedding columns, as
+  * codegen'd Catalyst expressions.
   *
   * Why expressions and not posexplode: the round-1 formulation exploded each
   * 64-dim vector into 64 rows and re-aggregated — a 64× row blowup plus a
   * hash aggregate per dot product. These expressions compute the same values
   * per row inside whole-stage codegen (`doGenCode` emits one static call), so
-  * a cosine costs one array traversal and the pair join shuffles only
+  * a dot product costs one array traversal and the pair join shuffles only
   * (id, id) candidates — the shape that survives a 100-TB corpus.
   *
-  * Why BigDecimal: the driver's DuckDB oracle must hash-match bit-for-bit.
-  * Double addition is association-order dependent, so all sums accumulate in
-  * decimal(scale 10) exactly like `graft.functions.Exact.dsum` — each term is
-  * `BigDecimal.valueOf(double)` (Spark's own double→decimal cast path, i.e.
-  * the shortest-string representation) rounded HALF_UP to scale 10, summed
-  * exactly, and converted back via `doubleValue` (correctly rounded, matching
-  * Spark's Decimal.toDouble and DuckDB's VARCHAR→DOUBLE strtod). The result
-  * is bit-identical on any engine, any partitioning, any order — verified
+  * Why decimal internals: the driver's DuckDB oracle must hash-match
+  * bit-for-bit. Double addition is association-order dependent, so all sums
+  * accumulate in decimal(scale 10) exactly like `graft.functions.Exact.dsum`:
+  * each term is `BigDecimal.valueOf(double)` (Spark's own double→decimal cast
+  * path, i.e. the shortest-string representation) rounded HALF_UP to scale
+  * 10. The rounded terms are integers in 1e-10 units, so they accumulate in a
+  * plain long (exact, order-independent, overflow-free for unit-scale
+  * embeddings: |term| ≤ ~1e11, ≤ thousands of terms) and convert back via
+  * `BigDecimal.doubleValue` (correctly rounded, matching Spark's
+  * Decimal.toDouble and DuckDB's VARCHAR→DOUBLE strtod). Results are
+  * bit-identical on any engine, any partitioning, any order — verified
   * differentially against the dsum/posexplode construction in VectorOpsSpec.
   */
 object VectorOps {
 
   private val Scale = 10
 
-  /** One dot-product / squared-norm term, rounded exactly as Spark's
-    * CAST(double AS DECIMAL(28,10)). */
-  private def term(x: Double): JBigDecimal =
+  /** One term in 1e-10 units, rounded exactly as Spark's
+    * CAST(double AS DECIMAL(28,10)): the shortest-decimal-string value of x,
+    * HALF_UP (away from zero) at scale 10. */
+  private[functions] def termUnscaledSlow(x: Double): Long =
     JBigDecimal.valueOf(x).setScale(Scale, RoundingMode.HALF_UP)
+      .scaleByPowerOfTen(Scale).longValueExact()
 
-  /** Exact-decimal dot product of two float arrays (null elements skipped,
-    * mirroring SUM's null semantics; length = min of the two). */
-  private def decSums(a: ArrayData, b: ArrayData): (Double, Double, Double) = {
-    var dot = JBigDecimal.ZERO
-    var na = JBigDecimal.ZERO
-    var nb = JBigDecimal.ZERO
+  /** Fast path for termUnscaledSlow: floor(|x|·1e10) + half-up carry in
+    * doubles. Valid whenever the fractional part is farther from the .5
+    * rounding boundary than every error source combined (fp multiply ≤
+    * y·2.2e-16, string-vs-binary representation ≤ y·2.2e-16 — a 1e-4 guard
+    * band at y ≤ 1e12 is ~8 orders of magnitude of headroom); the rare
+    * boundary case and any huge/non-finite value fall back to the exact
+    * BigDecimal computation. ~5 ns vs ~340 ns — this is the per-element cost
+    * of every dot product and signature, so it IS the similarity operators'
+    * hot loop. */
+  private[functions] def termUnscaled(x: Double): Long = {
+    val ax = math.abs(x)
+    val y = ax * 1e10
+    if (!(y < 1e12)) return termUnscaledSlow(x)
+    val lo = y.toLong
+    val frac = y - lo
+    if (math.abs(frac - 0.5) <= 1e-4) return termUnscaledSlow(x)
+    val r = if (frac > 0.5) lo + 1 else lo
+    if (x < 0) -r else r
+  }
+
+  private def toDouble(unscaled: Long): Double =
+    JBigDecimal.valueOf(unscaled, Scale).doubleValue
+
+  /** Static entry point for DotExact. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i) && !b.isNullAt(i)) {
-        val x = a.getFloat(i).toDouble
-        val y = b.getFloat(i).toDouble
-        dot = dot.add(term(x * y))
-        na = na.add(term(x * x))
-        nb = nb.add(term(y * y))
+        acc += termUnscaled(a.getFloat(i).toDouble * b.getFloat(i).toDouble)
       }
       i += 1
     }
-    (dot.doubleValue, na.doubleValue, nb.doubleValue)
+    toDouble(acc)
   }
 
-  /** Static entry point for CosineExact (interpreted eval + generated code). */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
-    val (dot, na, nb) = decSums(a, b)
-    dot / (math.sqrt(na) * math.sqrt(nb))
+  /** Static entry point for NormSqExact (sum of squares, pre-sqrt). */
+  def normSq(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = a.getFloat(i).toDouble
+        acc += termUnscaled(x * x)
+      }
+      i += 1
+    }
+    toDouble(acc)
   }
+
+  /** Static entry point for CosineExact: dot / (sqrt(na) * sqrt(nb)), each
+    * sum decimal-exact — the same double-op order as the SQL oracle. */
+  def cosine(a: ArrayData, b: ArrayData): Double =
+    dot(a, b) / (math.sqrt(normSq(a)) * math.sqrt(normSq(b)))
 
   /** Deterministic ±1 Rademacher hyperplanes: plane p's coefficient at
     * 1-based position `pos` is +1 iff the first hex digit of md5("p_pos") is
     * 0-7 — reproducible in any engine with an md5 function (the oracle uses
-    * the identical construction in SQL). Cached per (plane, pos). */
-  private val signCache = new ConcurrentHashMap[Long, java.lang.Double]()
-  def planeSign(p: Int, pos: Int): Double =
-    signCache.computeIfAbsent(p.toLong << 32 | pos, { key =>
-      val pp = (key >> 32).toInt
-      val ps = (key & 0xffffffffL).toInt
-      val d = MessageDigest.getInstance("MD5")
-        .digest(s"${pp}_$ps".getBytes(StandardCharsets.UTF_8))
-      // first hex digit 0-7 == high nibble of first byte < 8
-      if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
-    }).doubleValue
+    * the identical construction in SQL). Rows are cached as plain arrays so
+    * the signature inner loop is array indexing, not hashing. */
+  private val planeRows = new ConcurrentHashMap[Integer, Array[Double]]()
+  private def planeRow(p: Int, dims: Int): Array[Double] = {
+    val cached = planeRows.get(p)
+    if (cached != null && cached.length >= dims) cached
+    else planeRows.synchronized {
+      val again = planeRows.get(p)
+      if (again != null && again.length >= dims) again
+      else {
+        val row = new Array[Double](math.max(dims, 64))
+        val md = MessageDigest.getInstance("MD5")
+        var pos = 1
+        while (pos <= row.length) {
+          md.reset()
+          val d = md.digest(s"${p}_$pos".getBytes(StandardCharsets.UTF_8))
+          row(pos - 1) = if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+          pos += 1
+        }
+        planeRows.put(p, row)
+        row
+      }
+    }
+  }
 
   /** Static entry point for HyperSig: `planes`-char '+'/'-' signature, char p
     * = sign of the exact-decimal projection of the vector on plane p. Fixed
@@ -94,16 +143,16 @@ object VectorOps {
     val out = new Array[Byte](planes)
     var p = 0
     while (p < planes) {
-      var proj = JBigDecimal.ZERO
+      val row = planeRow(p, n)
+      var acc = 0L
       var i = 0
       while (i < n) {
         if (!v.isNullAt(i)) {
-          val e = v.getFloat(i).toDouble
-          proj = proj.add(term(planeSign(p, i + 1) * e))
+          acc += termUnscaled(row(i) * v.getFloat(i).toDouble)
         }
         i += 1
       }
-      out(p) = if (proj.signum() >= 0) '+' else '-'
+      out(p) = if (acc >= 0L) '+' else '-'
       p += 1
     }
     UTF8String.fromBytes(out)
@@ -111,37 +160,76 @@ object VectorOps {
 
   // ------------------------------------------------------------ Column API --
 
+  def dotExact(a: Column, b: Column): Column =
+    bridge.column(DotExact(bridge.expression(a), bridge.expression(b)))
+
+  def normSqExact(a: Column): Column =
+    bridge.column(NormSqExact(bridge.expression(a)))
+
   def cosineExact(a: Column, b: Column): Column =
     bridge.column(CosineExact(bridge.expression(a), bridge.expression(b)))
 
   def hyperSig(v: Column, planes: Int): Column =
     bridge.column(HyperSig(bridge.expression(v), planes))
+
+  private[functions] def checkFloatArray(dt: DataType, name: String): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"$name requires array<float>, got $other")
+    }
+}
+
+/** Exact cross-engine-stable dot product of two `array<float>` columns. */
+case class DotExact(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorOps.checkFloatArray(left.dataType, prettyName) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        VectorOps.checkFloatArray(right.dataType, prettyName)
+      case f => f
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotExact =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_exact"
+}
+
+/** Exact squared L2 norm (pre-sqrt) of an `array<float>` column. */
+case class NormSqExact(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorOps.checkFloatArray(child.dataType, prettyName)
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.normSq(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.normSq($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormSqExact =
+    copy(child = newChild)
+  override def prettyName: String = "norm_sq_exact"
 }
 
 /** Exact cross-engine-stable cosine similarity of two `array<float>` columns;
   * see [[VectorOps]] for the determinism contract. */
 case class CosineExact(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
-
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case other =>
-        TypeCheckResult.TypeCheckFailure(
-          s"cosine_exact requires (array<float>, array<float>), got $other")
+    VectorOps.checkFloatArray(left.dataType, prettyName) match {
+      case TypeCheckResult.TypeCheckSuccess =>
+        VectorOps.checkFloatArray(right.dataType, prettyName)
+      case f => f
     }
-
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
-
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineExact =
     copy(left = newLeft, right = newRight)
-
   override def prettyName: String = "cosine_exact"
 }
 
@@ -149,22 +237,13 @@ case class CosineExact(left: Expression, right: Expression) extends BinaryExpres
   * '+'/'-' string, one char per plane; see [[VectorOps]]. */
 case class HyperSig(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = StringType
-
   override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-      case other =>
-        TypeCheckResult.TypeCheckFailure(s"hyper_sig requires array<float>, got $other")
-    }
-
+    VectorOps.checkFloatArray(child.dataType, prettyName)
   override def nullSafeEval(input: Any): Any =
     VectorOps.signature(input.asInstanceOf[ArrayData], planes)
-
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.signature($c, $planes)")
-
   override protected def withNewChildInternal(newChild: Expression): HyperSig =
     copy(child = newChild)
-
   override def prettyName: String = "hyper_sig"
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.build.DerivedCache
 import graft.sources.Tables
 
 /** Deduplication operators for training-data pipelines, over `documents`:
@@ -42,18 +43,39 @@ object DedupQueries {
     filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
 
   /** Distinct word-3-gram shingles per doc (1-based positions, mirroring the
-    * oracle's list indexing). */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", tokens($"text").as("w"))
-      .select($"doc_id",
-        explode(when(size($"w") >= 3,
-          transform(sequence(lit(1), size($"w") - 2), i =>
-            concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2))))
-          .otherwise(array().cast("array<string>"))).as("sg"))
-      .distinct()
-  }
+    * oracle's list indexing) — an at-rest index table ([[DerivedCache]]):
+    * shingle sets are derived once at ingest and every near-dup query starts
+    * from the index scan instead of re-tokenizing the corpus. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "doc_shingles", 1) {
+      import s.implicits._
+      Tables.documents(s, d)
+        .repartition($"doc_id")
+        .select($"doc_id", tokens($"text").as("w"))
+        .select($"doc_id",
+          explode(when(size($"w") >= 3,
+            transform(sequence(lit(1), size($"w") - 2), i =>
+              concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2))))
+            .otherwise(array().cast("array<string>"))).as("sg"))
+        .distinct()
+    }
+
+  /** At-rest MinHash band index (doc_id, band, bh), K hashes in B bands —
+    * the LSH bucket table a 100-TB dedup pipeline would persist next to the
+    * corpus. */
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "doc_mh_bands", 1) {
+      import s.implicits._
+      shingles(s, d)
+        .select($"doc_id", $"sg", explode(sequence(lit(0), lit(K - 1))).as("i"))
+        .withColumn("h", md5(concat($"sg", lit("#"), $"i".cast("string")).cast("binary")))
+        .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
+        .withColumn("band", expr(s"i div $BandWidth"))
+        .groupBy($"doc_id", $"band")
+        .agg(md5(concat_ws("|",
+          sort_array(collect_list(concat(lpad($"i".cast("string"), 2, "0"), lit(":"), $"mh"))))
+          .cast("binary")).as("bh"))
+    }
 
   /** dd1: exact duplicate detection — md5 over normalized text, canonical id
     * per cluster via window min. */
@@ -98,22 +120,12 @@ object DedupQueries {
     * restricted to LSH-caught candidates. */
   private def dd3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d)
-    val mh = sh
-      .select($"doc_id", $"sg", explode(sequence(lit(0), lit(K - 1))).as("i"))
-      .withColumn("h", md5(concat($"sg", lit("#"), $"i".cast("string")).cast("binary")))
-      .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
-    val bands = mh
-      .withColumn("band", expr(s"i div $BandWidth"))
-      .groupBy($"doc_id", $"band")
-      .agg(md5(concat_ws("|",
-        sort_array(collect_list(concat(lpad($"i".cast("string"), 2, "0"), lit(":"), $"mh"))))
-        .cast("binary")).as("bh"))
+    val bands = minhashBands(s, d)
     val candidates = bands.select($"doc_id".as("d1"), $"band", $"bh")
       .join(bands.select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
       .filter($"d1" < $"d2")
       .select($"d1", $"d2").distinct()
-    jaccardPairs(s, sh, Some(candidates))
+    jaccardPairs(s, shingles(s, d), Some(candidates))
   }
 
   /** dd4: SimHash near-dup via the native `simhash64` Catalyst expression
@@ -121,9 +133,10 @@ object DedupQueries {
     * banding: the 64-bit hash splits into 4×16-bit chunks; Hamming distance
     * ≤ 3 forces at least one identical chunk, so the (band, chunk) self-join
     * finds every such pair without an all-pairs scan — the SimHash analog of
-    * dd3's LSH bands, and the reason this scales to 100 TB. Not expressible
-    * in ANSI SQL (custom expression), so it carries no oracle entry; its
-    * semantics are covered by ScalaTest including cross-checks against dd2. */
+    * dd3's LSH bands, and the reason this scales to 100 TB. The oracle
+    * reconstructs the identical hash in SQL: md5 hex prefix → 64 per-bit
+    * sign sums → sign bits reassembled (two's-complement via HUGEINT
+    * wraparound), then the same banding and bit_count(xor) verification. */
   private val HammingTau = 3
   private def dd4(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -201,5 +214,46 @@ object DedupQueries {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          |),
-         |${jaccardSql("JOIN cand c ON a.doc_id = c.d1 AND b.doc_id = c.d2")}""".stripMargin)
+         |${jaccardSql("JOIN cand c ON a.doc_id = c.d1 AND b.doc_id = c.d2")}""".stripMargin,
+    // SimHash64 reconstruction: bit b of a token's hash = bit (b mod 4) of
+    // the hex nibble at 1-based position 16 - b/4 of md5(token)'s first 16
+    // chars (big-endian 8-byte prefix, exactly graft.functions.SimHash.hash64).
+    "dd4_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                t -> len(t) > 0)) AS t
+         |  FROM documents
+         |),
+         |th AS (SELECT doc_id, substring(md5(t), 1, 16) AS hx FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |         (strpos('0123456789abcdef', substring(hx, 16 - b // 4, 1)) - 1)
+         |           // CAST(power(2, b % 4) AS INTEGER) % 2 AS bit
+         |  FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bi
+         |),
+         |sums AS (
+         |  SELECT doc_id, b, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM bits GROUP BY doc_id, b
+         |),
+         |sh AS (
+         |  SELECT doc_id,
+         |         CAST(CASE WHEN tot >= CAST(power(2, 63) AS HUGEINT)
+         |              THEN tot - CAST(power(2, 64) AS HUGEINT) ELSE tot END AS BIGINT) AS sh
+         |  FROM (SELECT doc_id,
+         |               SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE 0 END) AS tot
+         |        FROM sums GROUP BY doc_id) z
+         |),
+         |bands AS (
+         |  SELECT doc_id, sh, band, (sh >> (16 * band)) & 65535 AS chunk
+         |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) bd
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sh1, b.sh AS sh2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |)
+         |SELECT d1, d2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamdist
+         |FROM cand WHERE bit_count(xor(sh1, sh2)) <= $HammingTau
+         |ORDER BY d1, d2""".stripMargin)
 }

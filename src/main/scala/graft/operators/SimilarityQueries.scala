@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.build.DerivedCache
 import graft.functions.Exact.sqlSum
-import graft.functions.VectorOps.{cosineExact, hyperSig}
+import graft.functions.VectorOps.{cosineExact, dotExact, hyperSig, normSqExact}
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (`vec_id, embedding
@@ -51,29 +52,33 @@ object SimilarityQueries {
     "ss2_lsh_topk" -> ss2,
     "ss3_embed_neardup" -> ss3)
 
-  /** 1-row (pid, pemb): the probe vector (min vec_id). */
-  private def probeEmb(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.embeddings(s, d).orderBy($"vec_id").limit(1)
-      .select($"vec_id".as("pid"), $"embedding".as("pemb"))
-  }
-
-  /** ss1: brute-force cosine top-k for the probe vector. */
+  /** ss1: brute-force cosine top-k for the probe vector (min vec_id) — the
+    * exactness baseline over the raw table, one codegen'd cosine per row. */
   private def ss1(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val probe = Tables.embeddings(s, d).orderBy($"vec_id").limit(1)
+      .select($"vec_id".as("pid"), $"embedding".as("pemb"))
     Tables.embeddings(s, d)
-      .crossJoin(broadcast(probeEmb(s, d)))
+      .crossJoin(broadcast(probe))
       .filter($"vec_id" =!= $"pid")
       .select($"vec_id", cosineExact($"embedding", $"pemb").as("cosine"))
       .orderBy(desc("cosine"), $"vec_id").limit(TopK)
   }
 
-  /** (vec_id, sig): 32-char '+'/'-' hyperplane signature per vector. */
-  private def sigs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.embeddings(s, d)
-      .select($"vec_id", hyperSig($"embedding", Planes).as("sig"))
-  }
+  /** At-rest LSH index (vec_id, embedding, nsq, sig): signatures and norms
+    * are INDEX structures — built once at ingest ([[DerivedCache]]), read by
+    * every ss2/ss3 run, exactly like the materialized graph tables. The
+    * repartition spreads the build across cores (the test corpus is a single
+    * scan partition). */
+  private def index(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "emb_index", 1) {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .repartition($"vec_id")
+        .select($"vec_id", $"embedding",
+          normSqExact($"embedding").as("nsq"),
+          hyperSig($"embedding", Planes).as("sig"))
+    }
 
   /** (vec_id, band, bkey): fixed-width band substrings of the signature. */
   private def bandKeys(sig: DataFrame): DataFrame =
@@ -82,36 +87,46 @@ object SimilarityQueries {
       .select(col("vec_id"), col("band"),
         expr(s"substring(sig, band * $BandWidth + 1, $BandWidth)").as("bkey"))
 
-  /** ss2: ANN top-k — banded-LSH candidate set first, exact cosine second. */
+  /** ss2: ANN top-k — the probe's signature selects candidate buckets (a
+    * vector qualifies when ANY of its 4 bands matches the probe's), exact
+    * cosine runs only on the bucket union. The probe row is one collected
+    * index lookup, so the bucket restriction is a pure pushed filter — no
+    * join, no full-corpus cosine. */
   private def ss2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val p = probeEmb(s, d)
-    val bd = bandKeys(sigs(s, d))
-    val probeBands = bd.join(broadcast(p), $"vec_id" === $"pid")
-      .select($"band", $"bkey")
-    val cand = bd.join(broadcast(probeBands), Seq("band", "bkey"), "left_semi")
-      .select($"vec_id").distinct()
-    Tables.embeddings(s, d)
-      .join(cand, Seq("vec_id"), "left_semi")
-      .crossJoin(broadcast(p))
-      .filter($"vec_id" =!= $"pid")
-      .select($"vec_id", cosineExact($"embedding", $"pemb").as("cosine"))
+    val idx = index(s, d)
+    val p = idx.orderBy($"vec_id").limit(1)
+      .select($"vec_id", $"embedding", $"nsq", $"sig").collect()(0)
+    val pid = p.getLong(0)
+    val pemb = p.getSeq[Float](1)
+    val psqrtN = math.sqrt(p.getDouble(2))
+    val psig = p.getString(3)
+    val bandMatch = (0 until NBands).map { b =>
+      substring($"sig", b * BandWidth + 1, BandWidth) ===
+        psig.substring(b * BandWidth, (b + 1) * BandWidth)
+    }.reduce(_ || _)
+    idx.filter(bandMatch && $"vec_id" =!= pid)
+      .select($"vec_id",
+        (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
       .orderBy(desc("cosine"), $"vec_id").limit(TopK)
   }
 
-  /** ss3: near-duplicate pairs — LSH-banded candidates + exact cosine. */
+  /** ss3: near-duplicate pairs — LSH-banded candidates + exact cosine, all
+    * from the at-rest index: norms once per vector, one dot per candidate
+    * pair, same double-op order as the oracle (dot / (sqrt(n1)·sqrt(n2))). */
   private def ss3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val bd = bandKeys(sigs(s, d))
+    val idx = index(s, d)
+    val bd = bandKeys(idx.select($"vec_id", $"sig"))
     val cand = bd.select($"vec_id".as("v1"), $"band", $"bkey")
       .join(bd.select($"vec_id".as("v2"), $"band", $"bkey"), Seq("band", "bkey"))
       .filter($"v1" < $"v2")
       .select($"v1", $"v2").distinct()
-    val e = Tables.embeddings(s, d)
     cand
-      .join(e.select($"vec_id".as("v1"), $"embedding".as("e1")), "v1")
-      .join(e.select($"vec_id".as("v2"), $"embedding".as("e2")), "v2")
-      .select($"v1", $"v2", cosineExact($"e1", $"e2").as("cosine"))
+      .join(idx.select($"vec_id".as("v1"), $"embedding".as("e1"), $"nsq".as("n1")), "v1")
+      .join(idx.select($"vec_id".as("v2"), $"embedding".as("e2"), $"nsq".as("n2")), "v2")
+      .select($"v1", $"v2",
+        (dotExact($"e1", $"e2") / (sqrt($"n1") * sqrt($"n2"))).as("cosine"))
       .filter($"cosine" >= Tau)
       .orderBy($"v1", $"v2")
   }

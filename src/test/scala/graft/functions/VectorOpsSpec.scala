@@ -83,4 +83,21 @@ class VectorOpsSpec extends SparkSpec {
       assert(s1 == s2, s"signature mismatch for vec $id1: $s1 vs $s2")
     }
   }
+
+  test("termUnscaled fast path equals the exact BigDecimal rounding") {
+    val rnd = new scala.util.Random(42)
+    var i = 0
+    while (i < 2000000) {
+      // float-typical magnitudes plus products and boundary-ish values
+      val x = rnd.nextInt(4) match {
+        case 0 => (rnd.nextFloat() - 0.5f).toDouble
+        case 1 => (rnd.nextFloat() - 0.5f).toDouble * (rnd.nextFloat() - 0.5f).toDouble
+        case 2 => (rnd.nextLong() % 100000000000L) / 1e10 + rnd.nextGaussian() * 1e-11
+        case _ => rnd.nextGaussian() * math.pow(10, rnd.nextInt(6) - 3)
+      }
+      assert(VectorOps.termUnscaled(x) == VectorOps.termUnscaledSlow(x),
+        s"mismatch at x=$x (bits=${java.lang.Double.doubleToLongBits(x)})")
+      i += 1
+    }
+  }
 }
