@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ParityQueries.queries ++ TimelineQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ ParityQueries.oracleSql ++ TimelineQueries.oracleSql ++
-      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

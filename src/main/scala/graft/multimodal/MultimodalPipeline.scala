@@ -43,12 +43,14 @@ object MultimodalPipeline {
       features: Array[Float])
 
   /** ======== STUB ======== deterministic fake decode: dimensions and a
-    * 16-dim feature vector derived from md5(bytes). A real build replaces
-    * this body with the actual codec call; signature and call sites stay. */
+    * 16-dim feature vector derived from md5(bytes ++ "#frameIdx"). A real
+    * build replaces this body with the actual codec call; signature and call
+    * sites stay. The salt is printable so the mm1 oracle can reconstruct the
+    * digest with SQL's VARCHAR md5. */
   def decodeStub(bytes: Array[Byte], frameIdx: Int): (Int, Int, Int, Array[Float]) = {
     val md = MessageDigest.getInstance("MD5")
     md.update(bytes)
-    md.update(frameIdx.toByte)
+    md.update(("#" + frameIdx).getBytes(StandardCharsets.UTF_8))
     val d = md.digest()
     val w = 16 + (d(0) & 0x7f)
     val h = 16 + (d(1) & 0x7f)

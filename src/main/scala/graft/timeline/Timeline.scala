@@ -68,6 +68,28 @@ final class Timeline(val payload: DataFrame, val tsCol: String) {
   /** D10: first/last timestamps, O(1) from scan metadata (`BaseTimeline.java:138-170`). */
   def firstLast: DataFrame =
     payload.agg(min(ts).as("first_ts"), max(ts).as("last_ts"), count(lit(1)).as("n_nodes"))
+
+  /** D12: `removeNode` (`BaseTimeline.java:332-415`) as immutable-snapshot
+    * deletion: drop the payload rows matching the predicate and return the
+    * new timeline. The reference's "delete the time node and relink the list
+    * when its last instance goes" is inherent here — a timestamp with no
+    * remaining rows simply no longer exists in the filtered relation; no
+    * pointer surgery. Persist the snapshot with [[rewrite]] to make the
+    * deletion durable (filter + rewrite, the columnar-storage deletion
+    * idiom). */
+  def removeNodes(pred: Column): Timeline = new Timeline(payload.filter(!pred), tsCol)
+
+  /** D12 point form: drop every node at exactly this timestamp. */
+  def removeAt(epochSeconds: Long): Timeline =
+    removeNodes(ts === timestamp_seconds(lit(epochSeconds)))
+
+  /** Persist this timeline's payload as a new at-rest snapshot (sorted by
+    * timestamp, the layout [[graft.build.GraphBuilder.write]] uses). */
+  def rewrite(path: String): Timeline = {
+    payload.sortWithinPartitions(ts).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    new Timeline(payload.sparkSession.read.parquet(path), tsCol)
+  }
 }
 
 object Timeline {

@@ -7,7 +7,8 @@ import graft.operators.ParityQueries
 /** DataFrame-vs-GraphX differential tests (SURVEY.md §5): the same graph
   * analytics computed by the relational plans (oracle-checked) and by the
   * GraphX mirror must agree — the reference's plan-pair cross-check idea
-  * lifted to engine pairs. */
+  * lifted to engine pairs. The GraphX APIs return DataFrames (no driver-side
+  * neighbor sets); tests collect only to compare. */
 class TemporalGraphSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -27,7 +28,7 @@ class TemporalGraphSpec extends SparkSpec {
     val probe = g.probeActor1.collect()(0).getLong(0)
     val relational = ParityQueries.queries("c07_neighbors")(spark, dir)
       .select("actor_id").collect().map(_.getLong(0)).toSet
-    assert(tg.neighborsOf(probe) == relational)
+    assert(tg.neighborsOf(probe).collect().map(_.getLong(0)).toSet == relational)
   }
 
   test("common neighbors match the relational c09 query") {
@@ -35,7 +36,7 @@ class TemporalGraphSpec extends SparkSpec {
     val b = g.probeActor2.collect()(0).getLong(0)
     val relational = ParityQueries.queries("c09_common_neighbors")(spark, dir)
       .select("actor_id").collect().map(_.getLong(0)).toSet
-    assert(tg.commonNeighbors(a, b) == relational)
+    assert(tg.commonNeighbors(a, b).collect().map(_.getLong(0)).toSet == relational)
   }
 
   test("windowed ego triangles match the relational c11a query") {
@@ -47,6 +48,7 @@ class TemporalGraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // ego = highest-degree actor in the window, min id on ties (same probe rule)
     val ego = wtg.degrees.orderBy(col("degree").desc, col("actor_id")).collect()(0).getLong(0)
-    assert(wtg.egoTrianglePairs(ego) == relational)
+    assert(wtg.egoTrianglePairs(ego).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == relational)
   }
 }

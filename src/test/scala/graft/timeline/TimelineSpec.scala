@@ -52,6 +52,26 @@ class TimelineSpec extends SparkSpec {
     assert(r.getLong(2) == 10L)
   }
 
+  test("removeAt drops exactly the nodes at one timestamp (D12)") {
+    val after = tl.removeAt(300L)
+    assert(after.allNodes.count() == 9)
+    assert(after.nodesAt(300L).count() == 0)
+    // neighbors untouched; range scans see the shrunken timeline
+    assert(after.nodesAt(200L).count() == 1)
+    assert(after.allBetween(200L, 600L).count() == 2) // 400,500
+    // original timeline is an unmodified snapshot
+    assert(tl.nodesAt(300L).count() == 1)
+  }
+
+  test("removeNodes + rewrite persists the deletion durably (D12)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tl").toString
+    val rewritten = tl.removeNodes(col("id") >= 8).rewrite(s"$dir/snap")
+    assert(rewritten.allNodes.count() == 8)
+    val reread = Timeline(spark.read.parquet(s"$dir/snap"))
+    assert(reread.firstLast.collect()(0).getTimestamp(1).toInstant.getEpochSecond == 700L)
+  }
+
   test("catalog guards timeline-name reuse with a different payload") {
     val cat = new TimelineCatalog
     cat.create("t1", payload)
