@@ -47,10 +47,15 @@ object SimilarityQueries {
   private val BandWidth = 8
   private val NBands = Planes / BandWidth
 
+  /** IVF coarse cells / probed cells per query. */
+  private val Cells = 16
+  private val NProbe = 4
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss1_cosine_topk" -> ss1,
     "ss2_lsh_topk" -> ss2,
-    "ss3_embed_neardup" -> ss3)
+    "ss3_embed_neardup" -> ss3,
+    "ss4_ivf_topk" -> ss4)
 
   /** ss1: brute-force cosine top-k for the probe vector (min vec_id) — the
     * exactness baseline over the raw table, one codegen'd cosine per row. */
@@ -131,6 +136,55 @@ object SimilarityQueries {
       .orderBy($"v1", $"v2")
   }
 
+  /** At-rest IVF cell assignment (vec_id, cid): each vector belongs to its
+    * highest-cosine coarse centroid (ties → lowest cid). Centroids are the
+    * `Cells` lowest-id vectors — a FIXED, deterministic coarse quantizer so
+    * the oracle reproduces the identical partition; swapping in k-means
+    * centroids changes only this table's build, not the query shape. This is
+    * the inverted-file layout: at 100 TB the corpus is bucketed by cell and a
+    * query scans nProbe/Cells of it. */
+  private def ivfIndex(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "emb_ivf", 1) {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy($"vec_id").limit(Cells)
+        .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+      e.repartition($"vec_id")
+        .crossJoin(broadcast(cents))
+        .select($"vec_id", $"cid", cosineExact($"embedding", $"cemb").as("ccos"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"vec_id").orderBy(desc("ccos"), $"cid")))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cid")
+    }
+
+  /** ss4: IVF ANN top-k — rank the probe's nProbe closest cells, exact
+    * cosine only over vectors assigned to those cells. The multi-cell OR is
+    * the IVF analog of ss2's multi-band OR; both restrict BEFORE any
+    * full-width cosine. */
+  private def ss4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = index(s, d)
+    val ivf = ivfIndex(s, d)
+    val p = idx.orderBy($"vec_id").limit(1)
+      .select($"vec_id", $"embedding", $"nsq").collect()(0)
+    val pid = p.getLong(0)
+    val pemb = p.getSeq[Float](1)
+    val psqrtN = math.sqrt(p.getDouble(2))
+    val cents = Tables.embeddings(s, d).orderBy($"vec_id").limit(Cells)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val probeCells = cents
+      .select($"cid", cosineExact($"cemb", typedlit(pemb)).as("ccos"))
+      .orderBy(desc("ccos"), $"cid").limit(NProbe)
+      .collect().map(_.getLong(0))
+    idx.join(ivf.filter($"cid".isin(probeCells: _*)), Seq("vec_id"), "left_semi")
+      .filter($"vec_id" =!= pid)
+      .select($"vec_id",
+        (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
+      .orderBy(desc("cosine"), $"vec_id").limit(TopK)
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val evSql =
@@ -194,6 +248,42 @@ object SimilarityQueries {
          |  FROM ev
          |  JOIN cand ON ev.vec_id = cand.vec_id
          |  JOIN pv USING (pos)
+         |  GROUP BY ev.vec_id
+         |)
+         |SELECT vec_id, cosine FROM cos, probe WHERE vec_id <> pid
+         |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
+    "ss4_ivf_topk" ->
+      s"""WITH $evSql,
+         |cents AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT $Cells),
+         |cev AS (SELECT cid, pos, e AS ce FROM ev JOIN cents ON ev.vec_id = cid),
+         |ccos AS (
+         |  SELECT ev.vec_id, cev.cid,
+         |         ${sqlSum("ev.e * cev.ce")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("cev.ce * cev.ce")})) AS ccos
+         |  FROM ev JOIN cev USING (pos)
+         |  GROUP BY ev.vec_id, cev.cid
+         |),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM ccos) t
+         |  WHERE rn = 1
+         |),
+         |probe AS (SELECT min(vec_id) AS pid FROM embeddings),
+         |pcells AS (
+         |  SELECT cid FROM ccos, probe WHERE vec_id = pid
+         |  ORDER BY ccos DESC, cid LIMIT $NProbe
+         |),
+         |pv AS (SELECT pos, e AS pe FROM ev, probe WHERE vec_id = pid),
+         |cos AS (
+         |  SELECT ev.vec_id,
+         |         ${sqlSum("ev.e * pv.pe")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("pv.pe * pv.pe")})) AS cosine
+         |  FROM ev
+         |  JOIN assign ON ev.vec_id = assign.vec_id
+         |  JOIN pv USING (pos)
+         |  WHERE assign.cid IN (SELECT cid FROM pcells)
          |  GROUP BY ev.vec_id
          |)
          |SELECT vec_id, cosine FROM cos, probe WHERE vec_id <> pid
