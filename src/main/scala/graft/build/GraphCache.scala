@@ -31,12 +31,15 @@ final class MaterializedGraph(
     val spark: SparkSession, val path: String, val delta: Long,
     val probes: GraphProbes) {
 
+  // one relation per table, shared across queries: Catalyst prunes columns /
+  // partitions per QUERY PLAN, not per DataFrame object, and reusing the
+  // resolved relation skips repeated footer/partition-listing work
   private val g: DynamicGraph = GraphBuilder.read(spark, path)
-  def frames: DataFrame = GraphBuilder.read(spark, path).frames
+  def frames: DataFrame = g.frames
   def actors: DataFrame = g.actors
   def interactions: DataFrame = g.interactions
-  def frameActors: DataFrame = GraphBuilder.read(spark, path).frameActors
-  def frameInteractions: DataFrame = GraphBuilder.read(spark, path).frameInteractions
+  def frameActors: DataFrame = g.frameActors
+  def frameInteractions: DataFrame = g.frameInteractions
 
   /** Epoch seconds of a frame's start on the Δ-grid. */
   def frameEpoch(frameId: Long): Long = probes.t0 + frameId * delta

@@ -92,6 +92,17 @@ object SimilarityQueries {
       .select(col("vec_id"), col("band"),
         expr(s"substring(sig, band * $BandWidth + 1, $BandWidth)").as("bkey"))
 
+  /** Collected probe row (min vec_id: id, embedding, nsq, sig), memoized per
+    * (session, corpus) — one tiny index lookup shared by ss2/ss4. */
+  private val probeMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.Row]
+  private def probeRow(s: SparkSession, d: String): org.apache.spark.sql.Row =
+    probeMemo.getOrElseUpdate((s, d), {
+      import s.implicits._
+      index(s, d).orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"embedding", $"nsq", $"sig").collect()(0)
+    })
+
   /** ss2: ANN top-k — the probe's signature selects candidate buckets (a
     * vector qualifies when ANY of its 4 bands matches the probe's), exact
     * cosine runs only on the bucket union. The probe row is one collected
@@ -100,8 +111,7 @@ object SimilarityQueries {
   private def ss2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val idx = index(s, d)
-    val p = idx.orderBy($"vec_id").limit(1)
-      .select($"vec_id", $"embedding", $"nsq", $"sig").collect()(0)
+    val p = probeRow(s, d)
     val pid = p.getLong(0)
     val pemb = p.getSeq[Float](1)
     val psqrtN = math.sqrt(p.getDouble(2))
@@ -167,8 +177,7 @@ object SimilarityQueries {
     import s.implicits._
     val idx = index(s, d)
     val ivf = ivfIndex(s, d)
-    val p = idx.orderBy($"vec_id").limit(1)
-      .select($"vec_id", $"embedding", $"nsq").collect()(0)
+    val p = probeRow(s, d)
     val pid = p.getLong(0)
     val pemb = p.getSeq[Float](1)
     val psqrtN = math.sqrt(p.getDouble(2))
