@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Plan-regression tests: the access-path properties the engine's scale
+  * story depends on, asserted on the executed plans so a refactor can't
+  * silently reintroduce a scan-everything or join-everything shape
+  * (the builder prompt's ".explain and iterate until it's the plan you'd
+  * want", frozen as tests). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def partitionFilters(p: String): String =
+    p.split("PartitionFilters: ").drop(1).mkString(" ")
+
+  test("c01 time-range scan partition-prunes on (year, month, day)") {
+    val p = plan(ParityQueries.queries("c01_frame_range_scan")(spark, dir))
+    val pf = partitionFilters(p)
+    assert(pf.contains("year") && pf.contains("month") && pf.contains("day"),
+      s"frames scan must prune partitions, got: ${pf.take(300)}")
+    // hour is a data column: predicate must reach the parquet reader
+    assert(p.contains("PushedFilters: ") && p.split("PushedFilters: ")(1).contains("hour"),
+      "hour predicate must push to the scan")
+  }
+
+  test("c11a active-edge scan is partition-pruned with hour pushed down") {
+    val p = plan(ParityQueries.queries("c11a_ego_triangles")(spark, dir))
+    val pf = partitionFilters(p)
+    assert(pf.contains("day"), s"fi scan must prune on the probe day: ${pf.take(300)}")
+    assert(p.split("PushedFilters: ").exists(_.contains("hour")),
+      "hour predicate must push to the fi scan")
+  }
+
+  test("ss2 ANN is a pure bucket filter — no join in the plan") {
+    val p = plan(SimilarityQueries.queries("ss2_lsh_topk")(spark, dir))
+    assert(!p.contains("Join"), s"ss2 must not join, got:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-k should be TakeOrderedAndProject")
+  }
+
+  test("ss1 brute-force top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = plan(SimilarityQueries.queries("ss1_cosine_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q03 dimension joins broadcast (no shuffle join on dims)") {
+    val p = plan(RelationalQueries.queries("q03_revenue_by_nation")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    // with AQE the fact-side join may also end up broadcast at this SF; the
+    // invariant is that no dim join degenerates to nested-loop/cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("c04 aggregation is partial+final hash agg over the at-rest scan") {
+    val p = plan(ParityQueries.queries("c04_actor_activity")(spark, dir))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("SortAggregate"), "count-by-key must stay hash-based")
+  }
+}
