@@ -47,14 +47,21 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash {
+  // one digest instance per thread, reset per token — MessageDigest
+  // construction is provider lookup + allocation, far costlier than the
+  // 16-byte digest itself
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
+    val md = digests.get()
     var i = 0
     val n = tokens.numElements()
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hash64(tokens.getUTF8String(i))
+        val h = hash64(md, tokens.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -73,9 +80,9 @@ object SimHash {
   }
 
   /** First 8 bytes of md5(token), big-endian — deterministic across JVMs. */
-  private def hash64(s: UTF8String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val d = md.digest(s.toString.getBytes(StandardCharsets.UTF_8))
+  private def hash64(md: MessageDigest, s: UTF8String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes)
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }

@@ -50,22 +50,35 @@ object VectorOps {
     JBigDecimal.valueOf(x).setScale(Scale, RoundingMode.HALF_UP)
       .scaleByPowerOfTen(Scale).longValueExact()
 
-  /** Fast path for termUnscaledSlow: floor(|x|·1e10) + half-up carry in
-    * doubles. Valid whenever the fractional part is farther from the .5
-    * rounding boundary than every error source combined (fp multiply ≤
-    * y·2.2e-16, string-vs-binary representation ≤ y·2.2e-16 — a 1e-4 guard
-    * band at y ≤ 1e12 is ~8 orders of magnitude of headroom); the rare
-    * boundary case and any huge/non-finite value fall back to the exact
-    * BigDecimal computation. ~5 ns vs ~340 ns — this is the per-element cost
-    * of every dot product and signature, so it IS the similarity operators'
-    * hot loop. */
+  /** Fast path for termUnscaledSlow (~5 ns vs ~340 ns — this is the
+    * per-element cost of every dot product, signature, and exact SUM, so it
+    * IS the library's hot loop). Two exact shortcuts, falling back to the
+    * BigDecimal reference whenever a precondition fails:
+    *
+    * 1. Short-decimal round-trip: if w = rint(|x|·1e10) divided back by 1e10
+    *    reproduces |x|, then w/1e10 is a ≤10-decimal value inside x's
+    *    rounding interval, so the shortest representation has ≤ 10 decimals
+    *    and scale-10 rounding is the identity — the answer is w. Requires
+    *    |x| < 4.5e5 so at most ONE 10-decimal value fits in the interval
+    *    (ulp(x)·1e10 < 1), making w unambiguous. Catches money-style data
+    *    (2-4 decimal places) at any magnitude in that range.
+    * 2. Guarded floor + half-up carry: valid whenever the fractional part of
+    *    |x|·1e10 is farther from the .5 rounding boundary than every error
+    *    source combined (fp multiply ≤ y·2.2e-16, string-vs-binary
+    *    representation ≤ y·2.2e-16, frac quantization ulp(y)) — the guard
+    *    band 1e-4 + 4·ulp(y) dominates all three. */
   private[functions] def termUnscaled(x: Double): Long = {
     val ax = math.abs(x)
+    if (!(ax < 4.5e5)) return termUnscaledSlow(x)
     val y = ax * 1e10
-    if (!(y < 1e12)) return termUnscaledSlow(x)
+    val w = Math.rint(y)
+    if (w / 1e10 == ax) {
+      val r = w.toLong
+      return if (x < 0) -r else r
+    }
     val lo = y.toLong
     val frac = y - lo
-    if (math.abs(frac - 0.5) <= 1e-4) return termUnscaledSlow(x)
+    if (math.abs(frac - 0.5) <= 1e-4 + 4 * Math.ulp(y)) return termUnscaledSlow(x)
     val r = if (frac > 0.5) lo + 1 else lo
     if (x < 0) -r else r
   }

@@ -89,15 +89,33 @@ class VectorOpsSpec extends SparkSpec {
     var i = 0
     while (i < 2000000) {
       // float-typical magnitudes plus products and boundary-ish values
-      val x = rnd.nextInt(4) match {
+      val x = rnd.nextInt(6) match {
         case 0 => (rnd.nextFloat() - 0.5f).toDouble
         case 1 => (rnd.nextFloat() - 0.5f).toDouble * (rnd.nextFloat() - 0.5f).toDouble
         case 2 => (rnd.nextLong() % 100000000000L) / 1e10 + rnd.nextGaussian() * 1e-11
+        case 3 => // money-style 2-decimal values and their products (TPC-H sums)
+          (rnd.nextInt(20000000) / 100.0) * (if (rnd.nextBoolean()) 1.0
+          else rnd.nextInt(100) / 100.0)
+        case 4 => // large irregular magnitudes (slow-path territory, within
+          // the long-unscaled domain |x| < 9.2e8 of termUnscaled's contract)
+          rnd.nextGaussian() * math.pow(10, rnd.nextInt(9) - 1)
         case _ => rnd.nextGaussian() * math.pow(10, rnd.nextInt(6) - 3)
       }
       assert(VectorOps.termUnscaled(x) == VectorOps.termUnscaledSlow(x),
         s"mismatch at x=$x (bits=${java.lang.Double.doubleToLongBits(x)})")
       i += 1
+    }
+  }
+
+  test("toDec10 matches Spark's double->decimal(28,10) cast incl. huge values") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(50000)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(17))) ++
+      Seq(0.0, -0.0, 1.23e15, -9.87654321e14, 4.5e5, 4.50000000001e5)
+    cases.foreach { x =>
+      val viaCast = org.apache.spark.sql.types.Decimal(
+        scala.math.BigDecimal(x), 28, 10)
+      assert(Exact.toDec10(x).toJavaBigDecimal.compareTo(viaCast.toJavaBigDecimal) == 0,
+        s"toDec10 mismatch at x=$x")
     }
   }
 }
