@@ -24,8 +24,16 @@ import org.apache.spark.sql.functions._
   *  - `nodes(after, before)` dispatches on null-ness (`BaseTimeline.java:417-439`);
   *  - first/last are min/max aggregates (`BaseTimeline.java:138-170`).
   */
-final class Timeline(val payload: DataFrame, val tsCol: String) {
+final class Timeline(val payload: DataFrame, val tsCol: String,
+    val storagePath: Option[String] = None) {
   private def ts: Column = col(tsCol)
+
+  /** D11: `getTimestampForNode` (`BaseTimeline.java:291-330`) — reverse
+    * payload→timestamp lookup. The reference walks TIMELINE_INSTANCE
+    * relationships; here rows carry their timestamp natively, so this is a
+    * filter + projection. */
+  def timestampFor(pred: Column): DataFrame =
+    payload.filter(pred).select(ts.as("timestamp"))
 
   /** D3/D4: point lookup (reference `BaseTimeline.java:481-519`). */
   def nodesAt(epochSeconds: Long): DataFrame =
@@ -84,11 +92,13 @@ final class Timeline(val payload: DataFrame, val tsCol: String) {
     removeNodes(ts === timestamp_seconds(lit(epochSeconds)))
 
   /** Persist this timeline's payload as a new at-rest snapshot (sorted by
-    * timestamp, the layout [[graft.build.GraphBuilder.write]] uses). */
+    * timestamp, the layout [[graft.build.GraphBuilder.write]] uses). The
+    * returned timeline remembers its path, so a catalog delete can drop the
+    * data (D13). */
   def rewrite(path: String): Timeline = {
     payload.sortWithinPartitions(ts).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-    new Timeline(payload.sparkSession.read.parquet(path), tsCol)
+    new Timeline(payload.sparkSession.read.parquet(path), tsCol, Some(path))
   }
 }
 
@@ -103,17 +113,34 @@ object Timeline {
 final class TimelineCatalog {
   private val timelines = new ConcurrentHashMap[String, Timeline]()
 
-  def create(name: String, payload: DataFrame, tsCol: String = "ts_start"): Timeline = {
-    val fresh = new Timeline(payload, tsCol)
-    val existing = timelines.putIfAbsent(name, fresh)
-    if (existing == null) fresh
-    else if (existing.payload eq payload) existing
+  def create(name: String, payload: DataFrame, tsCol: String = "ts_start"): Timeline =
+    bind(name, new Timeline(payload, tsCol))
+
+  /** Bind an existing timeline (keeps its at-rest storage path, so
+    * `delete(name, dropData = true)` can reach the files). */
+  def bind(name: String, timeline: Timeline): Timeline = {
+    val existing = timelines.putIfAbsent(name, timeline)
+    if (existing == null) timeline
+    else if (existing.payload eq timeline.payload) existing
     else throw new IllegalArgumentException(
       s"The timeline name '$name' is already bound to a different payload")
   }
 
   def get(name: String): Option[Timeline] = Option(timelines.get(name))
 
-  /** D13: drop the timeline binding (`BaseTimeline.java:692-732`). */
-  def delete(name: String): Unit = timelines.remove(name)
+  /** D13: drop the timeline (`BaseTimeline.java:692-732`): unbind the name
+    * and, when `dropData` and the timeline owns an at-rest snapshot
+    * ([[Timeline.rewrite]]), delete its files too — the full analog of the
+    * reference's relationship-unlinking delete loop. */
+  def delete(name: String, dropData: Boolean = false): Unit = {
+    val removed = timelines.remove(name)
+    if (dropData && removed != null) removed.storagePath.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
 }

@@ -72,6 +72,29 @@ class TimelineSpec extends SparkSpec {
     assert(reread.firstLast.collect()(0).getTimestamp(1).toInstant.getEpochSecond == 700L)
   }
 
+  test("timestampFor is the reverse payload->timestamp lookup (D11)") {
+    import org.apache.spark.sql.functions._
+    val tss = tl.timestampFor(col("id") === 7).collect()
+    assert(tss.map(_.getTimestamp(0).toInstant.getEpochSecond).toSeq == Seq(700L))
+    assert(tl.timestampFor(col("id") === 99).count() == 0)
+  }
+
+  test("catalog delete with dropData removes the at-rest snapshot (D13)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tl-del").toString
+    val snap = tl.rewrite(s"$dir/snap")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/snap")))
+    val cat = new TimelineCatalog
+    cat.create("victim", snap.payload)
+    // binding-only delete leaves data; re-create with the snapshot timeline
+    cat.delete("victim")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/snap")))
+    val cat2 = new TimelineCatalog
+    cat2.bind("victim2", snap)
+    cat2.delete("victim2", dropData = true)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/snap")))
+  }
+
   test("catalog guards timeline-name reuse with a different payload") {
     val cat = new TimelineCatalog
     cat.create("t1", payload)
