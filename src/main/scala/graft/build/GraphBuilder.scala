@@ -3,15 +3,40 @@ package graft.build
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.Spell
+import graft.model.{Actor, Frame, FrameActor, FrameInteraction, Interaction, Schemas, Spell}
 
-/** The five derived tables of the engine's core model (SURVEY.md §1.3). */
+/** The five derived tables of the engine's core model (SURVEY.md §1.3).
+  * Untyped `DataFrame`s internally (Catalyst sees column-level lineage);
+  * typed `Dataset[T]` views for the library API surface. */
 final case class DynamicGraph(
     frames: DataFrame,
     actors: DataFrame,
     interactions: DataFrame,
     frameActors: DataFrame,
-    frameInteractions: DataFrame)
+    frameInteractions: DataFrame) {
+
+  def typedFrames: Dataset[Frame] = {
+    val s = frames.sparkSession; import s.implicits._
+    frames.select("frame_id", "ts_start", "ts_end", "length", "year", "month",
+      "day", "hour", "minute", "second").as[Frame]
+  }
+  def typedActors: Dataset[Actor] = {
+    val s = actors.sparkSession; import s.implicits._
+    actors.as[Actor]
+  }
+  def typedInteractions: Dataset[Interaction] = {
+    val s = interactions.sparkSession; import s.implicits._
+    interactions.as[Interaction]
+  }
+  def typedFrameActors: Dataset[FrameActor] = {
+    val s = frameActors.sparkSession; import s.implicits._
+    frameActors.select("frame_id", "actor_id").as[FrameActor]
+  }
+  def typedFrameInteractions: Dataset[FrameInteraction] = {
+    val s = frameInteractions.sparkSession; import s.implicits._
+    frameInteractions.select("frame_id", "actor1", "actor2", "weight").as[FrameInteraction]
+  }
+}
 
 /** Batch graph construction from spell streams (SURVEY.md §2.B, the loader
   * dataflow of reference `load_gexf_to_neo4j.py:61-250`), Spark-first:
@@ -120,18 +145,16 @@ object GraphBuilder {
       .parquet(s"$path/frame_interactions")
   }
 
-  /** Read back the at-rest layout. Partition-directory columns infer as INT;
-    * cast them back to the model's BIGINT so schemas match the in-memory
-    * derivation (the cast is a deterministic expression over partition
-    * columns, so Catalyst still prunes on it). */
-  def read(spark: SparkSession, path: String): DynamicGraph = {
-    def longDates(df: DataFrame): DataFrame =
-      Seq("year", "month", "day").foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
-    DynamicGraph(
-      frames = longDates(spark.read.parquet(s"$path/frames")),
-      actors = spark.read.parquet(s"$path/actors"),
-      interactions = spark.read.parquet(s"$path/interactions"),
-      frameActors = longDates(spark.read.parquet(s"$path/frame_actors")),
-      frameInteractions = longDates(spark.read.parquet(s"$path/frame_interactions")))
-  }
+  /** Read back the at-rest layout with the declared model schemas
+    * (`graft.model.Schemas`): no footer/partition-type inference, and the
+    * (year, month, day) partition directories parse directly to the model's
+    * BIGINT — partition pruning operates on native values, no casts in the
+    * plan. */
+  def read(spark: SparkSession, path: String): DynamicGraph = DynamicGraph(
+    frames = spark.read.schema(Schemas.frame).parquet(s"$path/frames"),
+    actors = spark.read.schema(Schemas.actor).parquet(s"$path/actors"),
+    interactions = spark.read.schema(Schemas.interaction).parquet(s"$path/interactions"),
+    frameActors = spark.read.schema(Schemas.frameActorAtRest).parquet(s"$path/frame_actors"),
+    frameInteractions =
+      spark.read.schema(Schemas.frameInteractionAtRest).parquet(s"$path/frame_interactions"))
 }

@@ -78,4 +78,20 @@ class GraphBuilderSpec extends SparkSpec {
     // date-part partition columns survive for pruning
     assert(back.frames.columns.contains("year"))
   }
+
+  test("typed Dataset views encode the model case classes") {
+    val fs = g.typedFrames.collect()
+    assert(fs.length == 6 && fs.map(_.frame_id).sorted.toSeq == (0L to 5L))
+    assert(fs.forall(f => f.length == 20L && f.year > 1900))
+    assert(g.typedActors.collect().map(_.name).forall(_.startsWith("ACTOR_")))
+    assert(g.typedInteractions.collect().forall(i => i.actor1 < i.actor2))
+    assert(g.typedFrameInteractions.collect().forall(_.weight == 1L))
+    assert(g.typedFrameActors.count() == g.frameActors.count())
+    // and over the at-rest read-back layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-typed").toString
+    GraphBuilder.write(g, dir)
+    val back = GraphBuilder.read(spark, dir)
+    assert(back.typedFrames.collect().map(_.frame_id).sorted.toSeq == (0L to 5L))
+    assert(back.typedFrameInteractions.count() == 7)
+  }
 }
