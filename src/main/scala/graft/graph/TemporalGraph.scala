@@ -65,6 +65,36 @@ final class TemporalGraph private (val graph: Graph[Long, Int]) {
       .select(col("actor1").as("n1"), col("actor2").as("n2"))
       .distinct()
   }
+
+  /** Connected components of the windowed graph (component id = lowest
+    * vertex id) — Pregel-style label propagation on the executors. */
+  def connectedComponents: DataFrame = {
+    val s = spark
+    import s.implicits._
+    graph.connectedComponents().vertices
+      .map { case (v, c) => (v, c) }.toDF("actor_id", "component")
+  }
+
+  /** PageRank over the windowed interaction graph. GraphX PageRank is
+    * directed, so the canonical (actor1 < actor2) edges are symmetrized —
+    * one edge per direction — to get undirected contact-network semantics. */
+  def pageRank(tol: Double = 1e-4, resetProb: Double = 0.15): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val sym = Graph.fromEdges(graph.edges.union(graph.reverse.edges), defaultValue = 0L)
+    sym.pageRank(tol, resetProb).vertices
+      .map { case (v, r) => (v, r) }.toDF("actor_id", "rank")
+  }
+
+  /** Per-vertex triangle participation counts — the global closure analog of
+    * the C11 ego query (requires the canonical actor1 < actor2 edge form,
+    * which [[TemporalGraph.fromEdges]] guarantees). */
+  def triangleCounts: DataFrame = {
+    val s = spark
+    import s.implicits._
+    graph.triangleCount().vertices
+      .map { case (v, n) => (v, n.toLong) }.toDF("actor_id", "triangles")
+  }
 }
 
 object TemporalGraph {

@@ -51,4 +51,31 @@ class TemporalGraphSpec extends SparkSpec {
     assert(wtg.egoTrianglePairs(ego).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet == relational)
   }
+
+  test("connected components and PageRank over the GEXF golden graph") {
+    import graft.build.GraphBuilder
+    import graft.sources.Gexf
+    val gg = GraphBuilder.fromSpells(
+      spark, Gexf.readSpells(spark, getClass.getResource("/golden.gexf").getPath), 20L)
+    val tg2 = TemporalGraph.fromEdges(gg.frameInteractions)
+    // edges (1,2) (1,3) (3,5) (4,6) -> components {1,2,3,5} and {4,6}
+    val cc = tg2.connectedComponents.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 4L -> 4L, 6L -> 4L))
+    val pr = tg2.pageRank().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.values.forall(_ > 0))
+    // symmetric pair (4,6) must rank identically; hub 1 outranks leaf 2
+    assert(math.abs(pr(4L) - pr(6L)) < 1e-6)
+    assert(pr(1L) > pr(2L))
+  }
+
+  test("triangleCounts closes the triangle on an augmented window") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4
+    val edges = Seq((0L, 1L, 2L, 1L), (0L, 1L, 3L, 1L), (0L, 2L, 3L, 1L), (0L, 3L, 4L, 1L))
+      .toDF("frame_id", "actor1", "actor2", "weight")
+    val t = TemporalGraph.fromEdges(edges).triangleCounts
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
 }
