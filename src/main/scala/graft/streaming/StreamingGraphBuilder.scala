@@ -32,6 +32,23 @@ object StreamingGraphBuilder {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("ts_start"), col("actor_id"), col("n_events"))
 
+  /** Streaming exact dedup for document ingestion (the training-pipeline
+    * analog of batch dd1): fingerprint the normalized text and emit ONE
+    * representative per fingerprint (the first-processed arrival — arbitrary
+    * within a micro-batch, earliest batch across batches); re-observations
+    * are dropped while the fingerprint is inside the watermark. State = one row per distinct
+    * fingerprint within the lateness horizon, evicted by the watermark —
+    * bounded, unlike a naive dropDuplicates whose state grows with the
+    * corpus. Late-beyond-watermark duplicates pass through (documented
+    * bounded-lateness deviation, same as the graph builder); exact global
+    * dedup of historical data is batch dd1's job. */
+  def dedupDocuments(docs: DataFrame, watermark: String): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("fp",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+      .dropDuplicatesWithinWatermark("fp")
+
   /** FRAME_INTERACTION stream: canonicalized co-occurrence pairs per window +
     * event_type, weight = number of shared event types (same contract as the
     * batch EventGraph). The per-(window, type) actor set is a streaming

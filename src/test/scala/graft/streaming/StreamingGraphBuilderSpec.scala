@@ -75,4 +75,29 @@ class StreamingGraphBuilderSpec extends SparkSpec {
       assert(rows.keySet.forall { case (_, a1, a2) => a1 < a2 }, "canonicalization violated")
     } finally q.stop()
   }
+
+  test("dedupDocuments: one representative per fingerprint within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val docs = in.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingGraphBuilder.dedupDocuments(docs, watermark = "30 seconds")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), 1L, "hello world"), (ts(10), 3L, "something else"))
+      q.processAllAvailable()
+      // same normalized fingerprint, later batches -> dropped
+      in.addData((ts(5), 2L, "  HELLO   world "))
+      q.processAllAvailable()
+      in.addData((ts(20), 4L, "hello world"))
+      q.processAllAvailable()
+      in.addData((ts(1000), 9L, "advance")) // evict state via watermark
+      q.processAllAvailable()
+
+      val ids = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && ids.contains(3L) && ids.contains(9L))
+      assert(!ids.contains(2L) && !ids.contains(4L), s"duplicates leaked: $ids")
+    } finally q.stop()
+  }
 }
