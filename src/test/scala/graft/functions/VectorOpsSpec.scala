@@ -118,4 +118,22 @@ class VectorOpsSpec extends SparkSpec {
         s"toDec10 mismatch at x=$x")
     }
   }
+
+  test("null elements are skipped like SUM's null semantics") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps.{dotExact, normSqExact}
+    val df = Seq(1).toDF("one").select(
+      expr("array(cast(1.0 as float), cast(null as float), cast(2.0 as float))").as("a"),
+      expr("array(cast(3.0 as float), cast(4.0 as float), cast(5.0 as float))").as("b"))
+    val r = df.select(dotExact($"a", $"b").as("d"), normSqExact($"a").as("n")).collect()(0)
+    assert(r.getDouble(0) == 13.0) // 1*3 + skip + 2*5
+    assert(r.getDouble(1) == 5.0)  // 1 + skip + 4
+    // mismatched lengths: min-length intersection (mirrors the pos equi-join)
+    val df2 = Seq(1).toDF("one").select(
+      expr("array(cast(1.0 as float), cast(2.0 as float))").as("a"),
+      expr("array(cast(3.0 as float))").as("b"))
+    assert(df2.select(dotExact($"a", $"b")).collect()(0).getDouble(0) == 3.0)
+  }
 }
