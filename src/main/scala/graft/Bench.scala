@@ -39,7 +39,9 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
-            errors(name) = e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            // strip quote/backslash and ALL control chars — the one-line
+            // JSON contract must survive any exception text
+            errors(name) = e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
             None
         }
       }.sorted

@@ -17,12 +17,29 @@ object DerivedCache {
 
   private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Collision-free cache directory for a source dir: readable sanitized name
+    * + an md5 discriminator (distinct dirs can sanitize identically). The
+    * source data itself is immutable by contract (TESTDATA.md); regenerating
+    * a corpus in place requires clearing `target/graft-cache`. */
+  private[build] def dirKey(dir: String): String = {
+    val san = dir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+|_+$", "")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    s"${san}_$md5"
+  }
+
+  /** Drop memo entries whose session has been stopped, so long-lived JVMs
+    * with session churn don't pin dead sessions and their plans. */
+  private[build] def evictStopped[V](m: TrieMap[(SparkSession, String), V]): Unit =
+    m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove)
+
   /** Memoized at-rest materialization of `build`, keyed by (session, source
     * dir, table name, layout version). */
   def table(spark: SparkSession, dir: String, name: String, version: Int)
       (build: => DataFrame): DataFrame = synchronized {
-    val san = dir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+|_+$", "")
-    val path = s"target/graft-cache/$san/${name}_v$version"
+    evictStopped(memo)
+    val path = s"target/graft-cache/${dirKey(dir)}/${name}_v$version"
     memo.getOrElseUpdate((spark, path), {
       val marker = Paths.get(s"$path/_GRAFT_DONE")
       if (!Files.exists(marker)) {

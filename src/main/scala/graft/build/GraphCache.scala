@@ -74,13 +74,12 @@ object GraphCache {
 
   def apply(spark: SparkSession, dir: String,
       delta: Long = EventGraph.DeltaSeconds): MaterializedGraph = synchronized {
+    memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
     memo.getOrElseUpdate((spark, dir, delta), load(spark, dir, delta))
   }
 
-  private def cachePath(dir: String, delta: Long): String = {
-    val san = dir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+|_+$", "")
-    s"target/graft-cache/${san}_d${delta}_v$Version"
-  }
+  private def cachePath(dir: String, delta: Long): String =
+    s"target/graft-cache/${DerivedCache.dirKey(dir)}_d${delta}_v$Version"
 
   private def load(spark: SparkSession, dir: String, delta: Long): MaterializedGraph = {
     val path = cachePath(dir, delta)
@@ -108,13 +107,14 @@ object GraphCache {
         DynamicGraph(g.frames, g.actors, g.interactions, g.frameActors, g.frameInteractions),
         path)
       val b = g.bounds.collect()(0)
+      val dh = g.probeDayHour.collect()(0)
       val probes = Seq((
         g.probeFrame.collect()(0).getLong(0),
         g.probeActor1.collect()(0).getLong(0),
         g.probeActor2.collect()(0).getLong(0),
         g.probeDay.collect()(0).getLong(0),
-        g.probeDayHour.collect()(0).getLong(0),
-        g.probeDayHour.collect()(0).getLong(1),
+        dh.getLong(0),
+        dh.getLong(1),
         b.getLong(0), b.getLong(1)))
       import spark.implicits._
       probes.toDF("pf", "pa1", "pa2", "pd", "pdh_day", "pdh_hour", "t0", "t1")

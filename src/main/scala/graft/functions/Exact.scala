@@ -39,10 +39,13 @@ object Exact {
 
   /** Static entry for [[Dec10]]'s interpreted + generated code. Values whose
     * scale-10 unscaled form exceeds a long take the BigDecimal route (same
-    * result, Decimal carries the big value). */
+    * result, Decimal carries the big value). Cast parity: NaN/±Infinity and
+    * DECIMAL(28,10) overflow (|x| ≥ 1e18) return null, exactly like Spark's
+    * non-ANSI CAST — so SUM skips them instead of the query failing. */
   def toDec10(x: Double): Decimal = {
     val ax = math.abs(x)
     if (ax < 9.0e8) Decimal.createUnsafe(VectorOps.termUnscaled(x), 28, 10)
+    else if (!(ax < 1.0e18)) null // NaN, ±Inf, precision overflow → null
     else Decimal(scala.math.BigDecimal(
       java.math.BigDecimal.valueOf(x).setScale(10, java.math.RoundingMode.HALF_UP)), 28, 10)
   }
@@ -59,9 +62,11 @@ object Exact {
 }
 
 /** CAST(double AS DECIMAL(28,10)) semantics via the fast exact rounding —
-  * see [[Exact]]. Null-safe; keeps whole-stage codegen (one static call). */
+  * see [[Exact]]. Nullable like the Cast it replaces: NaN/Inf/overflow
+  * inputs produce null (codegen re-checks the static call's result). */
 case class Dec10(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DecimalType(28, 10)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -74,7 +79,10 @@ case class Dec10(child: Expression) extends UnaryExpression {
     Exact.toDec10(input.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Exact.toDec10($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Exact.toDec10($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): Dec10 =
     copy(child = newChild)

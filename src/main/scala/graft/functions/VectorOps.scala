@@ -86,33 +86,72 @@ object VectorOps {
   private def toDouble(unscaled: Long): Double =
     JBigDecimal.valueOf(unscaled, Scale).doubleValue
 
+  /** Non-finite terms are SKIPPED, mirroring the oracle construction exactly:
+    * CAST(NaN/Inf AS DECIMAL) is NULL in both Spark and DuckDB and SUM skips
+    * NULLs. Long-domain overflow (|term| ≥ ~9.2e8, astronomically far from
+    * embedding magnitudes) reruns the whole sum in exact BigDecimal. */
+  private def finite(x: Double): Boolean = x - x == 0.0
+
   /** Static entry point for DotExact. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i)) {
-        acc += termUnscaled(a.getFloat(i).toDouble * b.getFloat(i).toDouble)
+    try {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i)) {
+          val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+          if (finite(p)) acc = Math.addExact(acc, termUnscaled(p))
+        }
+        i += 1
       }
-      i += 1
+      toDouble(acc)
+    } catch {
+      case _: ArithmeticException =>
+        var acc = JBigDecimal.ZERO
+        var i = 0
+        while (i < n) {
+          if (!a.isNullAt(i) && !b.isNullAt(i)) {
+            val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
+            if (finite(p)) acc =
+              acc.add(JBigDecimal.valueOf(p).setScale(Scale, RoundingMode.HALF_UP))
+          }
+          i += 1
+        }
+        acc.doubleValue
     }
-    toDouble(acc)
   }
 
   /** Static entry point for NormSqExact (sum of squares, pre-sqrt). */
   def normSq(a: ArrayData): Double = {
     val n = a.numElements()
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      if (!a.isNullAt(i)) {
-        val x = a.getFloat(i).toDouble
-        acc += termUnscaled(x * x)
+    try {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val x = a.getFloat(i).toDouble
+          val p = x * x
+          if (finite(p)) acc = Math.addExact(acc, termUnscaled(p))
+        }
+        i += 1
       }
-      i += 1
+      toDouble(acc)
+    } catch {
+      case _: ArithmeticException =>
+        var acc = JBigDecimal.ZERO
+        var i = 0
+        while (i < n) {
+          if (!a.isNullAt(i)) {
+            val x = a.getFloat(i).toDouble
+            val p = x * x
+            if (finite(p)) acc =
+              acc.add(JBigDecimal.valueOf(p).setScale(Scale, RoundingMode.HALF_UP))
+          }
+          i += 1
+        }
+        acc.doubleValue
     }
-    toDouble(acc)
   }
 
   /** Static entry point for CosineExact: dot / (sqrt(na) * sqrt(nb)), each
@@ -157,15 +196,32 @@ object VectorOps {
     var p = 0
     while (p < planes) {
       val row = planeRow(p, n)
-      var acc = 0L
-      var i = 0
-      while (i < n) {
-        if (!v.isNullAt(i)) {
-          acc += termUnscaled(row(i) * v.getFloat(i).toDouble)
+      val nonNeg = try {
+        var acc = 0L
+        var i = 0
+        while (i < n) {
+          if (!v.isNullAt(i)) {
+            val t = row(i) * v.getFloat(i).toDouble
+            if (finite(t)) acc = Math.addExact(acc, termUnscaled(t))
+          }
+          i += 1
         }
-        i += 1
+        acc >= 0L
+      } catch {
+        case _: ArithmeticException =>
+          var acc = JBigDecimal.ZERO
+          var i = 0
+          while (i < n) {
+            if (!v.isNullAt(i)) {
+              val t = row(i) * v.getFloat(i).toDouble
+              if (finite(t)) acc =
+                acc.add(JBigDecimal.valueOf(t).setScale(Scale, RoundingMode.HALF_UP))
+            }
+            i += 1
+          }
+          acc.signum() >= 0
       }
-      out(p) = if (acc >= 0L) '+' else '-'
+      out(p) = if (nonNeg) '+' else '-'
       p += 1
     }
     UTF8String.fromBytes(out)
@@ -251,7 +307,9 @@ case class CosineExact(left: Expression, right: Expression) extends BinaryExpres
 case class HyperSig(child: Expression, planes: Int) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult =
-    VectorOps.checkFloatArray(child.dataType, prettyName)
+    if (planes < 1 || planes > 4096)
+      TypeCheckResult.TypeCheckFailure(s"hyper_sig planes must be in [1, 4096], got $planes")
+    else VectorOps.checkFloatArray(child.dataType, prettyName)
   override def nullSafeEval(input: Any): Any =
     VectorOps.signature(input.asInstanceOf[ArrayData], planes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.build.DerivedCache
+import graft.functions.Fingerprint.fingerprintMd5
 import graft.sources.Tables
 
 /** Deduplication operators for training-data pipelines, over `documents`:
@@ -82,8 +83,7 @@ object DedupQueries {
   private def dd1(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id",
-        md5(regexp_replace(lower(trim($"text")), "\\s+", " ").cast("binary")).as("fp"))
+      .select($"doc_id", fingerprintMd5($"text").as("fp"))
       .withColumn("canonical_id", min($"doc_id").over(Window.partitionBy($"fp")))
       .select($"doc_id", $"fp", $"canonical_id",
         ($"doc_id" =!= $"canonical_id").as("is_dup"))

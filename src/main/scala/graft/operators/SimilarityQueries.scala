@@ -96,12 +96,14 @@ object SimilarityQueries {
     * (session, corpus) — one tiny index lookup shared by ss2/ss4. */
   private val probeMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.Row]
-  private def probeRow(s: SparkSession, d: String): org.apache.spark.sql.Row =
+  private def probeRow(s: SparkSession, d: String): org.apache.spark.sql.Row = {
+    probeMemo.keys.filter(_._1.sparkContext.isStopped).foreach(probeMemo.remove)
     probeMemo.getOrElseUpdate((s, d), {
       import s.implicits._
       index(s, d).orderBy($"vec_id").limit(1)
         .select($"vec_id", $"embedding", $"nsq", $"sig").collect()(0)
     })
+  }
 
   /** ss2: ANN top-k — the probe's signature selects candidate buckets (a
     * vector qualifies when ANY of its 4 bands matches the probe's), exact

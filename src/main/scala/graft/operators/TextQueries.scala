@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Fingerprint.fingerprintMd5
 import graft.sources.Tables
 
 /** Text-analysis operators for a large-scale training-data pipeline, over the
@@ -103,8 +104,7 @@ object TextQueries {
   private def tx4(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"source",
-        md5(regexp_replace(lower(trim($"text")), "\\s+", " ").cast("binary")).as("fp"))
+      .select($"source", fingerprintMd5($"text").as("fp"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), countDistinct($"fp").as("n_unique"))
       .orderBy($"source")

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.Fingerprint.fingerprintMd5
+
 /** Structured Streaming ingestion — the incremental analog of the reference's
   * ordered timeline insert (`BaseTimeline.java:172-279`, SURVEY.md §2.D D1/D2).
   *
@@ -45,8 +47,7 @@ object StreamingGraphBuilder {
   def dedupDocuments(docs: DataFrame, watermark: String): DataFrame =
     docs
       .withWatermark("ts", watermark)
-      .withColumn("fp",
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+      .withColumn("fp", fingerprintMd5(col("text")))
       .dropDuplicatesWithinWatermark("fp")
 
   /** FRAME_INTERACTION stream: canonicalized co-occurrence pairs per window +

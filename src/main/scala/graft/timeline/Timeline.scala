@@ -85,7 +85,10 @@ final class Timeline(val payload: DataFrame, val tsCol: String,
     * pointer surgery. Persist the snapshot with [[rewrite]] to make the
     * deletion durable (filter + rewrite, the columnar-storage deletion
     * idiom). */
-  def removeNodes(pred: Column): Timeline = new Timeline(payload.filter(!pred), tsCol)
+  def removeNodes(pred: Column): Timeline =
+    // three-valued logic: only rows where pred is definitively TRUE are
+    // removed; a NULL predicate keeps the row (coalesce, not bare negation)
+    new Timeline(payload.filter(!coalesce(pred, lit(false))), tsCol)
 
   /** D12 point form: drop every node at exactly this timestamp. */
   def removeAt(epochSeconds: Long): Timeline =
@@ -138,8 +141,10 @@ final class TimelineCatalog {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.exists(root)) {
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        val stream = java.nio.file.Files.walk(root)
+        try stream.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally stream.close()
       }
     }
   }
