@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** The reference's differential-pair testing (SURVEY.md §5): hand-written
+  * plan alternates of the same semantic query must produce identical rows.
+  * The driver's oracle asserts this transitively (each variant against the
+  * same SQL); these tests assert it directly, engine-side, so a variant
+  * regression is caught before any oracle run. */
+class VariantEquivalenceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(name: String): Set[Seq[Any]] =
+    ParityQueries.queries(name)(spark, dir).collect().map(_.toSeq).toSet
+
+  test("c05 == c05b (aggregate-then-join vs join-then-aggregate)") {
+    assert(rows("c05_active_actors") == rows("c05b_active_actors_alt"))
+  }
+
+  test("c06 == c06b (partition column vs frames join)") {
+    assert(rows("c06_actor_days") == rows("c06b_actor_days_denorm"))
+  }
+
+  test("c09 == c09b (INTERSECT vs 4-hop equi-join)") {
+    assert(rows("c09_common_neighbors") == rows("c09b_common_neighbors_4hop"))
+  }
+
+  test("c11a == c11b == c11c (pruned scan vs anchored semi-join vs denorm join)") {
+    val a = rows("c11a_ego_triangles")
+    assert(a == rows("c11b_ego_triangles_anchored"))
+    assert(a == rows("c11c_ego_triangles_denorm"))
+    assert(a.nonEmpty)
+  }
+
+  test("dd3's LSH-candidate pairs are a subset of dd2's exhaustive pairs") {
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = pairs(DedupQueries.queries("dd2_ngram_jaccard")(spark, dir))
+    val lsh = pairs(DedupQueries.queries("dd3_minhash_lsh")(spark, dir))
+    assert(lsh.subsetOf(exhaustive),
+      s"LSH found pairs the exhaustive join missed: ${lsh.diff(exhaustive)}")
+  }
+
+  test("ss3 candidates respect the threshold and canonical pair order") {
+    val rows = SimilarityQueries.queries("ss3_embed_neardup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.35)
+    }
+  }
+}
