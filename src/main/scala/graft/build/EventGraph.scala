@@ -126,6 +126,16 @@ final class EventGraph(spark: SparkSession, dir: String, val delta: Long = Event
     .orderBy(desc("c"), $"day").limit(1)
     .select($"day".as("pd"))
 
+  /** Busiest full (year, month, day) date by interaction rows — anchors c01's
+    * range-scan window (the reference hard-codes its 2009-07-01 scan window,
+    * `cypher_query_timing.py:120`; deriving the anchor keeps the query
+    * non-degenerate on any corpus span). */
+  val probeDate: DataFrame = frameInteractions
+    .join(frames, "frame_id")
+    .groupBy($"year", $"month", $"day").agg(count(lit(1)).as("c"))
+    .orderBy(desc("c"), $"year", $"month", $"day").limit(1)
+    .select($"year".as("py"), $"month".as("pm"), $"day".as("pdd"))
+
   /** Busiest (day, hour) by interaction rows (analog of day=29, hour=10 in Q11). */
   val probeDayHour: DataFrame = frameInteractions
     .join(frames, "frame_id")

@@ -72,6 +72,11 @@ object EventGraphSql {
        |probe_day_hour AS (
        |  SELECT day AS pd, hour AS ph FROM fi JOIN frames USING (frame_id)
        |  GROUP BY day, hour ORDER BY count(*) DESC, day, hour LIMIT 1
+       |),
+       |probe_date AS (
+       |  SELECT year AS py, month AS pm, day AS pdd
+       |  FROM fi JOIN frames USING (frame_id)
+       |  GROUP BY year, month, day ORDER BY count(*) DESC, year, month, day LIMIT 1
        |)""".stripMargin
 
   def query(select: String): String = s"WITH $prelude\n$select"

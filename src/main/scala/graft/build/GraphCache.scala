@@ -20,6 +20,7 @@ final case class GraphProbes(
     pa2: Long, // second most active actor (1146 analog)
     pd: Long, // busiest day (day=7 analog)
     pdhDay: Long, pdhHour: Long, // busiest (day, hour) (day=29 hour=10 analog)
+    py: Long, pm: Long, pdd: Long, // busiest (year, month, day) (c01 anchor)
     t0: Long, t1: Long) // run bounds, epoch seconds
 
 /** The dynamic graph at rest: the five §1.3 tables as written by
@@ -67,8 +68,9 @@ final class MaterializedGraph(
   * layouts from earlier code can never leak into results. */
 object GraphCache {
 
-  /** Cache-layout version; bump on any derivation/layout change. */
-  val Version = 2
+  /** Cache-layout version; bump on any derivation/layout change.
+    * v3: probes table gained the (py, pm, pdd) busiest-date anchor. */
+  val Version = 3
 
   private val memo = TrieMap.empty[(SparkSession, String, Long), MaterializedGraph]
 
@@ -91,7 +93,8 @@ object GraphCache {
     }
     val p = spark.read.parquet(s"$path/probes").collect()(0)
     val probes = GraphProbes(p.getLong(0), p.getLong(1), p.getLong(2),
-      p.getLong(3), p.getLong(4), p.getLong(5), p.getLong(6), p.getLong(7))
+      p.getLong(3), p.getLong(4), p.getLong(5), p.getLong(6), p.getLong(7),
+      p.getLong(8), p.getLong(9), p.getLong(10))
     new MaterializedGraph(spark, path, delta, probes)
   }
 
@@ -108,6 +111,7 @@ object GraphCache {
         path)
       val b = g.bounds.collect()(0)
       val dh = g.probeDayHour.collect()(0)
+      val pdt = g.probeDate.collect()(0)
       val probes = Seq((
         g.probeFrame.collect()(0).getLong(0),
         g.probeActor1.collect()(0).getLong(0),
@@ -115,9 +119,11 @@ object GraphCache {
         g.probeDay.collect()(0).getLong(0),
         dh.getLong(0),
         dh.getLong(1),
+        pdt.getLong(0), pdt.getLong(1), pdt.getLong(2),
         b.getLong(0), b.getLong(1)))
       import spark.implicits._
-      probes.toDF("pf", "pa1", "pa2", "pd", "pdh_day", "pdh_hour", "t0", "t1")
+      probes.toDF("pf", "pa1", "pa2", "pd", "pdh_day", "pdh_hour",
+        "py", "pm", "pdd", "t0", "t1")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/probes")
     } finally {
       g.frameActors.unpersist()

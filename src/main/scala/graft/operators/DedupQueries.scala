@@ -40,6 +40,13 @@ object DedupQueries {
     "dd3_minhash_lsh" -> dd3,
     "dd4_simhash" -> dd4)
 
+  /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
+  def warm(s: SparkSession, d: String): Unit = {
+    shingles(s, d)
+    minhashBands(s, d)
+    ()
+  }
+
   private def tokens(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
 
@@ -91,14 +98,28 @@ object DedupQueries {
   }
 
   /** Shared-shingle counts for pairs from a candidate set (or all sharing
-    * pairs when `candidates` is None), plus Jaccard. */
+    * pairs when `candidates` is None), plus Jaccard.
+    *
+    * With candidates, the join is DRIVEN FROM the candidate set: expand each
+    * (d1, d2) by S(d1), then probe the shingle index on (d2, sg). Cost is
+    * Σ_candidates |S(d1)| — linear in candidate count, independent of shingle
+    * document frequency. (Round-2 verdict: the previous shape enumerated the
+    * full shared-shingle self-join `a ⋈ b ON sg` and only then semi-filtered
+    * to candidates; the semi keys straddle both legs, so Catalyst cannot push
+    * the restriction below the join and one hot shingle with df in the
+    * millions makes the verify stage quadratic at 100 TB. dd2 keeps the
+    * exhaustive shape as the declared baseline.) */
   private def jaccardPairs(s: SparkSession, sh: DataFrame,
       candidates: Option[DataFrame]): DataFrame = {
     import s.implicits._
-    val a = sh.select($"doc_id".as("d1"), $"sg")
-    val b = sh.select($"doc_id".as("d2"), $"sg")
-    val shared0 = a.join(b, "sg").filter($"d1" < $"d2")
-    val shared = candidates.fold(shared0)(c => shared0.join(c, Seq("d1", "d2"), "left_semi"))
+    val shared = candidates.fold {
+      val a = sh.select($"doc_id".as("d1"), $"sg")
+      val b = sh.select($"doc_id".as("d2"), $"sg")
+      a.join(b, "sg").filter($"d1" < $"d2")
+    } { c =>
+      c.join(sh.select($"doc_id".as("d1"), $"sg"), "d1")
+        .join(sh.select($"doc_id".as("d2"), $"sg"), Seq("d2", "sg"))
+    }
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("shared"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     shared

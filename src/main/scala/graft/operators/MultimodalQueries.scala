@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exact.{dsum, sqlSum}
 import graft.multimodal.MultimodalPipeline
 
 /** Declared, oracle-checked query over the multimodal pipeline (SURVEY.md §7
@@ -15,9 +16,12 @@ import graft.multimodal.MultimodalPipeline
 object MultimodalQueries {
 
   private val Stride = 2
+  private val TargetW = 64
+  private val TargetH = 64
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm1_decode_stats" -> mm1)
+    "mm1_decode_stats" -> mm1,
+    "mm2_resize_features" -> mm2)
 
   /** mm1: per-modality decode statistics — asset/frame counts and mean
     * decoded dimensions after frame-sampling every 2nd frame. */
@@ -33,6 +37,31 @@ object MultimodalQueries {
         count(lit(1)).as("n_frames"),
         (sum($"width").cast("double") / count(lit(1))).as("avg_width"),
         (sum($"height").cast("double") / count(lit(1))).as("avg_height"))
+      .orderBy($"modality")
+  }
+
+  /** mm2: resize + feature-extraction statistics — decoded frames resized to
+    * a fixed target, per-modality decimal-exact sum and min/max over every
+    * scaled feature element. Exercises the full decode → resize path as a
+    * declared, oracle-checked query (round-2 verdict item 6): `resize`
+    * rescales each float32 feature by `targetW·targetH / (w·h)` in float32,
+    * and DuckDB's REAL arithmetic is true float32 (verified bit-identical),
+    * so the oracle reproduces the exact feature bits. */
+  private def mm2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = MultimodalPipeline.syntheticAssets(s, d)
+    val resized = MultimodalPipeline.resize(
+      MultimodalPipeline.decode(assets, stride = Stride), TargetW, TargetH)
+    resized.toDF()
+      .join(assets.toDF().select($"assetId", $"modality"), "assetId")
+      .select($"modality", $"assetId", $"frameIdx", explode($"features").as("f"))
+      .groupBy($"modality")
+      .agg(
+        countDistinct($"assetId" * 100 + $"frameIdx").as("n_frames"),
+        count(lit(1)).as("n_vals"),
+        dsum($"f".cast("double")).as("feat_sum"),
+        min($"f").cast("double").as("feat_min"),
+        max($"f").cast("double").as("feat_max"))
       .orderBy($"modality")
   }
 
@@ -73,5 +102,57 @@ object MultimodalQueries {
          |       CAST(COUNT(*) AS BIGINT) AS n_frames,
          |       CAST(SUM(w) AS DOUBLE) / COUNT(*) AS avg_width,
          |       CAST(SUM(h) AS DOUBLE) / COUNT(*) AS avg_height
-         |FROM dims GROUP BY modality ORDER BY modality""".stripMargin)
+         |FROM dims GROUP BY modality ORDER BY modality""".stripMargin,
+    // mm2: same decode reconstruction, plus the 16 feature bytes
+    // (feature[i] = (byte_i - 128)/128, exact binary fractions) scaled in
+    // REAL (true float32) by 64·64/(w·h) — bit-identical to
+    // MultimodalPipeline.resize's float math.
+    "mm2_resize_features" ->
+      s"""WITH assets AS (
+         |  SELECT doc_id AS asset_id,
+         |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |         text, n_chars
+         |  FROM documents
+         |),
+         |fr AS (
+         |  SELECT asset_id, modality, text,
+         |         unnest(CASE WHEN modality = 'video'
+         |                THEN generate_series(0, CAST(n_chars % 10 AS INTEGER) + 1, $Stride)
+         |                ELSE [CAST(0 AS BIGINT)] END) AS fi
+         |  FROM assets
+         |),
+         |dec AS (
+         |  SELECT asset_id, modality, fi,
+         |         md5(text || '#' || CAST(fi AS VARCHAR)) AS hx
+         |  FROM fr
+         |),
+         |dims AS (
+         |  SELECT asset_id, modality, fi, hx,
+         |         16 + ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+         |             + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1)) % 128 AS w,
+         |         16 + ((strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+         |             + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 128 AS h
+         |  FROM dec
+         |),
+         |feats AS (
+         |  SELECT asset_id, modality, fi, w, h,
+         |         CAST(((strpos('0123456789abcdef', substring(hx, 2 * i + 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substring(hx, 2 * i + 2, 1)) - 1 - 128)
+         |           AS DOUBLE) / 128 AS f0
+         |  FROM dims, (SELECT unnest(generate_series(0, 15)) AS i) ii
+         |),
+         |scaled AS (
+         |  SELECT asset_id, modality, fi,
+         |         CAST(f0 AS REAL) *
+         |           ((CAST($TargetW AS REAL) * CAST($TargetH AS REAL)) /
+         |            (CAST(w AS REAL) * CAST(h AS REAL))) AS fs
+         |  FROM feats
+         |)
+         |SELECT modality,
+         |       CAST(COUNT(DISTINCT asset_id * 100 + fi) AS BIGINT) AS n_frames,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vals,
+         |       ${sqlSum("CAST(fs AS DOUBLE)")} AS feat_sum,
+         |       CAST(MIN(fs) AS DOUBLE) AS feat_min,
+         |       CAST(MAX(fs) AS DOUBLE) AS feat_max
+         |FROM scaled GROUP BY modality ORDER BY modality""".stripMargin)
 }

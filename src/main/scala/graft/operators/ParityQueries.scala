@@ -65,12 +65,18 @@ object ParityQueries {
       col("frame_id") === frameId)
   }
 
-  /** C1/QUERY1: frames of a fixed (year, month, day, hour-range) window,
-    * ordered — the timeline-tree descent is partition/predicate pruning. */
+  /** C1/QUERY1: frames of the 9–12h window on the busiest (year, month, day)
+    * probe date, ordered — the timeline-tree descent is partition/predicate
+    * pruning. The date anchor is data-derived (GraphProbes), unlike the
+    * reference's hard-coded 2009-07-01 (`cypher_query_timing.py:120`), so the
+    * scan stays non-degenerate on any corpus span; the frame grid is dense
+    * (B4), so an in-span date always yields rows. */
   private def c01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    GraphCache(s, d).frames
-      .filter($"year" === 2024 && $"month" === 1 && $"day" === 15 && $"hour".between(9, 12))
+    val g = GraphCache(s, d)
+    g.frames
+      .filter($"year" === g.probes.py && $"month" === g.probes.pm &&
+        $"day" === g.probes.pdd && $"hour".between(9, 12))
       .select($"frame_id", $"ts_start", $"hour")
       .orderBy($"ts_start")
   }
@@ -327,8 +333,8 @@ object ParityQueries {
 
     Map(
       "c01_frame_range_scan" -> q(
-        """SELECT frame_id, ts_start, hour FROM frames
-          |WHERE year = 2024 AND month = 1 AND day = 15 AND hour BETWEEN 9 AND 12
+        """SELECT frame_id, ts_start, hour FROM frames, probe_date
+          |WHERE year = py AND month = pm AND day = pdd AND hour BETWEEN 9 AND 12
           |ORDER BY ts_start""".stripMargin),
       "c02_snapshot_actors" -> q(
         """SELECT a.name FROM fa

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.{davg, dsum, sqlAvg, sqlSum}
+import graft.functions.Exact.{davg, dec10, dsum, sqlAvg, sqlSum}
 import graft.sources.Tables
 
 /** Relational query surface (SURVEY.md §2.G): scans, filters/projections,
@@ -118,7 +118,7 @@ object RelationalQueries {
     Tables.orders(s, d)
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("run_sum",
-        sum($"o_totalprice".cast("decimal(28,10)")).over(
+        sum(dec10($"o_totalprice")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
       .filter($"rk" <= 3)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk", $"run_sum")

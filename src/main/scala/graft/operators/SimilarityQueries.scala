@@ -57,6 +57,15 @@ object SimilarityQueries {
     "ss3_embed_neardup" -> ss3,
     "ss4_ivf_topk" -> ss4)
 
+  /** Force at-rest index materialization + the one-row probe lookup
+    * (ingest-time cost, untimed in Bench). */
+  def warm(s: SparkSession, d: String): Unit = {
+    index(s, d)
+    ivfIndex(s, d)
+    probeRow(s, d)
+    ()
+  }
+
   /** ss1: brute-force cosine top-k for the probe vector (min vec_id) — the
     * exactness baseline over the raw table, one codegen'd cosine per row. */
   private def ss1(s: SparkSession, d: String): DataFrame = {

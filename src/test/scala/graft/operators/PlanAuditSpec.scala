@@ -55,6 +55,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("dd3 verify stage is candidate-driven — no shingle-only self-join") {
+    // the quadratic shape is a join keyed solely on the shingle column
+    // (a ⋈ b ON sg): Σ df² pairs before any candidate restriction. dd3's
+    // verify must key its joins on candidate doc ids instead; dd2 keeps the
+    // exhaustive shape as the declared baseline (positive control below).
+    val sgOnlyJoin = """Join \[sg#\d+\], \[sg#\d+\]""".r
+    val p3 = plan(DedupQueries.queries("dd3_minhash_lsh")(spark, dir))
+    assert(sgOnlyJoin.findFirstIn(p3).isEmpty,
+      s"dd3 must not contain a shingle-only self-join:\n${p3.take(2000)}")
+    val p2 = plan(DedupQueries.queries("dd2_ngram_jaccard")(spark, dir))
+    assert(sgOnlyJoin.findFirstIn(p2).isDefined,
+      "positive control: dd2's exhaustive baseline should contain the sg-keyed join " +
+        "(if this fails the pattern no longer matches plan syntax)")
+  }
+
   test("c04 aggregation is partial+final hash agg over the at-rest scan") {
     val p = plan(ParityQueries.queries("c04_actor_activity")(spark, dir))
     assert(p.contains("HashAggregate"), p.take(1500))
