@@ -17,6 +17,17 @@ object DerivedCache {
 
   private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Base directory for every at-rest graft cache (graph tables, probes,
+    * index tables): `spark.graft.cache.dir` session conf, else the
+    * `GRAFT_CACHE_DIR` environment variable, else `target/graft-cache`
+    * relative to the working directory. As a library, point this at a
+    * durable shared location (e.g. a warehouse path) so ingest-time index
+    * builds are written once per corpus, not once per checkout. */
+  def baseDir(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.cache.dir")
+      .orElse(sys.env.get("GRAFT_CACHE_DIR"))
+      .getOrElse("target/graft-cache")
+
   /** Collision-free cache directory for a source dir: readable sanitized name
     * + an md5 discriminator (distinct dirs can sanitize identically). The
     * source data itself is immutable by contract (TESTDATA.md); regenerating
@@ -39,7 +50,7 @@ object DerivedCache {
   def table(spark: SparkSession, dir: String, name: String, version: Int)
       (build: => DataFrame): DataFrame = synchronized {
     evictStopped(memo)
-    val path = s"target/graft-cache/${dirKey(dir)}/${name}_v$version"
+    val path = s"${baseDir(spark)}/${dirKey(dir)}/${name}_v$version"
     memo.getOrElseUpdate((spark, path), {
       val marker = Paths.get(s"$path/_GRAFT_DONE")
       if (!Files.exists(marker)) {

@@ -80,11 +80,11 @@ object GraphCache {
     memo.getOrElseUpdate((spark, dir, delta), load(spark, dir, delta))
   }
 
-  private def cachePath(dir: String, delta: Long): String =
-    s"target/graft-cache/${DerivedCache.dirKey(dir)}_d${delta}_v$Version"
+  private def cachePath(spark: SparkSession, dir: String, delta: Long): String =
+    s"${DerivedCache.baseDir(spark)}/${DerivedCache.dirKey(dir)}_d${delta}_v$Version"
 
   private def load(spark: SparkSession, dir: String, delta: Long): MaterializedGraph = {
-    val path = cachePath(dir, delta)
+    val path = cachePath(spark, dir, delta)
     val marker = Paths.get(s"$path/_GRAFT_DONE")
     if (!Files.exists(marker)) {
       build(spark, dir, delta, path)

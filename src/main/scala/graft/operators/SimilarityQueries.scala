@@ -47,9 +47,18 @@ object SimilarityQueries {
   private val BandWidth = 8
   private val NBands = Planes / BandWidth
 
-  /** IVF coarse cells / probed cells per query. */
-  private val Cells = 16
-  private val NProbe = 4
+  /** IVF coarse cells / probed cells per query — session-configurable
+    * (`spark.graft.ivf.cells` / `spark.graft.ivf.nprobe`): real corpora want
+    * cells ≈ √n with nProbe tuned for the recall/latency target, while the
+    * DECLARED query (and its static oracle) runs at the defaults. The cell
+    * count is part of the at-rest index path ([[ivfIndex]]), so different
+    * settings never read each other's layouts. */
+  private val DefaultCells = 16
+  private val DefaultNProbe = 4
+  private def cells(s: SparkSession): Int =
+    s.conf.get("spark.graft.ivf.cells", DefaultCells.toString).toInt
+  private def nProbe(s: SparkSession): Int =
+    s.conf.get("spark.graft.ivf.nprobe", DefaultNProbe.toString).toInt
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss1_cosine_topk" -> ss1,
@@ -159,16 +168,24 @@ object SimilarityQueries {
 
   /** At-rest IVF cell assignment (vec_id, cid): each vector belongs to its
     * highest-cosine coarse centroid (ties → lowest cid). Centroids are the
-    * `Cells` lowest-id vectors — a FIXED, deterministic coarse quantizer so
-    * the oracle reproduces the identical partition; swapping in k-means
-    * centroids changes only this table's build, not the query shape. This is
-    * the inverted-file layout: at 100 TB the corpus is bucketed by cell and a
-    * query scans nProbe/Cells of it. */
-  private def ivfIndex(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "emb_ivf", 1) {
+    * `cells` lowest-id vectors — a FIXED, deterministic coarse quantizer so
+    * the oracle reproduces the identical partition. This is the inverted-file
+    * layout: at 100 TB the corpus is bucketed by cell and a query scans
+    * nProbe/cells of it.
+    *
+    * K-MEANS SWAP-IN POINT: replace `cents` below with trained centroids and
+    * bump `IvfVersion` — the version is part of the at-rest path, so stale
+    * deterministic-quantizer layouts become unreachable and every reader
+    * re-materializes under the new quantizer. Nothing else (probe-cell
+    * ranking, semi-join shape, oracle contract for the default build)
+    * changes. */
+  private val IvfVersion = 1
+  private def ivfIndex(s: SparkSession, d: String): DataFrame = {
+    val nc = cells(s)
+    DerivedCache.table(s, d, s"emb_ivf_c$nc", IvfVersion) {
       import s.implicits._
       val e = Tables.embeddings(s, d)
-      val cents = e.orderBy($"vec_id").limit(Cells)
+      val cents = e.orderBy($"vec_id").limit(nc)
         .select($"vec_id".as("cid"), $"embedding".as("cemb"))
       e.repartition($"vec_id")
         .crossJoin(broadcast(cents))
@@ -179,6 +196,7 @@ object SimilarityQueries {
         .filter($"rn" === 1)
         .select($"vec_id", $"cid")
     }
+  }
 
   /** ss4: IVF ANN top-k — rank the probe's nProbe closest cells, exact
     * cosine only over vectors assigned to those cells. The multi-cell OR is
@@ -192,11 +210,11 @@ object SimilarityQueries {
     val pid = p.getLong(0)
     val pemb = p.getSeq[Float](1)
     val psqrtN = math.sqrt(p.getDouble(2))
-    val cents = Tables.embeddings(s, d).orderBy($"vec_id").limit(Cells)
+    val cents = Tables.embeddings(s, d).orderBy($"vec_id").limit(cells(s))
       .select($"vec_id".as("cid"), $"embedding".as("cemb"))
     val probeCells = cents
       .select($"cid", cosineExact($"cemb", typedlit(pemb)).as("ccos"))
-      .orderBy(desc("ccos"), $"cid").limit(NProbe)
+      .orderBy(desc("ccos"), $"cid").limit(nProbe(s))
       .collect().map(_.getLong(0))
     idx.join(ivf.filter($"cid".isin(probeCells: _*)), Seq("vec_id"), "left_semi")
       .filter($"vec_id" =!= pid)
@@ -274,7 +292,7 @@ object SimilarityQueries {
          |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
     "ss4_ivf_topk" ->
       s"""WITH $evSql,
-         |cents AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT $Cells),
+         |cents AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT $DefaultCells),
          |cev AS (SELECT cid, pos, e AS ce FROM ev JOIN cents ON ev.vec_id = cid),
          |ccos AS (
          |  SELECT ev.vec_id, cev.cid,
@@ -293,7 +311,7 @@ object SimilarityQueries {
          |probe AS (SELECT min(vec_id) AS pid FROM embeddings),
          |pcells AS (
          |  SELECT cid FROM ccos, probe WHERE vec_id = pid
-         |  ORDER BY ccos DESC, cid LIMIT $NProbe
+         |  ORDER BY ccos DESC, cid LIMIT $DefaultNProbe
          |),
          |pv AS (SELECT pos, e AS pe FROM ev, probe WHERE vec_id = pid),
          |cos AS (

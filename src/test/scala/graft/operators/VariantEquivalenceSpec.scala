@@ -44,6 +44,20 @@ class VariantEquivalenceSpec extends SparkSpec {
       s"LSH found pairs the exhaustive join missed: ${lsh.diff(exhaustive)}")
   }
 
+  test("ss4 IVF top-k recall vs the ss1 exact baseline is >= 0.8") {
+    // nProbe=4 of 16 cells must still find most of the true top-20. (No
+    // analogous bound for ss2: hyperplane-LSH banding guarantees recall only
+    // in the high-cosine regime, and this corpus plants no near-dups — max
+    // pairwise cosine ≈ 0.51 — so ss2's candidates are by design the bucket
+    // tail, oracle-checked for exactness rather than recall.)
+    def ids(name: String): Set[Long] =
+      SimilarityQueries.queries(name)(spark, dir).collect().map(_.getLong(0)).toSet
+    val exact = ids("ss1_cosine_topk")
+    val ivf = ids("ss4_ivf_topk")
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ss4 recall too low: $recall")
+  }
+
   test("ss3 candidates respect the threshold and canonical pair order") {
     val rows = SimilarityQueries.queries("ss3_embed_neardup")(spark, dir).collect()
     assert(rows.nonEmpty)
