@@ -56,6 +56,13 @@ class VariantEquivalenceSpec extends SparkSpec {
     val ivf = ids("ss4_ivf_topk")
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"ss4 recall too low: $recall")
+    // trained quantizer (ss5): on THIS corpus (isotropic synthetic vectors,
+    // no cluster structure) k-means mainly balances cell sizes, so recall
+    // sits near ss4's — the win appears on clustered real corpora. Floor set
+    // below the observed 0.8 at both sfs.
+    val km = ids("ss5_ivf_kmeans")
+    val kmRecall = km.intersect(exact).size.toDouble / exact.size
+    assert(kmRecall >= 0.7, s"ss5 recall too low: $kmRecall")
   }
 
   test("ss3 candidates respect the threshold and canonical pair order") {
