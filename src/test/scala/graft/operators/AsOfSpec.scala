@@ -1,0 +1,48 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Unit semantics of the backward as-of join: at-or-before matching,
+  * same-timestamp inclusion, deterministic tie-break, null on no-match —
+  * plus the plan property the operator exists for (no Join node: one
+  * window pass, one shuffle). */
+class AsOfSpec extends SparkSpec {
+
+  private def t(s: Long) = new Timestamp(s * 1000L)
+
+  test("at-or-before, same-ts match, greatest-id tie-break, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, t(100), 5.0), // view at exactly ts 100 matches
+      (2L, 10L, t(50), 6.0), // latest earlier view (ts 40)
+      (3L, 10L, t(10), 7.0), // nothing at-or-before → null
+      (4L, 11L, t(500), 8.0)) // two views tie at ts 400 → greatest id
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (20L, 10L, t(40)),
+      (21L, 10L, t(100)),
+      (30L, 11L, t(400)),
+      (31L, 11L, t(400)))
+      .toDF("event_id", "user_id", "ts")
+
+    val out = AsOf.joinBackward(left, right, Seq("user_id"), "ts", "event_id",
+      Seq("event_id"))
+    val got = out.collect()
+      .map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got === Map(
+      1L -> Some(21L),
+      2L -> Some(20L),
+      3L -> None,
+      4L -> Some(31L)))
+  }
+
+  test("plan is join-free: union + single window, no range-join explosion") {
+    val p = AsOfQueries.queries("a01_asof_attribution")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of must compile to union+window, got:\n${p.take(1500)}")
+    assert(p.contains("Window"), p.take(1500))
+  }
+}
