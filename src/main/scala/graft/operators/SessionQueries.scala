@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.build.{EventGraphSql, GraphCache}
+import graft.sources.Tables
+
+/** Sessionization + interval-join queries over `events` — the remaining
+  * temporal primitives a training-data pipeline needs beside [[AsOf]].
+  *
+  *  - a02: inactivity-gap sessionization. The classic formulation: one
+  *    window pass per user computes gap-to-previous, a cumulative sum of
+  *    gap flags numbers the sessions, then a hash agg rolls sessions up.
+  *    One shuffle on user_id, no self-join — at 100 TB this is the only
+  *    shape that survives (a ts-range self-join is quadratic per user).
+  *  - a03: interval × grid join. Sessions are time INTERVALS; joining them
+  *    to frame-scoped state (who else was active during my session) is a
+  *    range join. The scale-correct Spark formulation buckets the interval
+  *    onto the Δ-grid (explode the covered frame_ids — bounded by
+  *    duration/Δ, never by data volume) and equi-joins on frame_id, so the
+  *    shuffle is keyed and the range predicate never becomes a
+  *    nested-loop/cartesian plan.
+  */
+object SessionQueries {
+
+  /** Inactivity gap closing a session, seconds. */
+  private val GapSec = 1800L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a02_sessionize" -> a02,
+    "a03_session_copresence" -> a03)
+
+  /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
+    * dur_sec). Session breaks when the gap to the previous event exceeds
+    * [[GapSec]]. */
+  private def sessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > GapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_s").over(cum))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("ts_start"),
+        max($"ts").as("ts_end"))
+      .withColumn("dur_sec", unix_timestamp($"ts_end") - unix_timestamp($"ts_start"))
+  }
+
+  private def a02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sessions(s, d)
+      .select($"user_id", $"session_id", $"n_events", $"ts_start", $"ts_end", $"dur_sec")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  /** For each session, how many OTHER actors were present in frames the
+    * session overlaps — the interval join, grid-bucketed: session →
+    * covered frame_ids (sequence explode) → equi-join on the frame_actors
+    * membership table. */
+  private def a03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = GraphCache(s, d)
+    val t0 = g.probes.t0
+    val delta = g.delta
+    sessions(s, d)
+      .withColumn("f0", expr(s"(unix_timestamp(ts_start) - $t0) div $delta"))
+      .withColumn("f1", expr(s"(unix_timestamp(ts_end) - $t0) div $delta"))
+      .select($"user_id", $"session_id",
+        explode(sequence($"f0", $"f1")).as("frame_id"))
+      .join(g.frameActors.select($"frame_id", $"actor_id"), "frame_id")
+      .filter($"actor_id" =!= $"user_id")
+      .groupBy($"user_id", $"session_id")
+      .agg(countDistinct($"actor_id").as("n_copresent"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  // ---------------------------------------------------------------- oracle --
+
+  private val sessionsSql =
+    s"""sess AS (
+       |  SELECT user_id, session_id,
+       |         COUNT(*) AS n_events,
+       |         MIN(ts) AS ts_start,
+       |         MAX(ts) AS ts_end
+       |  FROM (
+       |    SELECT user_id, ts, event_id,
+       |           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |             AS session_id
+       |    FROM (
+       |      SELECT user_id, ts, event_id,
+       |             CASE WHEN prev_ts IS NULL
+       |                    OR date_diff('second', prev_ts, ts) > $GapSec
+       |                  THEN 1 ELSE 0 END AS new_s
+       |      FROM (
+       |        SELECT user_id, ts, event_id,
+       |               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |        FROM events) t1) t2) t3
+       |  GROUP BY user_id, session_id
+       |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "a02_sessionize" ->
+      s"""WITH $sessionsSql
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |       CAST(n_events AS BIGINT) AS n_events, ts_start, ts_end,
+         |       date_diff('second', ts_start, ts_end) AS dur_sec
+         |FROM sess ORDER BY user_id, session_id""".stripMargin,
+    "a03_session_copresence" -> EventGraphSql.query(
+      s""", $sessionsSql,
+         |sf AS (
+         |  SELECT s.user_id, s.session_id,
+         |         unnest(generate_series(
+         |           (CAST(floor(epoch(s.ts_start)) AS BIGINT) - b.t0) // ${EventGraphSql.delta},
+         |           (CAST(floor(epoch(s.ts_end)) AS BIGINT) - b.t0) // ${EventGraphSql.delta}))
+         |           AS frame_id
+         |  FROM sess s, b
+         |)
+         |SELECT sf.user_id, CAST(sf.session_id AS BIGINT) AS session_id,
+         |       CAST(COUNT(DISTINCT fa.actor_id) AS BIGINT) AS n_copresent
+         |FROM sf JOIN fa USING (frame_id)
+         |WHERE fa.actor_id <> sf.user_id
+         |GROUP BY sf.user_id, sf.session_id
+         |ORDER BY sf.user_id, sf.session_id""".stripMargin))
+}

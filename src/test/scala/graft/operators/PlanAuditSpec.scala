@@ -70,6 +70,12 @@ class PlanAuditSpec extends SparkSpec {
         "(if this fails the pattern no longer matches plan syntax)")
   }
 
+  test("a03 interval join is grid-bucketed — equi-join, never a nested-loop range join") {
+    val p = plan(SessionQueries.queries("a03_session_copresence")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"session×frame overlap must equi-join on the grid bucket:\n${p.take(1500)}")
+  }
+
   test("c04 aggregation is partial+final hash agg over the at-rest scan") {
     val p = plan(ParityQueries.queries("c04_actor_activity")(spark, dir))
     assert(p.contains("HashAggregate"), p.take(1500))
