@@ -71,11 +71,21 @@ object SessionQueries {
     val g = GraphCache(s, d)
     val t0 = g.probes.t0
     val delta = g.delta
+    // Explicit-width repartition on the join key AFTER the explode: the
+    // session rows are tiny pre-join, so AQE's size-based coalescing would
+    // shrink this stage to ~1 partition — and then the row-EXPANDING
+    // membership join plus the distinct aggregate (≈ |actors-per-frame| ×
+    // sessions rows) would run nearly single-threaded (measured 12–22 s vs
+    // ~3 s at sf0.1). The explicit partition count opts this one exchange
+    // out of coalescing; frame_id is also exactly the co-location key the
+    // join needs at 100 TB once frame_actors is too big to broadcast.
+    val fanout = s.conf.get("spark.sql.shuffle.partitions").toInt
     sessions(s, d)
       .withColumn("f0", expr(s"(unix_timestamp(ts_start) - $t0) div $delta"))
       .withColumn("f1", expr(s"(unix_timestamp(ts_end) - $t0) div $delta"))
       .select($"user_id", $"session_id",
         explode(sequence($"f0", $"f1")).as("frame_id"))
+      .repartition(fanout, $"frame_id")
       .join(g.frameActors.select($"frame_id", $"actor_id"), "frame_id")
       .filter($"actor_id" =!= $"user_id")
       .groupBy($"user_id", $"session_id")
