@@ -35,7 +35,8 @@ object RelationalQueries {
     "q09_string_date_funcs" -> q09,
     "q10_json_events" -> q10,
     "q11_rollup" -> q11,
-    "q12_corr_exists" -> q12)
+    "q12_corr_exists" -> q12,
+    "q13_percentiles" -> q13)
 
   /** TPC-H Q1-style pricing summary: wide partial+final hash agg over the fact
     * table, no joins, filter pushed to parquet. */
@@ -123,6 +124,24 @@ object RelationalQueries {
       .filter($"rk" <= 3)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk", $"run_sum")
       .orderBy($"o_custkey", $"rk")
+  }
+
+  /** Exact percentiles (sort-based, linearly interpolated) of order value
+    * per market segment — the analytics op approximate sketches replace at
+    * scale; declared exact here because the oracle must hash-match
+    * (Spark `percentile` and DuckDB `quantile_cont` share the
+    * (n-1)·q interpolation). At 100 TB you'd reach for approx_percentile
+    * (t-digest) instead; the exact version is the correctness anchor. */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        percentile($"o_totalprice", lit(0.5)).as("p50"),
+        percentile($"o_totalprice", lit(0.95)).as("p95"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
   }
 
   /** Set ops: nations having customers INTERSECT / EXCEPT nations having
@@ -311,5 +330,12 @@ object RelationalQueries {
         |JOIN (SELECT l_partkey, MAX(l_quantity) AS max_qty, COUNT(*) AS n_big
         |      FROM lineitem WHERE l_quantity > 45.0 GROUP BY l_partkey) b
         |  ON p_partkey = l_partkey
-        |ORDER BY p_partkey""".stripMargin)
+        |ORDER BY p_partkey""".stripMargin,
+    "q13_percentiles" ->
+      """SELECT c_mktsegment,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.95) AS p95,
+        |       COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 }
