@@ -39,5 +39,6 @@ object SparkEntry {
     graft.build.GraphCache(spark, dir)
     DedupQueries.warm(spark, dir)
     SimilarityQueries.warm(spark, dir)
+    SessionQueries.warm(spark, dir)
   }
 }
