@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Differential + invariant tests for the temporal operators, on real
+  * driver data — the engine-side analog of the oracle checks. */
+class TemporalOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("as-of join == naive range-join + argmax (differential)") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_id"))
+    // the formulation AsOf exists to avoid: expand all (purchase, earlier
+    // view) pairs, keep the argmax — O(|P|·|V|) per user, fine at sf0.001
+    val naive = p.join(v, $"user_id" === $"v_user" && $"v_ts" <= $"ts", "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_id").orderBy(desc("v_ts"), desc("v_id"))))
+      .filter($"rn" === 1)
+      .select($"event_id", $"v_id")
+    val fast = AsOfQueries.queries("a01_asof_attribution")(spark, dir)
+      .select($"event_id", $"view_event_id")
+    val n = naive.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val f = fast.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(f === n, "window formulation must equal the naive range-join argmax")
+    assert(f.nonEmpty && f.values.exists(_.isDefined) && f.values.exists(_.isEmpty),
+      "fixture should exercise both matched and unmatched purchases")
+  }
+
+  test("sessionization invariants: partition, ordering, gap separation") {
+    import spark.implicits._
+    val gap = 1800L
+    val sess = SessionQueries.queries("a02_sessionize")(spark, dir).collect()
+    val byUser = sess.groupBy(_.getLong(0))
+    // session ids are 1..k consecutive per user
+    byUser.foreach { case (u, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (1L to ids.length).toSeq, s"user $u ids: ${ids.toSeq}")
+      val ordered = rows.sortBy(_.getLong(1))
+      ordered.foreach { r =>
+        assert(!r.getTimestamp(4).before(r.getTimestamp(3)), "ts_end >= ts_start")
+        // dur_sec is a floor-second difference (unix_timestamp /
+        // date_diff('second') semantics), not a millisecond delta
+        assert(r.getLong(5) ==
+          Math.floorDiv(r.getTimestamp(4).getTime, 1000L) -
+            Math.floorDiv(r.getTimestamp(3).getTime, 1000L))
+      }
+      // consecutive sessions separated by MORE than the gap
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val sep = Math.floorDiv(b.getTimestamp(3).getTime, 1000L) -
+            Math.floorDiv(a.getTimestamp(4).getTime, 1000L)
+          assert(sep > gap, s"user $u sessions ${a.getLong(1)}/${b.getLong(1)} separated by $sep s")
+        case _ =>
+      }
+    }
+    // every event lands in exactly one session
+    val nEvents = graft.sources.Tables.events(spark, dir).count()
+    assert(sess.map(_.getLong(2)).sum == nEvents, "n_events must partition the stream")
+  }
+}
