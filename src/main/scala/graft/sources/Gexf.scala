@@ -58,4 +58,66 @@ object Gexf {
     }
     out.toSeq
   }
+
+  /** Dynamic-GEXF writer — the reader's inverse, closing the round-trip for
+    * users whose corpora live as GEXF (the reference's native input). Same
+    * dialect the reader validates: 1.2draft, `mode="dynamic"`,
+    * `timeformat="integer"`, spells on nodes and edges. Driver-side like the
+    * reader (GEXF files are metadata-sized); entities and spells are emitted
+    * in sorted order so output is byte-deterministic. */
+  def writeSpells(spark: SparkSession, spells: Dataset[Spell], path: String): Unit =
+    writeSpells(spells.collect().toSeq, new java.io.File(path))
+
+  def writeSpells(spells: Seq[Spell], file: java.io.File): Unit = {
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().newDocument()
+    val gexf = doc.createElement("gexf")
+    gexf.setAttribute("xmlns", "http://www.gexf.net/1.2draft")
+    gexf.setAttribute("version", "1.2")
+    doc.appendChild(gexf)
+    val graph = doc.createElement("graph")
+    graph.setAttribute("mode", "dynamic")
+    graph.setAttribute("timeformat", "integer")
+    graph.setAttribute("defaultedgetype", "undirected")
+    gexf.appendChild(graph)
+
+    def spellList(parent: Element, ss: Seq[(Long, Long)]): Unit = {
+      val wrap = doc.createElement("spells")
+      ss.sorted.foreach { case (t1, t2) =>
+        val sp = doc.createElement("spell")
+        sp.setAttribute("start", t1.toString)
+        sp.setAttribute("end", t2.toString)
+        wrap.appendChild(sp)
+      }
+      parent.appendChild(wrap)
+    }
+
+    val nodesEl = doc.createElement("nodes")
+    spells.filter(_.kind == "node").groupBy(_.src).toSeq.sortBy(_._1)
+      .foreach { case (id, ss) =>
+        val n = doc.createElement("node")
+        n.setAttribute("id", id.toString)
+        n.setAttribute("label", id.toString)
+        spellList(n, ss.map(s => (s.t1, s.t2)))
+        nodesEl.appendChild(n)
+      }
+    graph.appendChild(nodesEl)
+
+    val edgesEl = doc.createElement("edges")
+    spells.filter(_.kind == "edge").groupBy(s => (s.src, s.dst.get)).toSeq.sortBy(_._1)
+      .zipWithIndex.foreach { case (((src, dst), ss), i) =>
+        val e = doc.createElement("edge")
+        e.setAttribute("id", i.toString)
+        e.setAttribute("source", src.toString)
+        e.setAttribute("target", dst.toString)
+        spellList(e, ss.map(s => (s.t1, s.t2)))
+        edgesEl.appendChild(e)
+      }
+    graph.appendChild(edgesEl)
+
+    val tf = javax.xml.transform.TransformerFactory.newInstance().newTransformer()
+    tf.setOutputProperty(javax.xml.transform.OutputKeys.INDENT, "yes")
+    tf.transform(new javax.xml.transform.dom.DOMSource(doc),
+      new javax.xml.transform.stream.StreamResult(file))
+  }
 }

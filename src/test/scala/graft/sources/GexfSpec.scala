@@ -51,4 +51,22 @@ class GexfSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("integer"))
   }
+
+  test("write → parse round-trips the spell set (and re-validates)") {
+    import graft.model.Spell
+    val spells = Seq(
+      Spell("node", 7L, None, 10L, 30L),
+      Spell("node", 9L, None, 5L, 40L),
+      Spell("edge", 7L, Some(9L), 12L, 20L),
+      Spell("edge", 7L, Some(9L), 25L, 28L),
+      Spell("edge", 3L, Some(9L), 1L, 2L))
+    val f = Files.createTempFile("graft-gexf-rt", ".gexf").toFile
+    Gexf.writeSpells(spells, f)
+    val back = Gexf.parseSpells(f) // parse enforces dynamic/integer mode
+    assert(back.toSet == spells.toSet)
+    // byte-determinism: writing the same spells again yields identical bytes
+    val f2 = Files.createTempFile("graft-gexf-rt2", ".gexf").toFile
+    Gexf.writeSpells(spells.reverse, f2)
+    assert(Files.readString(f.toPath) == Files.readString(f2.toPath))
+  }
 }
