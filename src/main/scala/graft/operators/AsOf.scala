@@ -35,7 +35,7 @@ object AsOf {
       ts: String, tieBreak: String, payload: Seq[String]): DataFrame = {
     val pay = payload.map(c => s"asof_$c")
     val l = left.withColumn("is_left", lit(1))
-      .select((left.columns.map(col) :+ col("is_left")
+      .select((left.columns.toIndexedSeq.map(col) :+ col("is_left")
         :+ lit(null).cast(right.schema(tieBreak).dataType).as("asof_tb")) ++
         payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
     val r = right.withColumn("is_left", lit(0))
@@ -50,6 +50,6 @@ object AsOf {
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     carried.filter(col("is_left") === 1)
-      .select(left.columns.map(col) ++ pay.map(col): _*)
+      .select(left.columns.toIndexedSeq.map(col) ++ pay.map(col): _*)
   }
 }

@@ -297,7 +297,7 @@ object SimilarityQueries {
       .agg((dsum($"ce" * $"pe") /
         (sqrt(dsum($"ce" * $"ce")) * sqrt(dsum($"pe" * $"pe")))).as("ccos"))
       .orderBy(desc("ccos"), $"cid").limit(nProbe(s))
-      .collect().map(_.getLong(0))
+      .collect().toIndexedSeq.map(_.getLong(0))
     idx.join(kmAssign(s, d).filter($"cid".isin(probeCells: _*)), Seq("vec_id"), "left_semi")
       .filter($"vec_id" =!= pid)
       .select($"vec_id",
@@ -322,7 +322,7 @@ object SimilarityQueries {
     val probeCells = cents
       .select($"cid", cosineExact($"cemb", typedlit(pemb)).as("ccos"))
       .orderBy(desc("ccos"), $"cid").limit(nProbe(s))
-      .collect().map(_.getLong(0))
+      .collect().toIndexedSeq.map(_.getLong(0))
     idx.join(ivf.filter($"cid".isin(probeCells: _*)), Seq("vec_id"), "left_semi")
       .filter($"vec_id" =!= pid)
       .select($"vec_id",
