@@ -22,7 +22,8 @@ object TextQueries {
     "tx1_token_stats" -> tx1,
     "tx2_quality_score" -> tx2,
     "tx3_lang_id" -> tx3,
-    "tx4_fingerprint" -> tx4)
+    "tx4_fingerprint" -> tx4,
+    "tx5_stratified_sample" -> tx5)
 
   /** Whitespace tokens of the lowercased text (empty text → empty array). */
   private def wsTokens(c: Column): Column =
@@ -110,6 +111,24 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** tx5: deterministic hash-stratified sampling — corpus curation's
+    * reproducible subset: strata = length bands, membership decided by a
+    * hash of the STABLE KEY (doc_id), never by position or RNG, so the
+    * sample is identical on any engine, partitioning, or re-run, and
+    * documents keep/lose membership stably as the corpus grows. Rate 64/256
+    * (25%) via the first md5 byte; at 100 TB this is a pushed-down
+    * per-row filter — no shuffle at all before the final order. */
+  private def tx5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("band", expr("n_chars div 500"))
+      .withColumn("hb", expr("conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10)")
+        .cast("long"))
+      .filter($"hb" < 64)
+      .select($"doc_id", $"band", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
@@ -166,6 +185,14 @@ object TextQueries {
       "tx4_fingerprint" ->
         """SELECT source, COUNT(*) AS n_docs,
           |  COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
-          |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      // first md5 byte via 1-based hex-digit positions (same construction as
+      // the dd4/mm2 oracles)
+      "tx5_stratified_sample" ->
+        """SELECT doc_id, n_chars // 500 AS band, n_chars
+          |FROM documents
+          |WHERE (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          |    + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 < 64
+          |ORDER BY doc_id""".stripMargin)
   }
 }
