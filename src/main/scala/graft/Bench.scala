@@ -44,9 +44,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    SparkEntry.warm(spark, sfDir)
-
     val errors = mutable.LinkedHashMap.empty[String, String]
+    // warm failures must not break the output contract: queries then pay
+    // (and individually record) any remaining build cost themselves
+    try SparkEntry.warm(spark, sfDir)
+    catch {
+      case e: Throwable =>
+        errors("_warm") = e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+    }
     val stats = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()

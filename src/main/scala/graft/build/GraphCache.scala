@@ -72,12 +72,15 @@ object GraphCache {
     * v3: probes table gained the (py, pm, pdd) busiest-date anchor. */
   val Version = 3
 
-  private val memo = TrieMap.empty[(SparkSession, String, Long), MaterializedGraph]
+  // keyed on the RESOLVED cache path (not just dir+delta) so changing the
+  // configurable cache root mid-session re-materializes instead of serving
+  // the graph from the previous root
+  private val memo = TrieMap.empty[(SparkSession, String), MaterializedGraph]
 
   def apply(spark: SparkSession, dir: String,
       delta: Long = EventGraph.DeltaSeconds): MaterializedGraph = synchronized {
     memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
-    memo.getOrElseUpdate((spark, dir, delta), load(spark, dir, delta))
+    memo.getOrElseUpdate((spark, cachePath(spark, dir, delta)), load(spark, dir, delta))
   }
 
   private def cachePath(spark: SparkSession, dir: String, delta: Long): String =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * Tie semantics: a right row at exactly `left.ts` matches (right sorts
   * before left at equal ts); among equal right timestamps the greatest
   * `tieBreak` wins. With a unique tieBreak the result is fully deterministic.
+  *
+  * The payload is carried as ONE struct (null only for left rows), so the
+  * matched values are atomically from the SAME right row even when some of
+  * its payload columns are null — per-column carries would mix fields from
+  * different right rows in that case.
   */
 object AsOf {
 
@@ -33,23 +38,25 @@ object AsOf {
     */
   def joinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, tieBreak: String, payload: Seq[String]): DataFrame = {
-    val pay = payload.map(c => s"asof_$c")
     val l = left.withColumn("is_left", lit(1))
-      .select((left.columns.toIndexedSeq.map(col) :+ col("is_left")
-        :+ lit(null).cast(right.schema(tieBreak).dataType).as("asof_tb")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+      .withColumn("asof_tb", lit(null).cast(right.schema(tieBreak).dataType))
+      .withColumn("asof_row",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payload.map(c => right.schema(c).copy(name = c, nullable = true)))))
     val r = right.withColumn("is_left", lit(0))
+      .withColumn("asof_tb", col(tieBreak))
+      // one atomic struct per right row: non-null iff the row exists, even
+      // when individual payload fields are null
+      .withColumn("asof_row", struct(payload.map(col): _*))
       .select((keys.map(col) :+ col(ts) :+ col("is_left")
-        :+ col(tieBreak).as("asof_tb")) ++
-        payload.map(c => col(c).as(s"asof_$c")): _*)
+        :+ col("asof_tb") :+ col("asof_row")): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(ts).asc, col("is_left").asc, col("asof_tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = pay.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("is_left") === 1)
-      .select(left.columns.toIndexedSeq.map(col) ++ pay.map(col): _*)
+    u.withColumn("asof_row", last(col("asof_row"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        payload.map(c => col(s"asof_row.$c").as(s"asof_$c")): _*)
   }
 }

@@ -117,7 +117,11 @@ object DedupQueries {
       val b = sh.select($"doc_id".as("d2"), $"sg")
       a.join(b, "sg").filter($"d1" < $"d2")
     } { c =>
-      c.join(sh.select($"doc_id".as("d1"), $"sg"), "d1")
+      // dedup HERE, not at call sites: a duplicate (d1, d2) candidate (e.g.
+      // a pair colliding in several LSH bands) would multiply the shared
+      // count and inflate Jaccard past its true value
+      c.select($"d1", $"d2").distinct()
+        .join(sh.select($"doc_id".as("d1"), $"sg"), "d1")
         .join(sh.select($"doc_id".as("d2"), $"sg"), Seq("d2", "sg"))
     }
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("shared"))
@@ -145,7 +149,7 @@ object DedupQueries {
     val candidates = bands.select($"doc_id".as("d1"), $"band", $"bh")
       .join(bands.select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
       .filter($"d1" < $"d2")
-      .select($"d1", $"d2").distinct()
+      .select($"d1", $"d2")
     jaccardPairs(s, shingles(s, d), Some(candidates))
   }
 

@@ -65,10 +65,12 @@ object Gexf {
     * `timeformat="integer"`, spells on nodes and edges. Driver-side like the
     * reader (GEXF files are metadata-sized); entities and spells are emitted
     * in sorted order so output is byte-deterministic. */
-  def writeSpells(spark: SparkSession, spells: Dataset[Spell], path: String): Unit =
+  def writeSpells(spells: Dataset[Spell], path: String): Unit =
     writeSpells(spells.collect().toSeq, new java.io.File(path))
 
   def writeSpells(spells: Seq[Spell], file: java.io.File): Unit = {
+    spells.foreach(s => require(s.kind != "edge" || s.dst.isDefined,
+      s"edge spell without target: $s"))
     val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
       .newDocumentBuilder().newDocument()
     val gexf = doc.createElement("gexf")

@@ -39,6 +39,21 @@ class AsOfSpec extends SparkSpec {
       4L -> Some(31L)))
   }
 
+  test("payload is carried atomically: null fields never mix right rows") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, t(100), 0.0)).toDF("event_id", "user_id", "ts", "value")
+    // latest right row (ts 90) has a NULL price: the match must carry
+    // (id=21, price=null), never id=21 with the ts=40 row's price
+    val right = Seq(
+      (20L, 10L, t(40), Some(9.0)),
+      (21L, 10L, t(90), Option.empty[Double]))
+      .toDF("event_id", "user_id", "ts", "price")
+    val out = AsOf.joinBackward(left, right, Seq("user_id"), "ts", "event_id",
+      Seq("event_id", "price")).collect()(0)
+    assert(out.getLong(4) == 21L)
+    assert(out.isNullAt(5), s"price must be the matched row's null, got ${out.get(5)}")
+  }
+
   test("plan is join-free: union + single window, no range-join explosion") {
     val p = AsOfQueries.queries("a01_asof_attribution")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
