@@ -52,6 +52,43 @@ class StreamingSessionizerSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state survives a checkpointed restart: buffer and numbering continue") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    // the memory sink cannot recover from a checkpoint; the file sink can
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sess-out").toString
+    val in = MemoryStream[(Timestamp, Long)]
+    def start() = StreamingSessionizer
+      .sessionize(in.toDF().toDF("ts", "user_id"), gapSec = 60, watermark = "30 seconds")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      in.addData((ts(100), 1L), (ts(120), 1L)) // open burst buffered in state
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start() // recover SessionBuffer from the checkpoint
+    try {
+      in.addData((ts(130), 1L), (ts(400), 1L)) // extend recovered burst, open next
+      q2.processAllAvailable()
+      in.addData((ts(5000), 2L)) // run the watermark out
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).filter($"user_id" === 1L)
+        .select($"session_id", $"n_events", $"ts_start", $"ts_end")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2).getTime / 1000, r.getTimestamp(3).getTime / 1000)).toSet
+      assert(got === Set(
+        (1L, 3L, 100L, 130L), // pre-restart events + post-restart extension
+        (2L, 1L, 400L, 400L)), // numbering continued after recovery
+        got.toString)
+    } finally q2.stop()
+  }
+
   test("streaming result matches the batch a02 split on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq( // user 7: three sessions with ragged arrival order
