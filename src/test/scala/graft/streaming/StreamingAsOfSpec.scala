@@ -44,6 +44,40 @@ class StreamingAsOfSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pending lefts and standing rights survive a checkpointed restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-asof-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-asof-out").toString
+    val leftIn = MemoryStream[(Long, Timestamp, Long)]
+    val rightIn = MemoryStream[(Long, Timestamp, Long)]
+    val cols = Seq("user_id", "ts", "event_id")
+    def start() = StreamingAsOf.joinBackward(
+        leftIn.toDF().toDF(cols: _*), rightIn.toDF().toDF(cols: _*), "30 seconds")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      // view buffered, purchase pending (not yet past the watermark)
+      rightIn.addData((10L, ts(50), 20L))
+      leftIn.addData((10L, ts(80), 1L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start() // recover AsOfBuffer from the checkpoint
+    try {
+      rightIn.addData((99L, ts(5000), 90L)) // run the watermark out
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir).filter($"user_id" === 10L)
+        .select($"event_id", $"asof_event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((1L, 20L)),
+        s"recovered purchase must still match the pre-restart view: $rows")
+    } finally q2.stop()
+  }
+
   test("streaming result matches the batch AsOf operator on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     val lefts = Seq((7L, ts(10), 1L), (7L, ts(60), 2L), (7L, ts(61), 3L),
