@@ -21,14 +21,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ ParityQueries.queries ++ TimelineQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries ++ AsOfQueries.queries ++ SessionQueries.queries
+      MultimodalQueries.queries ++ AsOfQueries.queries ++ SessionQueries.queries ++
+      ReachabilityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ ParityQueries.oracleSql ++ TimelineQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
-      MultimodalQueries.oracleSql ++ AsOfQueries.oracleSql ++ SessionQueries.oracleSql
+      MultimodalQueries.oracleSql ++ AsOfQueries.oracleSql ++ SessionQueries.oracleSql ++
+      ReachabilityQueries.oracleSql
 
   /** Materialize every at-rest structure (graph tables + probes, shingle /
     * minhash-band / LSH / IVF indexes) for `dir` — ingest-time work a query
