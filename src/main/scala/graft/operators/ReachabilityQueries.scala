@@ -41,10 +41,18 @@ object ReachabilityQueries {
     val edges = g.frameInteractions.select($"frame_id", $"actor1", $"actor2")
     val und = edges.select($"actor1".as("src"), $"actor2".as("dst"), $"frame_id")
       .unionAll(edges.select($"actor2".as("src"), $"actor1".as("dst"), $"frame_id"))
+      .persist()
 
     // arrival(start) = -1: the first hop may use any frame
     var state = Seq((pa1, -1L)).toDF("actor_id", "f").persist()
-    state.count()
+    // convergence signature: arrivals only ever decrease and the reached set
+    // only ever grows, so (|state|, Σ arrivals) is strictly monotone until
+    // the fixpoint — one tiny aggregate per round instead of a diff join
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum($"f")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(state)
     var round = 0
     var changed = true
     while (changed && round < MaxRounds) {
@@ -54,14 +62,14 @@ object ReachabilityQueries {
       val next = state.unionAll(cand)
         .groupBy($"actor_id").agg(min($"f").as("f"))
         .persist()
-      changed = next
-        .join(state.select($"actor_id", $"f".as("f0")), Seq("actor_id"), "left")
-        .filter($"f0".isNull || $"f" < $"f0")
-        .limit(1).count() > 0
+      val nextSig = signature(next)
+      changed = nextSig != sig
+      sig = nextSig
       state.unpersist()
       state = next
       round += 1
     }
+    und.unpersist()
     state.filter($"actor_id" =!= pa1)
       .select($"actor_id", $"f".as("first_frame"))
       .orderBy($"actor_id")
