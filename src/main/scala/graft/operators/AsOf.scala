@@ -36,8 +36,18 @@ object AsOf {
     * @param payload  right-side columns to carry onto each left row; emitted
     *                 as `asof_<name>` (null when no right row precedes)
     */
+  /** Internal working columns — `withColumn` would silently OVERWRITE them if
+    * an input carried the same names, corrupting results; reject up front. */
+  private val Reserved = Set("is_left", "asof_tb", "asof_row")
+
   def joinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, tieBreak: String, payload: Seq[String]): DataFrame = {
+    val clashes = (left.columns ++ right.columns).filter(Reserved)
+    require(clashes.isEmpty,
+      s"input frames must not contain reserved as-of columns: ${clashes.mkString(", ")}")
+    val outClashes = payload.map(c => s"asof_$c").filter(left.columns.contains)
+    require(outClashes.isEmpty,
+      s"left frame already contains output columns: ${outClashes.mkString(", ")}")
     val l = left.withColumn("is_left", lit(1))
       .withColumn("asof_tb", lit(null).cast(right.schema(tieBreak).dataType))
       .withColumn("asof_row",

@@ -69,6 +69,12 @@ object ReachabilityQueries {
       state = next
       round += 1
     }
+    // a silently truncated fixpoint would be a plausible-looking WRONG answer
+    // (and diverge from the oracle) on any corpus with temporal diameter >
+    // MaxRounds — fail loudly instead
+    if (changed) throw new IllegalStateException(
+      s"temporal reachability did not converge within $MaxRounds rounds " +
+        "(corpus temporal diameter exceeds the cap); raise MaxRounds")
     und.unpersist()
     state.filter($"actor_id" =!= pa1)
       .select($"actor_id", $"f".as("first_frame"))

@@ -54,11 +54,14 @@ object SimilarityQueries {
   private val NBands = Planes / BandWidth
 
   /** IVF coarse cells / probed cells per query — session-configurable
-    * (`spark.graft.ivf.cells` / `spark.graft.ivf.nprobe`): real corpora want
-    * cells ≈ √n with nProbe tuned for the recall/latency target, while the
-    * DECLARED query (and its static oracle) runs at the defaults. The cell
-    * count is part of the at-rest index path ([[ivfIndex]]), so different
-    * settings never read each other's layouts. */
+    * (`spark.graft.ivf.cells` / `spark.graft.ivf.nprobe`) via the PUBLIC
+    * [[ivfTopK]]/[[kmeansTopK]] entry points: real corpora want cells ≈ √n
+    * with nProbe tuned for the recall/latency target. The DECLARED queries
+    * (ss4/ss5) and their static oracles are PINNED to the defaults —
+    * independent of session conf — so the correctness harness can never be
+    * poisoned by a stray setting. The cell count is part of the at-rest
+    * index path ([[ivfIndex]]), so different settings never read each
+    * other's layouts. */
   private val DefaultCells = 16
   private val DefaultNProbe = 4
   private def cells(s: SparkSession): Int =
@@ -66,20 +69,27 @@ object SimilarityQueries {
   private def nProbe(s: SparkSession): Int =
     s.conf.get("spark.graft.ivf.nprobe", DefaultNProbe.toString).toInt
 
+  /** Conf-driven IVF ANN top-k for library callers (fixed quantizer). */
+  def ivfTopK(s: SparkSession, d: String): DataFrame =
+    ivfTopK(s, d, cells(s), nProbe(s))
+  /** Conf-driven IVF ANN top-k for library callers (k-means quantizer). */
+  def kmeansTopK(s: SparkSession, d: String): DataFrame =
+    kmeansTopK(s, d, cells(s), nProbe(s))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss1_cosine_topk" -> ss1,
     "ss2_lsh_topk" -> ss2,
     "ss3_embed_neardup" -> ss3,
-    "ss4_ivf_topk" -> ss4,
-    "ss5_ivf_kmeans" -> ss5)
+    "ss4_ivf_topk" -> ((s, d) => ivfTopK(s, d, DefaultCells, DefaultNProbe)),
+    "ss5_ivf_kmeans" -> ((s, d) => kmeansTopK(s, d, DefaultCells, DefaultNProbe)))
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
     index(s, d)
-    ivfIndex(s, d)
-    kmCentroids(s, d)
-    kmAssign(s, d)
+    ivfIndex(s, d, DefaultCells)
+    kmCentroids(s, d, DefaultCells)
+    kmAssign(s, d, DefaultCells)
     probeRow(s, d)
     ()
   }
@@ -189,8 +199,7 @@ object SimilarityQueries {
     * ranking, semi-join shape, oracle contract for the default build)
     * changes. */
   private val IvfVersion = 1
-  private def ivfIndex(s: SparkSession, d: String): DataFrame = {
-    val nc = cells(s)
+  private def ivfIndex(s: SparkSession, d: String, nc: Int): DataFrame = {
     DerivedCache.table(s, d, s"emb_ivf_c$nc", IvfVersion) {
       import s.implicits._
       val e = Tables.embeddings(s, d)
@@ -253,8 +262,7 @@ object SimilarityQueries {
     * classic ingest-side training pass: one assignment shuffle keyed on pos
     * (bounded k·d centroid broadcast) per round, written once next to the
     * corpus. */
-  private def kmCentroids(s: SparkSession, d: String): DataFrame = {
-    val nc = cells(s)
+  private def kmCentroids(s: SparkSession, d: String, nc: Int): DataFrame = {
     DerivedCache.table(s, d, s"emb_km_cents_c${nc}_i$KmIters", KmVersion) {
       import s.implicits._
       val ev = evRows(s, d)
@@ -273,9 +281,9 @@ object SimilarityQueries {
   }
 
   /** At-rest assignment (vec_id, cid) against the final trained centroids. */
-  private def kmAssign(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, s"emb_km_assign_c${cells(s)}_i$KmIters", KmVersion) {
-      assignTo(evRows(s, d), kmCentroids(s, d))
+  private def kmAssign(s: SparkSession, d: String, nc: Int): DataFrame =
+    DerivedCache.table(s, d, s"emb_km_assign_c${nc}_i$KmIters", KmVersion) {
+      assignTo(evRows(s, d), kmCentroids(s, d, nc))
     }
 
   /** ss5: IVF ANN top-k over the TRAINED quantizer — same query shape as
@@ -283,22 +291,22 @@ object SimilarityQueries {
     * from [[kmCentroids]] instead of the fixed lowest-id quantizer. The
     * declared pair (ss4, ss5) demonstrates the documented swap-in: only the
     * index build changed. */
-  private def ss5(s: SparkSession, d: String): DataFrame = {
+  private def kmeansTopK(s: SparkSession, d: String, nc: Int, np: Int): DataFrame = {
     import s.implicits._
     val idx = index(s, d)
     val p = probeRow(s, d)
     val pid = p.getLong(0)
     val pemb = p.getSeq[Float](1)
     val psqrtN = math.sqrt(p.getDouble(2))
-    val cents = kmCentroids(s, d)
+    val cents = kmCentroids(s, d, nc)
     val pe = evRows(s, d).filter($"vec_id" === pid).select($"pos", $"e".as("pe"))
     val probeCells = cents.join(pe, "pos")
       .groupBy($"cid")
       .agg((dsum($"ce" * $"pe") /
         (sqrt(dsum($"ce" * $"ce")) * sqrt(dsum($"pe" * $"pe")))).as("ccos"))
-      .orderBy(desc("ccos"), $"cid").limit(nProbe(s))
+      .orderBy(desc("ccos"), $"cid").limit(np)
       .collect().toIndexedSeq.map(_.getLong(0))
-    idx.join(kmAssign(s, d).filter($"cid".isin(probeCells: _*)), Seq("vec_id"), "left_semi")
+    idx.join(kmAssign(s, d, nc).filter($"cid".isin(probeCells: _*)), Seq("vec_id"), "left_semi")
       .filter($"vec_id" =!= pid)
       .select($"vec_id",
         (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
@@ -309,19 +317,19 @@ object SimilarityQueries {
     * cosine only over vectors assigned to those cells. The multi-cell OR is
     * the IVF analog of ss2's multi-band OR; both restrict BEFORE any
     * full-width cosine. */
-  private def ss4(s: SparkSession, d: String): DataFrame = {
+  private def ivfTopK(s: SparkSession, d: String, nc: Int, np: Int): DataFrame = {
     import s.implicits._
     val idx = index(s, d)
-    val ivf = ivfIndex(s, d)
+    val ivf = ivfIndex(s, d, nc)
     val p = probeRow(s, d)
     val pid = p.getLong(0)
     val pemb = p.getSeq[Float](1)
     val psqrtN = math.sqrt(p.getDouble(2))
-    val cents = Tables.embeddings(s, d).orderBy($"vec_id").limit(cells(s))
+    val cents = Tables.embeddings(s, d).orderBy($"vec_id").limit(nc)
       .select($"vec_id".as("cid"), $"embedding".as("cemb"))
     val probeCells = cents
       .select($"cid", cosineExact($"cemb", typedlit(pemb)).as("ccos"))
-      .orderBy(desc("ccos"), $"cid").limit(nProbe(s))
+      .orderBy(desc("ccos"), $"cid").limit(np)
       .collect().toIndexedSeq.map(_.getLong(0))
     idx.join(ivf.filter($"cid".isin(probeCells: _*)), Seq("vec_id"), "left_semi")
       .filter($"vec_id" =!= pid)

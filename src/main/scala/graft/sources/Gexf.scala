@@ -69,8 +69,10 @@ object Gexf {
     writeSpells(spells.collect().toSeq, new java.io.File(path))
 
   def writeSpells(spells: Seq[Spell], file: java.io.File): Unit = {
-    spells.foreach(s => require(s.kind != "edge" || s.dst.isDefined,
-      s"edge spell without target: $s"))
+    spells.foreach { s =>
+      require(Set("node", "edge")(s.kind), s"unknown spell kind '${s.kind}': $s")
+      require(s.kind != "edge" || s.dst.isDefined, s"edge spell without target: $s")
+    }
     val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
       .newDocumentBuilder().newDocument()
     val gexf = doc.createElement("gexf")
