@@ -22,7 +22,7 @@ object SparkEntry {
     RelationalQueries.queries ++ ParityQueries.queries ++ TimelineQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ AsOfQueries.queries ++ SessionQueries.queries ++
-      ReachabilityQueries.queries
+      ReachabilityQueries.queries ++ GraphMetricsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,7 +30,7 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ ParityQueries.oracleSql ++ TimelineQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ AsOfQueries.oracleSql ++ SessionQueries.oracleSql ++
-      ReachabilityQueries.oracleSql
+      ReachabilityQueries.oracleSql ++ GraphMetricsQueries.oracleSql
 
   /** Materialize every at-rest structure (graph tables + probes, shingle /
     * minhash-band / LSH / IVF indexes) for `dir` — ingest-time work a query
@@ -43,5 +43,6 @@ object SparkEntry {
     SimilarityQueries.warm(spark, dir)
     SessionQueries.warm(spark, dir)
     ReachabilityQueries.warm(spark, dir)
+    TextQueries.warm(spark, dir)
   }
 }

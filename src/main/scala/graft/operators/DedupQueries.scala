@@ -38,7 +38,8 @@ object DedupQueries {
     "dd1_exact_dedup" -> dd1,
     "dd2_ngram_jaccard" -> dd2,
     "dd3_minhash_lsh" -> dd3,
-    "dd4_simhash" -> dd4)
+    "dd4_simhash" -> dd4,
+    "dd5_contamination" -> dd5)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -183,6 +184,32 @@ object DedupQueries {
       .orderBy($"d1", $"d2")
   }
 
+  /** dd5: train/eval contamination check — the decontamination primitive
+    * every pretraining pipeline runs before reporting benchmark numbers.
+    * The corpus splits DETERMINISTICALLY by a hash of the stable key
+    * (tx5's first-md5-byte construction: byte < 64 → eval, 25%), then each
+    * eval document reports what fraction of its word-3-gram shingles
+    * appear anywhere in the train split. Both sides read the at-rest
+    * shingle index; the probe is one hash semi-join keyed on the shingle —
+    * at 100 TB this is a broadcast-or-bucketed join against the distinct
+    * train-shingle set, never a per-document scan of the train corpus. */
+  private def dd5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d)
+    val isEval =
+      expr("conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10)").cast("long") < 64
+    val trainSg = sh.filter(!isEval).select($"sg").distinct()
+    sh.filter(isEval)
+      .join(trainSg.withColumn("hit", lit(1L)), Seq("sg"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce($"hit", lit(0L))).as("n_contaminated"))
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+        ($"n_contaminated".cast("double") / $"n_shingles".cast("double"))
+          .as("contamination"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val shSql =
@@ -280,5 +307,25 @@ object DedupQueries {
          |)
          |SELECT d1, d2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamdist
          |FROM cand WHERE bit_count(xor(sh1, sh2)) <= $HammingTau
-         |ORDER BY d1, d2""".stripMargin)
+         |ORDER BY d1, d2""".stripMargin,
+    // same first-md5-byte split expression as tx5_stratified_sample
+    "dd5_contamination" ->
+      s"""WITH $shSql,
+         |keyed AS (
+         |  SELECT doc_id, sg,
+         |         (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |           + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 < 64
+         |           AS is_eval
+         |  FROM sh
+         |),
+         |tr AS (SELECT DISTINCT sg FROM keyed WHERE NOT is_eval)
+         |SELECT k.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(CASE WHEN tr.sg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |       CAST(SUM(CASE WHEN tr.sg IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS contamination
+         |FROM keyed k LEFT JOIN tr ON k.sg = tr.sg
+         |WHERE k.is_eval
+         |GROUP BY k.doc_id
+         |ORDER BY k.doc_id""".stripMargin)
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.{EventGraphSql, GraphCache}
+
+/** Whole-run graph metrics over the canonicalized interaction edge set —
+  * the structural analytics layer on top of the reference's neighbor /
+  * degree / triangle queries (C7–C11, `cypher_query_timing.py:117-203`):
+  *
+  *  - c12: per-actor local clustering coefficient — the closed-form
+  *    combination of C10 (degree) and C11 (triangles):
+  *    `lcc = 2·tri(v) / (deg(v)·(deg(v)−1))`. Triangles are enumerated
+  *    once from the canonical `actor1 < actor2` edge list as the ordered
+  *    3-join (a<b)⋈(b<c)⋈(a<c) — each triangle counted exactly once, no
+  *    orientation blowup — then exploded to per-vertex counts. Both joins
+  *    are equi-joins on actor keys: shuffle-partitioned, skew handled by
+  *    AQE, never a cartesian. Differentially tested against the GraphX
+  *    mirror's `triangleCounts`/`degrees` (GraphMetricsSpec).
+  *  - g02: k-core membership (K = [[CoreK]]) — iterative peeling to the
+  *    maximal subgraph where every member has ≥ K in-core neighbors, the
+  *    standard corpus/graph-cleaning primitive. The loop is the g01
+  *    fixpoint shape (localCheckpoint snapshots, one action per round);
+  *    membership only shrinks, so round count is bounded by the peel
+  *    depth. The DuckDB oracle unrolls [[MaxPeel]] peel rounds as CTEs —
+  *    peeling is idempotent at the fixpoint, so extra unrolled rounds are
+  *    harmless, and the Spark side throws past [[MaxPeel]] rounds to stay
+  *    inside what the oracle expresses.
+  */
+object GraphMetricsQueries {
+
+  /** k-core threshold. */
+  private val CoreK = 4
+  /** Peel-round cap — must match the oracle's unroll depth. */
+  private val MaxPeel = 16
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c12_clustering_coeff" -> c12,
+    "g02_kcore" -> g02)
+
+  private def c12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = GraphCache(s, d).interactions.select($"actor1", $"actor2")
+    val deg = e.select($"actor1".as("actor_id"))
+      .unionAll(e.select($"actor2".as("actor_id")))
+      .groupBy($"actor_id").agg(count(lit(1)).as("degree"))
+    // each triangle a<b<c found exactly once via the ordered pattern
+    val tris = e.select($"actor1".as("a"), $"actor2".as("b"))
+      .join(e.select($"actor1".as("b"), $"actor2".as("c")), "b")
+      .join(e.select($"actor1".as("a"), $"actor2".as("c")), Seq("a", "c"))
+    val triPerV = tris.select(explode(array($"a", $"b", $"c")).as("actor_id"))
+      .groupBy($"actor_id").agg(count(lit(1)).as("triangles"))
+    deg.join(triPerV, Seq("actor_id"), "left")
+      .select($"actor_id", $"degree", coalesce($"triangles", lit(0L)).as("triangles"))
+      .withColumn("lcc",
+        when($"degree" >= 2,
+          lit(2.0) * $"triangles" / ($"degree" * ($"degree" - 1)))
+          .otherwise(lit(0.0)))
+      .orderBy($"actor_id")
+  }
+
+  private def g02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = GraphCache(s, d).interactions.select($"actor1", $"actor2")
+
+    def coreDegrees(members: DataFrame): DataFrame = {
+      val em = e
+        .join(members.select($"actor_id".as("actor1")), "actor1")
+        .join(members.select($"actor_id".as("actor2")), "actor2")
+      em.select($"actor1".as("actor_id")).unionAll(em.select($"actor2".as("actor_id")))
+        .groupBy($"actor_id").agg(count(lit(1)).as("core_degree"))
+    }
+
+    var members = e.select($"actor1".as("actor_id"))
+      .unionAll(e.select($"actor2".as("actor_id")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var n = members.count()
+    var round = 0
+    var changed = true
+    while (changed && round < MaxPeel) {
+      val next = coreDegrees(members)
+        .filter($"core_degree" >= CoreK)
+        .select($"actor_id")
+        .localCheckpoint(eager = false)
+      val nextN = next.count()
+      changed = nextN != n
+      n = nextN
+      members = next
+      round += 1
+    }
+    if (changed) throw new IllegalStateException(
+      s"k-core peeling did not converge within $MaxPeel rounds " +
+        "(deeper than the oracle unroll); raise MaxPeel in code AND oracle")
+    coreDegrees(members)
+      .select($"actor_id", $"core_degree")
+      .orderBy($"actor_id")
+  }
+
+  // ---------------------------------------------------------------- oracle --
+
+  def oracleSql: Map[String, String] = Map(
+    "c12_clustering_coeff" -> EventGraphSql.query(
+      """, deg AS (
+        |  SELECT actor_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |    SELECT actor1 AS actor_id FROM inter
+        |    UNION ALL SELECT actor2 FROM inter) z
+        |  GROUP BY actor_id
+        |),
+        |tri AS (
+        |  SELECT e1.actor1 AS a, e1.actor2 AS b, e2.actor2 AS c
+        |  FROM inter e1
+        |  JOIN inter e2 ON e1.actor2 = e2.actor1
+        |  JOIN inter e3 ON e3.actor1 = e1.actor1 AND e3.actor2 = e2.actor2
+        |),
+        |tpv AS (
+        |  SELECT actor_id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        |    SELECT a AS actor_id FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri) z
+        |  GROUP BY actor_id
+        |)
+        |SELECT d.actor_id, d.degree,
+        |       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+        |       CASE WHEN d.degree >= 2
+        |            THEN 2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+        |            ELSE 0.0 END AS lcc
+        |FROM deg d LEFT JOIN tpv t USING (actor_id)
+        |ORDER BY d.actor_id""".stripMargin),
+    // every peel CTE is MATERIALIZED: each round references its predecessor
+    // twice, so default CTE inlining would expand m16 into 2^16 copies of
+    // the edge derivation (observed as a too-many-open-files explosion)
+    "g02_kcore" -> EventGraphSql.query(
+      s""", inter2 AS MATERIALIZED (SELECT actor1, actor2 FROM inter),
+         |m0 AS MATERIALIZED (
+         |  SELECT DISTINCT actor_id FROM (
+         |    SELECT actor1 AS actor_id FROM inter2
+         |    UNION ALL SELECT actor2 FROM inter2) z
+         |)""".stripMargin +
+        (1 to MaxPeel).map { i =>
+          s""",
+             |m$i AS MATERIALIZED (
+             |  SELECT actor_id FROM (
+             |    SELECT actor_id, COUNT(*) AS cd FROM (
+             |      SELECT i.actor1 AS actor_id FROM inter2 i
+             |        JOIN m${i - 1} x ON i.actor1 = x.actor_id
+             |        JOIN m${i - 1} y ON i.actor2 = y.actor_id
+             |      UNION ALL
+             |      SELECT i.actor2 FROM inter2 i
+             |        JOIN m${i - 1} x ON i.actor1 = x.actor_id
+             |        JOIN m${i - 1} y ON i.actor2 = y.actor_id) z
+             |    GROUP BY actor_id) g
+             |  WHERE cd >= $CoreK
+             |)""".stripMargin
+        }.mkString +
+        s"""
+           |SELECT actor_id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+           |  SELECT i.actor1 AS actor_id FROM inter2 i
+           |    JOIN m$MaxPeel x ON i.actor1 = x.actor_id
+           |    JOIN m$MaxPeel y ON i.actor2 = y.actor_id
+           |  UNION ALL
+           |  SELECT i.actor2 FROM inter2 i
+           |    JOIN m$MaxPeel x ON i.actor1 = x.actor_id
+           |    JOIN m$MaxPeel y ON i.actor2 = y.actor_id) z
+           |GROUP BY actor_id
+           |ORDER BY actor_id""".stripMargin))
+}

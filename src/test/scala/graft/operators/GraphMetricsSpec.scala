@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.build.EventGraph
+import graft.graph.TemporalGraph
+
+/** Differential + invariant tests for the whole-run graph metrics. */
+class GraphMetricsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("c12 degree and triangle counts match the GraphX mirror") {
+    val g = EventGraph(spark, dir)
+    val tg = TemporalGraph.fromEdges(
+      g.frameInteractions.select("frame_id", "actor1", "actor2", "weight"))
+    val c12 = GraphMetricsQueries.queries("c12_clustering_coeff")(spark, dir).collect()
+    val deg = tg.degrees.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tri = tg.triangleCounts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c12.nonEmpty)
+    c12.foreach { r =>
+      val v = r.getLong(0)
+      assert(r.getLong(1) == deg(v), s"degree mismatch for $v")
+      assert(r.getLong(2) == tri.getOrElse(v, 0L), s"triangle mismatch for $v")
+      val expected =
+        if (r.getLong(1) >= 2)
+          2.0 * r.getLong(2) / (r.getLong(1) * (r.getLong(1) - 1.0))
+        else 0.0
+      assert(r.getDouble(3) == expected, s"lcc mismatch for $v")
+    }
+    // the synthetic contact graph is dense enough to close triangles
+    assert(c12.exists(_.getLong(2) > 0), "fixture should contain triangles")
+  }
+
+  test("g02 k-core: members qualify, outsiders don't (maximality)") {
+    import spark.implicits._
+    val g = EventGraph(spark, dir)
+    val edges = g.interactions.select($"actor1", $"actor2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val core = GraphMetricsQueries.queries("g02_kcore")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k = 4
+    def coreNeighbors(v: Long): Int = edges.count { case (a, b) =>
+      (a == v && core.contains(b)) || (b == v && core.contains(a))
+    }
+    // every member's reported in-core degree is correct and >= K
+    core.foreach { case (v, cd) =>
+      assert(cd >= k, s"member $v below K")
+      assert(cd == coreNeighbors(v), s"core_degree mismatch for $v")
+    }
+    // maximality: no excluded vertex has >= K neighbors inside the core
+    val all = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    (all -- core.keySet).foreach { v =>
+      assert(coreNeighbors(v) < k, s"outsider $v would qualify — core not maximal")
+    }
+    assert(core.nonEmpty, "fixture should have a non-empty 4-core")
+  }
+}
