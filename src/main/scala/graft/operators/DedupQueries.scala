@@ -55,7 +55,7 @@ object DedupQueries {
     * oracle's list indexing) — an at-rest index table ([[DerivedCache]]):
     * shingle sets are derived once at ingest and every near-dup query starts
     * from the index scan instead of re-tokenizing the corpus. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[operators] def shingles(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, "doc_shingles", 1) {
       import s.implicits._
       Tables.documents(s, d)

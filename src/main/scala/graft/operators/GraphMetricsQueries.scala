@@ -11,27 +11,42 @@ import graft.build.{EventGraphSql, GraphCache}
   *
   *  - c12: per-actor local clustering coefficient — the closed-form
   *    combination of C10 (degree) and C11 (triangles):
-  *    `lcc = 2·tri(v) / (deg(v)·(deg(v)−1))`. Triangles are enumerated
-  *    once from the canonical `actor1 < actor2` edge list as the ordered
-  *    3-join (a<b)⋈(b<c)⋈(a<c) — each triangle counted exactly once, no
+  *    `lcc = 2·tri(v) / (deg(v)·(deg(v)−1))`, over the PROBE DAY's edge
+  *    set (partition-pruned scan on the data-derived busiest date, the
+  *    same temporal filtering the reference applies to its own triangle
+  *    queries — `cypher_query_timing.py:158-203`). The window is not a
+  *    shortcut, it is the semantics: a whole-run contact graph densifies
+  *    toward a clique (everyone eventually co-occurs with everyone —
+  *    ~70% edge density at sf0.1), making unwindowed clustering both
+  *    meaningless and Θ(n³); any 100 TB deployment computes closure per
+  *    time slice. Triangles are enumerated from the canonical
+  *    `actor1 < actor2` day-edge list as the ordered 3-join
+  *    (a<b)⋈(b<c)⋈(a<c) — each triangle counted exactly once, no
   *    orientation blowup — then exploded to per-vertex counts. Both joins
   *    are equi-joins on actor keys: shuffle-partitioned, skew handled by
   *    AQE, never a cartesian. Differentially tested against the GraphX
-  *    mirror's `triangleCounts`/`degrees` (GraphMetricsSpec).
-  *  - g02: k-core membership (K = [[CoreK]]) — iterative peeling to the
-  *    maximal subgraph where every member has ≥ K in-core neighbors, the
-  *    standard corpus/graph-cleaning primitive. The loop is the g01
-  *    fixpoint shape (localCheckpoint snapshots, one action per round);
-  *    membership only shrinks, so round count is bounded by the peel
-  *    depth. The DuckDB oracle unrolls [[MaxPeel]] peel rounds as CTEs —
-  *    peeling is idempotent at the fixpoint, so extra unrolled rounds are
-  *    harmless, and the Spark side throws past [[MaxPeel]] rounds to stay
-  *    inside what the oracle expresses.
+  *    mirror's `triangleCounts`/`degrees` on the same window
+  *    (GraphMetricsSpec).
+  *  - g02: k-core membership (K = [[CoreK]]) over the same probe-day
+  *    window — iterative peeling to the maximal subgraph where every
+  *    member has ≥ K in-core neighbors, the standard corpus/graph-
+  *    cleaning primitive. The loop is the g01 fixpoint shape
+  *    (localCheckpoint snapshots, one action per round); membership only
+  *    shrinks, so round count is bounded by the peel depth. The DuckDB
+  *    oracle unrolls [[MaxPeel]] peel rounds as CTEs — peeling is
+  *    idempotent at the fixpoint, so extra unrolled rounds are harmless,
+  *    and the Spark side throws past [[MaxPeel]] rounds to stay inside
+  *    what the oracle expresses.
   */
 object GraphMetricsQueries {
 
-  /** k-core threshold. */
-  private val CoreK = 4
+  /** k-core threshold for the DECLARED query. K=2 (prune pendant trees,
+    * keep the cyclic core) is the largest K whose core is non-empty at
+    * EVERY test scale — the busiest-day graph at sf0.001 has max degree 5
+    * and an empty 3-core, and an empty result would make the oracle check
+    * vacuously green. Library callers pick K per use case; the peel loop
+    * is K-independent. */
+  private val CoreK = 2
   /** Peel-round cap — must match the oracle's unroll depth. */
   private val MaxPeel = 16
 
@@ -39,9 +54,21 @@ object GraphMetricsQueries {
     "c12_clustering_coeff" -> c12,
     "g02_kcore" -> g02)
 
+  /** Distinct canonical edges active on the probe date — a
+    * partition-pruned scan (year/month/day are the at-rest partition
+    * columns). */
+  private def dayEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = GraphCache(s, d)
+    val p = g.probes
+    g.frameInteractions
+      .filter($"year" === p.py && $"month" === p.pm && $"day" === p.pdd)
+      .select($"actor1", $"actor2").distinct()
+  }
+
   private def c12(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = GraphCache(s, d).interactions.select($"actor1", $"actor2")
+    val e = dayEdges(s, d)
     val deg = e.select($"actor1".as("actor_id"))
       .unionAll(e.select($"actor2".as("actor_id")))
       .groupBy($"actor_id").agg(count(lit(1)).as("degree"))
@@ -62,7 +89,7 @@ object GraphMetricsQueries {
 
   private def g02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = GraphCache(s, d).interactions.select($"actor1", $"actor2")
+    val e = dayEdges(s, d)
 
     def coreDegrees(members: DataFrame): DataFrame = {
       val em = e
@@ -100,19 +127,28 @@ object GraphMetricsQueries {
 
   // ---------------------------------------------------------------- oracle --
 
+  /** Distinct canonical edges on the probe date (matches [[dayEdges]]). */
+  private val dayEdgesSql =
+    """inter_d AS MATERIALIZED (
+      |  SELECT DISTINCT fi.actor1, fi.actor2
+      |  FROM fi JOIN frames USING (frame_id), probe_date
+      |  WHERE frames.year = py AND frames.month = pm AND frames.day = pdd
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "c12_clustering_coeff" -> EventGraphSql.query(
-      """, deg AS (
+      s""", $dayEdgesSql,
+        |deg AS (
         |  SELECT actor_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
-        |    SELECT actor1 AS actor_id FROM inter
-        |    UNION ALL SELECT actor2 FROM inter) z
+        |    SELECT actor1 AS actor_id FROM inter_d
+        |    UNION ALL SELECT actor2 FROM inter_d) z
         |  GROUP BY actor_id
         |),
         |tri AS (
         |  SELECT e1.actor1 AS a, e1.actor2 AS b, e2.actor2 AS c
-        |  FROM inter e1
-        |  JOIN inter e2 ON e1.actor2 = e2.actor1
-        |  JOIN inter e3 ON e3.actor1 = e1.actor1 AND e3.actor2 = e2.actor2
+        |  FROM inter_d e1
+        |  JOIN inter_d e2 ON e1.actor2 = e2.actor1
+        |  JOIN inter_d e3 ON e3.actor1 = e1.actor1 AND e3.actor2 = e2.actor2
         |),
         |tpv AS (
         |  SELECT actor_id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
@@ -132,7 +168,8 @@ object GraphMetricsQueries {
     // twice, so default CTE inlining would expand m16 into 2^16 copies of
     // the edge derivation (observed as a too-many-open-files explosion)
     "g02_kcore" -> EventGraphSql.query(
-      s""", inter2 AS MATERIALIZED (SELECT actor1, actor2 FROM inter),
+      s""", $dayEdgesSql,
+         |inter2 AS MATERIALIZED (SELECT actor1, actor2 FROM inter_d),
          |m0 AS MATERIALIZED (
          |  SELECT DISTINCT actor_id FROM (
          |    SELECT actor1 AS actor_id FROM inter2

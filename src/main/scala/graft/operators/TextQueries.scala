@@ -175,19 +175,20 @@ object TextQueries {
 
   /** tx7: within-document repetition — the Gopher-style duplicate-n-gram
     * quality signal: fraction of a document's word-3-grams that are repeats
-    * (`1 − distinct/total`). Pure per-row array expressions, zero shuffle
-    * before the final order. */
+    * (`1 − distinct/total`). The total is a per-row token count; the
+    * DISTINCT count comes from the at-rest shingle index (one group-by over
+    * the index scan) — a per-row `array_distinct` over thousand-element
+    * string arrays is quadratic per document and measured 40 s at sf0.1,
+    * while the shingle index already holds exactly the distinct trigrams. */
   private def tx7(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = wsTokens($"text")
-    val tri = when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    val uniq = DedupQueries.shingles(s, d)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_distinct"))
     Tables.documents(s, d)
-      .select($"doc_id",
-        size(tri).cast("long").as("n_trigrams"),
-        size(array_distinct(tri)).cast("long").as("n_distinct"))
+      .select($"doc_id", greatest(size(w) - 2, lit(0)).cast("long").as("n_trigrams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_trigrams", coalesce($"n_distinct", lit(0L)).as("n_distinct"))
       .withColumn("rep_ratio",
         when($"n_trigrams" > 0,
           lit(1.0) - $"n_distinct".cast("double") / $"n_trigrams".cast("double"))

@@ -3,18 +3,25 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.build.EventGraph
+import graft.build.GraphCache
 import graft.graph.TemporalGraph
 
-/** Differential + invariant tests for the whole-run graph metrics. */
+/** Differential + invariant tests for the probe-day graph metrics. */
 class GraphMetricsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** The c12/g02 probe-day edge window, as the metrics queries see it. */
+  private def dayEdges = {
+    val g = GraphCache(spark, dir)
+    g.frameInteractions
+      .filter(col("year") === g.probes.py && col("month") === g.probes.pm &&
+        col("day") === g.probes.pdd)
+  }
+
   test("c12 degree and triangle counts match the GraphX mirror") {
-    val g = EventGraph(spark, dir)
     val tg = TemporalGraph.fromEdges(
-      g.frameInteractions.select("frame_id", "actor1", "actor2", "weight"))
+      dayEdges.select("frame_id", "actor1", "actor2", "weight"))
     val c12 = GraphMetricsQueries.queries("c12_clustering_coeff")(spark, dir).collect()
     val deg = tg.degrees.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val tri = tg.triangleCounts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -35,12 +42,11 @@ class GraphMetricsSpec extends SparkSpec {
 
   test("g02 k-core: members qualify, outsiders don't (maximality)") {
     import spark.implicits._
-    val g = EventGraph(spark, dir)
-    val edges = g.interactions.select($"actor1", $"actor2").collect()
+    val edges = dayEdges.select($"actor1", $"actor2").distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val core = GraphMetricsQueries.queries("g02_kcore")(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val k = 4
+    val k = 2
     def coreNeighbors(v: Long): Int = edges.count { case (a, b) =>
       (a == v && core.contains(b)) || (b == v && core.contains(a))
     }
@@ -54,6 +60,7 @@ class GraphMetricsSpec extends SparkSpec {
     (all -- core.keySet).foreach { v =>
       assert(coreNeighbors(v) < k, s"outsider $v would qualify — core not maximal")
     }
-    assert(core.nonEmpty, "fixture should have a non-empty 4-core")
+    assert(core.nonEmpty, "fixture should have a non-empty core")
+    assert(core.size < all.size, "fixture peel should actually drop vertices")
   }
 }
