@@ -4,9 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — for each left row, the latest right row with
-  * `right.ts <= left.ts` in the same key group — the canonical temporal
-  * operator Spark's built-in joins don't express directly.
+/** As-of joins (backward and forward) — for each left row, the latest right
+  * row with `right.ts <= left.ts` (backward) or the earliest with
+  * `right.ts >= left.ts` (forward) in the same key group — the canonical
+  * temporal operators Spark's built-in joins don't express directly.
   *
   * Formulation: tag both sides, union, ONE window pass per key group ordered
   * by (ts, side, tieBreak) carrying the right side's payload forward with
@@ -40,8 +41,25 @@ object AsOf {
     * an input carried the same names, corrupting results; reject up front. */
   private val Reserved = Set("is_left", "asof_tb", "asof_row")
 
+  /** Backward as-of: latest right row with `right.ts <= left.ts` per key
+    * group; among equal right timestamps the GREATEST tieBreak wins. */
   def joinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      ts: String, tieBreak: String, payload: Seq[String]): DataFrame = {
+      ts: String, tieBreak: String, payload: Seq[String]): DataFrame =
+    joinDirected(left, right, keys, ts, tieBreak, payload, backward = true)
+
+  /** Forward as-of: EARLIEST right row with `right.ts >= left.ts` per key
+    * group (a right row at exactly `left.ts` matches); among equal right
+    * timestamps the SMALLEST tieBreak wins — the mirror of
+    * [[joinBackward]]'s tie rule, fully deterministic with a unique
+    * tieBreak. Same single-shuffle window shape, just traversed in
+    * descending time order. */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, tieBreak: String, payload: Seq[String]): DataFrame =
+    joinDirected(left, right, keys, ts, tieBreak, payload, backward = false)
+
+  private def joinDirected(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, tieBreak: String, payload: Seq[String],
+      backward: Boolean): DataFrame = {
     val clashes = (left.columns ++ right.columns).filter(Reserved)
     require(clashes.isEmpty,
       s"input frames must not contain reserved as-of columns: ${clashes.mkString(", ")}")
@@ -61,8 +79,14 @@ object AsOf {
       .select((keys.map(col) :+ col(ts) :+ col("is_left")
         :+ col("asof_tb") :+ col("asof_row")): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
+    // backward: ascending time, the carried right is the latest <= left.ts;
+    // forward: descending time, the carried right is the earliest >= left.ts
+    // (equal-ts rights sort before the left row in both directions)
+    val order =
+      if (backward) Seq(col(ts).asc, col("is_left").asc, col("asof_tb").asc)
+      else Seq(col(ts).desc, col("is_left").asc, col("asof_tb").desc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col("is_left").asc, col("asof_tb").asc)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("asof_row", last(col("asof_row"), ignoreNulls = true).over(w))
       .filter(col("is_left") === 1)

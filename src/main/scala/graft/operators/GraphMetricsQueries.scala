@@ -49,10 +49,13 @@ object GraphMetricsQueries {
   private val CoreK = 2
   /** Peel-round cap — must match the oracle's unroll depth. */
   private val MaxPeel = 16
+  /** Label-propagation round cap (component diameter bound). */
+  private val MaxRounds = 50
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_clustering_coeff" -> c12,
-    "g02_kcore" -> g02)
+    "g02_kcore" -> g02,
+    "g03_components" -> g03)
 
   /** Distinct canonical edges active on the probe date — a
     * partition-pruned scan (year/month/day are the at-rest partition
@@ -125,6 +128,48 @@ object GraphMetricsQueries {
       .orderBy($"actor_id")
   }
 
+  /** g03: connected components on the probe-day window — min-label
+    * propagation to fixpoint (label = smallest reachable actor id, GraphX's
+    * `connectedComponents` convention, differentially tested against it).
+    * Same loop discipline as g01/g02: lazy localCheckpoint snapshots, one
+    * signature action per round, loud failure at the round cap. Labels only
+    * decrease, so (count, Σ label) is strictly monotone until convergence.
+    * Rounds are bounded by the component diameter; at 100 TB the edge list
+    * stays partitioned by `src` and the label table shuffles on actor —
+    * the Pregel CC superstep expressed relationally. */
+  private def g03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = dayEdges(s, d)
+    val und = e.select($"actor1".as("src"), $"actor2".as("dst"))
+      .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
+    var state = und.select($"src".as("actor_id")).distinct()
+      .select($"actor_id", $"actor_id".as("label"))
+      .localCheckpoint(eager = false)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum($"label")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(state)
+    var round = 0
+    var changed = true
+    while (changed && round < MaxRounds) {
+      val cand = state.join(und, state("actor_id") === und("src"))
+        .select($"dst".as("actor_id"), $"label")
+      val next = state.unionAll(cand)
+        .groupBy($"actor_id").agg(min($"label").as("label"))
+        .localCheckpoint(eager = false)
+      val nextSig = signature(next)
+      changed = nextSig != sig
+      sig = nextSig
+      state = next
+      round += 1
+    }
+    if (changed) throw new IllegalStateException(
+      s"component labeling did not converge within $MaxRounds rounds; raise MaxRounds")
+    state.select($"actor_id", $"label".as("component"))
+      .orderBy($"actor_id")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   /** Distinct canonical edges on the probe date (matches [[dayEdges]]). */
@@ -164,6 +209,25 @@ object GraphMetricsQueries {
         |            ELSE 0.0 END AS lcc
         |FROM deg d LEFT JOIN tpv t USING (actor_id)
         |ORDER BY d.actor_id""".stripMargin),
+    // same recursive-enumeration shape as the g01 oracle: (actor, label)
+    // pairs spread along day edges, UNION-deduped, min label per actor
+    "g03_components" -> EventGraphSql.query(
+      s""", $dayEdgesSql,
+         |comp AS (
+         |  WITH RECURSIVE r(actor_id, label) AS (
+         |    SELECT actor_id, actor_id FROM (
+         |      SELECT actor1 AS actor_id FROM inter_d
+         |      UNION SELECT actor2 FROM inter_d) seeds
+         |    UNION
+         |    SELECT CASE WHEN e.actor1 = r.actor_id THEN e.actor2 ELSE e.actor1 END,
+         |           r.label
+         |    FROM r JOIN inter_d e
+         |      ON e.actor1 = r.actor_id OR e.actor2 = r.actor_id
+         |  )
+         |  SELECT actor_id, MIN(label) AS component FROM r GROUP BY actor_id
+         |)
+         |SELECT actor_id, component FROM comp
+         |ORDER BY actor_id""".stripMargin),
     // every peel CTE is MATERIALIZED: each round references its predecessor
     // twice, so default CTE inlining would expand m16 into 2^16 copies of
     // the edge derivation (observed as a too-many-open-files explosion)

@@ -63,4 +63,15 @@ class GraphMetricsSpec extends SparkSpec {
     assert(core.nonEmpty, "fixture should have a non-empty core")
     assert(core.size < all.size, "fixture peel should actually drop vertices")
   }
+
+  test("g03 components match the GraphX mirror") {
+    val tg = TemporalGraph.fromEdges(
+      dayEdges.select("frame_id", "actor1", "actor2", "weight"))
+    val relational = GraphMetricsQueries.queries("g03_components")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val graphx = tg.connectedComponents.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relational == graphx)
+    assert(relational.nonEmpty)
+  }
 }

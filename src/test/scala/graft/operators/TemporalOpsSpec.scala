@@ -34,6 +34,27 @@ class TemporalOpsSpec extends SparkSpec {
       "fixture should exercise both matched and unmatched purchases")
   }
 
+  test("forward as-of == naive range-join + argmin (differential)") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir)
+    val v = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"event_id".as("p_id"))
+    val naive = v.join(p, $"user_id" === $"p_user" && $"p_ts" >= $"ts", "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_id").orderBy(asc("p_ts"), asc("p_id"))))
+      .filter($"rn" === 1)
+      .select($"event_id", $"p_id")
+    val fast = AsOfQueries.queries("a04_next_conversion")(spark, dir)
+      .select($"event_id", $"purchase_event_id")
+    val n = naive.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val f = fast.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(f === n, "forward window formulation must equal the naive argmin")
+    assert(f.nonEmpty && f.values.exists(_.isDefined) && f.values.exists(_.isEmpty),
+      "fixture should exercise both converting and non-converting views")
+  }
+
   test("sessionization invariants: partition, ordering, gap separation") {
     import spark.implicits._
     val gap = 1800L
