@@ -36,7 +36,8 @@ object RelationalQueries {
     "q10_json_events" -> q10,
     "q11_rollup" -> q11,
     "q12_corr_exists" -> q12,
-    "q13_percentiles" -> q13)
+    "q13_percentiles" -> q13,
+    "q14_cube" -> q14)
 
   /** TPC-H Q1-style pricing summary: wide partial+final hash agg over the fact
     * table, no joins, filter pushed to parquet. */
@@ -213,6 +214,23 @@ object RelationalQueries {
       .orderBy($"status", $"priority")
   }
 
+  /** Grouping-sets surface beyond q11's rollup: full CUBE over
+    * (status, order year) — all four grouping combinations in one
+    * partial+final aggregate pass (Spark expands the grouping sets before
+    * the shuffle, so the fact table is still read once). */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .withColumn("o_year", year($"o_orderdate").cast("long"))
+      .cube($"o_orderstatus", $"o_year")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_year", lit(-1L)).as("o_year"),
+        $"n_orders", $"revenue")
+      .orderBy($"status", $"o_year")
+  }
+
   /** Correlated-EXISTS shape: parts that ship in quantity > 45 at least once,
     * with their max single-shipment quantity — semi-join + agg join. */
   private def q12(s: SparkSession, d: String): DataFrame = {
@@ -325,6 +343,14 @@ object RelationalQueries {
          |FROM orders
          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          |ORDER BY status, priority""".stripMargin,
+    "q14_cube" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS o_year,
+         |  COUNT(*) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS revenue
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS BIGINT))
+         |ORDER BY status, o_year""".stripMargin,
     "q12_corr_exists" ->
       """SELECT p_partkey, p_brand, max_qty, n_big FROM part
         |JOIN (SELECT l_partkey, MAX(l_quantity) AS max_qty, COUNT(*) AS n_big

@@ -81,7 +81,8 @@ object SimilarityQueries {
     "ss2_lsh_topk" -> ss2,
     "ss3_embed_neardup" -> ss3,
     "ss4_ivf_topk" -> ((s, d) => ivfTopK(s, d, DefaultCells, DefaultNProbe)),
-    "ss5_ivf_kmeans" -> ((s, d) => kmeansTopK(s, d, DefaultCells, DefaultNProbe)))
+    "ss5_ivf_kmeans" -> ((s, d) => kmeansTopK(s, d, DefaultCells, DefaultNProbe)),
+    "ss6_sq_rerank" -> ss6)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -90,6 +91,7 @@ object SimilarityQueries {
     ivfIndex(s, d, DefaultCells)
     kmCentroids(s, d, DefaultCells)
     kmAssign(s, d, DefaultCells)
+    sqIndex(s, d)
     probeRow(s, d)
     ()
   }
@@ -214,6 +216,68 @@ object SimilarityQueries {
         .filter($"rn" === 1)
         .select($"vec_id", $"cid")
     }
+  }
+
+  // ------------------------------------------- scalar quantization (ss6) --
+
+  /** Rerank pool size for ss6 (approx top-R → exact top-K). */
+  private val SqRerank = 50
+
+  /** At-rest int8 scalar-quantization index (vec_id, scale, q ARRAY<LONG>):
+    * per-vector symmetric quantization `q_i = floor(e_i·127/scale + 0.5)`
+    * with `scale = max |e_i|` — every step (float→double cast, multiply,
+    * divide, floor-half-up) is bit-deterministic on any engine, so the
+    * DuckDB oracle reproduces the identical codes. At 100 TB this is THE
+    * memory-bandwidth lever for ANN: the scan side shrinks 4× (int8 codes
+    * instead of float32) and the exact float pass touches only the rerank
+    * pool. */
+  private def sqIndex(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "emb_sq", 1) {
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .repartition($"vec_id")
+        .withColumn("scale",
+          array_max(transform($"embedding", x => abs(x.cast("double")))))
+        .select($"vec_id", $"scale",
+          when($"scale" > 0.0,
+            transform($"embedding", x =>
+              floor(x.cast("double") * lit(127.0) / $"scale" + lit(0.5))))
+            .otherwise(transform($"embedding", _ => lit(0L))).as("q"))
+    }
+
+  /** ss6: quantized-scan ANN — rank the WHOLE corpus by the int8
+    * approximate cosine (exact integer dot of the codes, rescaled by the
+    * two per-vector scales over the exact norms), keep the top
+    * [[SqRerank]], then exact-cosine rerank only that pool for the final
+    * top-k. Complements ss2/ss4: same recall-vs-bandwidth trade every
+    * production ANN stack layers under its coarse index. */
+  private def ss6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sq = sqIndex(s, d)
+    val idx = index(s, d)
+    val p = probeRow(s, d)
+    val pid = p.getLong(0)
+    val pemb = p.getSeq[Float](1)
+    val psqrtN = math.sqrt(p.getDouble(2))
+    val pr = sq.filter($"vec_id" === pid)
+      .select($"scale", $"q").collect()(0)
+    val pScale = pr.getDouble(0)
+    val pq = pr.getSeq[Long](1)
+    // approx cosine: (scale_v·scale_p·Σ q_v·q_p / 127²) / (‖v‖·‖p‖);
+    // the integer dot is exact on any engine, the double rescale has one
+    // fixed operation order
+    val dotq = aggregate(
+      zip_with($"q", typedlit(pq), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val approx = sq.join(idx.select($"vec_id", $"nsq"), "vec_id")
+      .filter($"vec_id" =!= pid)
+      .select($"vec_id",
+        ($"scale" * lit(pScale) * dotq.cast("double") / lit(16129.0) /
+          (sqrt($"nsq") * lit(psqrtN))).as("approx"))
+      .orderBy(desc("approx"), $"vec_id").limit(SqRerank)
+    approx.join(idx.select($"vec_id", $"embedding", $"nsq"), "vec_id")
+      .select($"vec_id",
+        (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
+      .orderBy(desc("cosine"), $"vec_id").limit(TopK)
   }
 
   // ------------------------------------------------- k-means IVF (ss5) --
@@ -506,6 +570,49 @@ object SimilarityQueries {
          |  GROUP BY ev.vec_id
          |)
          |SELECT vec_id, cosine FROM cos, probe WHERE vec_id <> pid
+         |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
+    // identical quantization math: scale = max |e|, q = floor(e·127/scale
+    // + 0.5), integer dot exact, one fixed double-rescale operation order
+    "ss6_sq_rerank" ->
+      s"""WITH $evSql,
+         |sc AS (SELECT vec_id, MAX(abs(e)) AS scale FROM ev GROUP BY vec_id),
+         |qv AS (
+         |  SELECT ev.vec_id, ev.pos,
+         |         CASE WHEN sc.scale > 0
+         |              THEN CAST(floor(ev.e * 127.0 / sc.scale + 0.5) AS BIGINT)
+         |              ELSE 0 END AS q
+         |  FROM ev JOIN sc USING (vec_id)
+         |),
+         |nrm AS (SELECT vec_id, ${sqlSum("e * e")} AS nsq FROM ev GROUP BY vec_id),
+         |probe AS (SELECT min(vec_id) AS pid FROM embeddings),
+         |pq AS (SELECT pos, q AS pqv FROM qv, probe WHERE vec_id = pid),
+         |psc AS (SELECT scale AS pscale FROM sc, probe WHERE vec_id = pid),
+         |pn AS (SELECT nsq AS pnsq FROM nrm, probe WHERE vec_id = pid),
+         |pv AS (SELECT pos, e AS pe FROM ev, probe WHERE vec_id = pid),
+         |dq AS (
+         |  SELECT qv.vec_id, CAST(SUM(qv.q * pq.pqv) AS BIGINT) AS dotq
+         |  FROM qv JOIN pq USING (pos) GROUP BY qv.vec_id
+         |),
+         |approx AS (
+         |  SELECT d.vec_id,
+         |         sc.scale * psc.pscale * CAST(d.dotq AS DOUBLE) / 16129.0
+         |           / (sqrt(n1.nsq) * sqrt(pn.pnsq)) AS approx
+         |  FROM dq d
+         |  JOIN sc ON sc.vec_id = d.vec_id
+         |  JOIN nrm n1 ON n1.vec_id = d.vec_id, psc, pn, probe
+         |  WHERE d.vec_id <> probe.pid
+         |  ORDER BY approx DESC, d.vec_id LIMIT $SqRerank
+         |),
+         |cos AS (
+         |  SELECT ev.vec_id,
+         |         ${sqlSum("ev.e * pv.pe")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("pv.pe * pv.pe")})) AS cosine
+         |  FROM ev
+         |  JOIN approx ON ev.vec_id = approx.vec_id
+         |  JOIN pv USING (pos)
+         |  GROUP BY ev.vec_id
+         |)
+         |SELECT vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
     "ss3_embed_neardup" ->
       s"""WITH $evSql,

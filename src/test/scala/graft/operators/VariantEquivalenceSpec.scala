@@ -63,6 +63,12 @@ class VariantEquivalenceSpec extends SparkSpec {
     val km = ids("ss5_ivf_kmeans")
     val kmRecall = km.intersect(exact).size.toDouble / exact.size
     assert(kmRecall >= 0.7, s"ss5 recall too low: $kmRecall")
+    // int8 scalar quantization + exact rerank (ss6): the approx ranking
+    // only has to land the true top-20 inside its top-50 rerank pool, so
+    // recall should be near-perfect even at 8-bit precision
+    val sq = ids("ss6_sq_rerank")
+    val sqRecall = sq.intersect(exact).size.toDouble / exact.size
+    assert(sqRecall >= 0.9, s"ss6 recall too low: $sqRecall")
   }
 
   test("ss3 candidates respect the threshold and canonical pair order") {
