@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * stages.
   *
   * The Spark-side plumbing — schema, partitioning, per-partition batch shape —
-  * is real; the codec itself is STUBBED (this container ships no image/audio
-  * libraries): `decodeStub` derives deterministic fake dimensions/features
-  * from the bytes. Swapping in a real decoder changes ONE function and
-  * nothing in the plan shape.
+  * is real. TWO codec paths exist:
+  *  - [[decodeCodec]] + [[codecAssets]]: REAL binary formats (PPM images,
+  *    PCM16 WAVs, GRFV frame containers) with real parsers ([[Codec]]) —
+  *    the mm3 oracle checks the decoded byte/sample sums end-to-end;
+  *  - [[decode]] + [[syntheticAssets]]: `decodeStub` derives deterministic
+  *    fake dimensions/features from the bytes, standing in for compressed
+  *    codecs (JPEG/MP3/H.264) that need native libraries this container
+  *    doesn't ship. Swapping in a real compressed decoder changes ONE
+  *    function and nothing in the plan shape.
   *
   * Execution model: decode runs in `mapPartitions`, the Scala analog of a
   * vectorized `mapInPandas` stage — one decoder context per partition, rows
@@ -91,6 +96,94 @@ object MultimodalPipeline {
       f.copy(width = targetW, height = targetH,
         features = f.features.map(_ * scale))
     }
+  }
+
+  /** One decoded frame from the REAL codec path — integer stats only, so
+    * the DuckDB oracle can reproduce them exactly from the generation
+    * formula. For image/video frames (s1,s2,s3) are the R/G/B channel byte
+    * sums; for audio (s1,s2,s3) are (sample sum, max sample, min sample). */
+  final case class CodecFrame(
+      assetId: Long,
+      frameIdx: Int,
+      width: Int,
+      height: Int,
+      s1: Long,
+      s2: Long,
+      s3: Long)
+
+  /** REAL-format asset source: actual PPM images, PCM16 WAVs and GRFV frame
+    * containers ([[Codec]]), content deterministically derived from the
+    * document keys so the decode oracle is end-to-end checkable. */
+  def codecAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars")
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        (id % 3) match {
+          case 0 =>
+            MediaAsset(id, "image",
+              Codec.writePpm(16, 16, Codec.contentBytes(s"$id#img", 768)),
+              Map.empty)
+          case 1 =>
+            MediaAsset(id, "audio",
+              Codec.writeWav(8000, Codec.contentSamples(s"$id#aud", 256)),
+              Map.empty)
+          case _ =>
+            val nf = (n % 3 + 2).toInt
+            val frames = (0 until nf).map(f =>
+              Codec.writePpm(8, 8, Codec.contentBytes(s"$id#vid#$f", 192)))
+            MediaAsset(id, "video", Codec.writeGrfv(frames),
+              Map("n_frames" -> nf.toString))
+        }
+      }
+  }
+
+  private def channelSums(w: Int, h: Int, rgb: Array[Byte]): (Long, Long, Long) = {
+    var r = 0L; var g = 0L; var b = 0L
+    var p = 0
+    while (p < rgb.length) {
+      val v = (rgb(p) & 0xff).toLong
+      (p % 3) match {
+        case 0 => r += v
+        case 1 => g += v
+        case _ => b += v
+      }
+      p += 1
+    }
+    (r, g, b)
+  }
+
+  /** REAL decode: parse the actual container bytes ([[Codec]] parsers —
+    * header validation, chunk walking, frame-index extraction), emit
+    * integer frame stats. Same execution model as [[decode]]: repartition
+    * by asset, per-partition batch loop. */
+  def decodeCodec(assets: Dataset[MediaAsset], stride: Int = 1): Dataset[CodecFrame] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(col("assetId"))
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          a.modality match {
+            case "image" =>
+              val (w, h, rgb) = Codec.parsePpm(a.bytes)
+              val (r, g, b) = channelSums(w, h, rgb)
+              Iterator.single(CodecFrame(a.assetId, 0, w, h, r, g, b))
+            case "audio" =>
+              val (_, samples) = Codec.parseWav(a.bytes)
+              var sum = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
+              samples.foreach { s => sum += s; mx = math.max(mx, s); mn = math.min(mn, s) }
+              Iterator.single(CodecFrame(a.assetId, 0, samples.length, 1, sum, mx, mn))
+            case _ =>
+              val nf = Codec.grfvFrameCount(a.bytes)
+              (0 until nf by stride).iterator.map { fi =>
+                val (w, h, rgb) = Codec.parsePpm(Codec.readGrfvFrame(a.bytes, fi))
+                val (r, g, b) = channelSums(w, h, rgb)
+                CodecFrame(a.assetId, fi, w, h, r, g, b)
+              }
+          }
+        }
+      }
   }
 
   /** Demo/test asset source: wraps document texts as fake binary payloads

@@ -21,7 +21,8 @@ object MultimodalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_decode_stats" -> mm1,
-    "mm2_resize_features" -> mm2)
+    "mm2_resize_features" -> mm2,
+    "mm3_codec_decode" -> mm3)
 
   /** mm1: per-modality decode statistics — asset/frame counts and mean
     * decoded dimensions after frame-sampling every 2nd frame. */
@@ -64,6 +65,34 @@ object MultimodalQueries {
         max($"f").cast("double").as("feat_max"))
       .orderBy($"modality")
   }
+
+  /** mm3: the REAL-codec path — actual PPM/WAV/GRFV bytes generated
+    * deterministically, parsed with the real [[graft.multimodal.Codec]]
+    * parsers (header validation, RIFF chunk walking, frame-index
+    * extraction), aggregated as integer channel/sample sums. The oracle
+    * recomputes the sums from the generation formula WITHOUT parsing any
+    * binary, so a single misread byte anywhere in the decode path breaks
+    * the hash match. */
+  private def mm3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = MultimodalPipeline.codecAssets(s, d)
+    val decoded = MultimodalPipeline.decodeCodec(assets, stride = Stride)
+    decoded.toDF()
+      .join(assets.toDF().select($"assetId", $"modality"), "assetId")
+      .groupBy($"modality")
+      .agg(
+        countDistinct($"assetId").as("n_assets"),
+        count(lit(1)).as("n_frames"),
+        sum($"s1").as("sum1"),
+        sum($"s2").as("sum2"),
+        sum($"s3").as("sum3"))
+      .orderBy($"modality")
+  }
+
+  /** Hex-pair byte value (0..255) at byte index `j` of md5-hex `hx`. */
+  private def hexByte(hx: String, j: String) =
+    s"((strpos('0123456789abcdef', substring($hx, 2 * ($j) + 1, 1)) - 1) * 16" +
+      s" + strpos('0123456789abcdef', substring($hx, 2 * ($j) + 2, 1)) - 1)"
 
   /** DuckDB reconstruction of syntheticAssets + decodeStub + frame sampling:
     * modality = doc_id mod 3; video samples frames 0..(n_chars mod 10)+1 by
@@ -154,5 +183,79 @@ object MultimodalQueries {
          |       ${sqlSum("CAST(fs AS DOUBLE)")} AS feat_sum,
          |       CAST(MIN(fs) AS DOUBLE) AS feat_min,
          |       CAST(MAX(fs) AS DOUBLE) AS feat_max
-         |FROM scaled GROUP BY modality ORDER BY modality""".stripMargin)
+         |FROM scaled GROUP BY modality ORDER BY modality""".stripMargin,
+    // mm3: content = chained md5 blocks (16 bytes each); image 48 blocks
+    // (16×16×3), audio 32 blocks (256 PCM16 samples, 8 per block), video
+    // (n_chars%3)+2 frames of 12 blocks (8×8×3), sampled by stride 2 —
+    // EXACTLY Codec.contentBytes/contentSamples + codecAssets
+    "mm3_codec_decode" ->
+      s"""WITH assets AS (
+         |  SELECT doc_id AS asset_id,
+         |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |         n_chars
+         |  FROM documents
+         |),
+         |imgb AS (
+         |  SELECT asset_id, b,
+         |         md5(CAST(asset_id AS VARCHAR) || '#img#' || CAST(b AS VARCHAR)) AS hx
+         |  FROM assets, (SELECT unnest(generate_series(0, 47)) AS b) bb
+         |  WHERE modality = 'image'
+         |),
+         |imgv AS (
+         |  SELECT asset_id, (b * 16 + j) % 3 AS ch, ${hexByte("hx", "j")} AS v
+         |  FROM imgb, (SELECT unnest(generate_series(0, 15)) AS j) jj
+         |),
+         |imgf AS (
+         |  SELECT asset_id, 0 AS frame_idx,
+         |         SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS s1,
+         |         SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS s2,
+         |         SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS s3
+         |  FROM imgv GROUP BY asset_id
+         |),
+         |audb AS (
+         |  SELECT asset_id, b,
+         |         md5(CAST(asset_id AS VARCHAR) || '#aud#' || CAST(b AS VARCHAR)) AS hx
+         |  FROM assets, (SELECT unnest(generate_series(0, 31)) AS b) bb
+         |  WHERE modality = 'audio'
+         |),
+         |audv AS (
+         |  SELECT asset_id,
+         |         ${hexByte("hx", "2 * m")} * 256 + ${hexByte("hx", "2 * m + 1")} - 32768 AS v
+         |  FROM audb, (SELECT unnest(generate_series(0, 7)) AS m) mm
+         |),
+         |audf AS (
+         |  SELECT asset_id, 0 AS frame_idx, SUM(v) AS s1, MAX(v) AS s2, MIN(v) AS s3
+         |  FROM audv GROUP BY asset_id
+         |),
+         |vidb AS (
+         |  SELECT asset_id, fi, b,
+         |         md5(CAST(asset_id AS VARCHAR) || '#vid#' || CAST(fi AS VARCHAR)
+         |             || '#' || CAST(b AS VARCHAR)) AS hx
+         |  FROM (SELECT asset_id,
+         |               unnest(generate_series(0, CAST(n_chars % 3 AS INTEGER) + 1, $Stride)) AS fi
+         |        FROM assets WHERE modality = 'video') fz,
+         |       (SELECT unnest(generate_series(0, 11)) AS b) bb
+         |),
+         |vidv AS (
+         |  SELECT asset_id, fi, (b * 16 + j) % 3 AS ch, ${hexByte("hx", "j")} AS v
+         |  FROM vidb, (SELECT unnest(generate_series(0, 15)) AS j) jj
+         |),
+         |vidf AS (
+         |  SELECT asset_id, fi AS frame_idx,
+         |         SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS s1,
+         |         SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS s2,
+         |         SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS s3
+         |  FROM vidv GROUP BY asset_id, fi
+         |),
+         |allf AS (
+         |  SELECT * FROM imgf UNION ALL SELECT * FROM audf UNION ALL SELECT * FROM vidf
+         |)
+         |SELECT a.modality,
+         |       CAST(COUNT(DISTINCT f.asset_id) AS BIGINT) AS n_assets,
+         |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |       CAST(SUM(f.s1) AS BIGINT) AS sum1,
+         |       CAST(SUM(f.s2) AS BIGINT) AS sum2,
+         |       CAST(SUM(f.s3) AS BIGINT) AS sum3
+         |FROM allf f JOIN assets a USING (asset_id)
+         |GROUP BY a.modality ORDER BY a.modality""".stripMargin)
 }
