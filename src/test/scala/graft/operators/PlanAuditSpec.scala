@@ -81,4 +81,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(1500))
     assert(!p.contains("SortAggregate"), "count-by-key must stay hash-based")
   }
+
+  test("a03 range join broadcasts the grid-bounded side (fa never shuffles into it)") {
+    val p = plan(SessionQueries.queries("a03_session_copresence")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the exploded range list must broadcast over frame_actors:\n${p.take(1500)}")
+  }
+
+  test("c12 probe-day metrics partition-prune the edge scan") {
+    val p = plan(GraphMetricsQueries.queries("c12_clustering_coeff")(spark, dir))
+    val pf = partitionFilters(p)
+    assert(pf.contains("year") && pf.contains("day"),
+      s"fi scan must prune to the probe date: ${pf.take(300)}")
+  }
+
+  test("dd5 contamination never joins eval docs against train docs directly") {
+    // the scale contract: one join keyed on the shingle against the
+    // DISTINCT train-shingle set — no doc×doc shape anywhere
+    val docJoin = """Join \[d\d?#\d+\], \[d\d?#\d+\]""".r
+    val p = plan(DedupQueries.queries("dd5_contamination")(spark, dir))
+    assert(docJoin.findFirstIn(p).isEmpty, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
