@@ -22,7 +22,7 @@ object SparkEntry {
     RelationalQueries.queries ++ ParityQueries.queries ++ TimelineQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ AsOfQueries.queries ++ SessionQueries.queries ++
-      ReachabilityQueries.queries ++ GraphMetricsQueries.queries
+      ReachabilityQueries.queries ++ GraphMetricsQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,7 +30,7 @@ object SparkEntry {
     RelationalQueries.oracleSql ++ ParityQueries.oracleSql ++ TimelineQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ AsOfQueries.oracleSql ++ SessionQueries.oracleSql ++
-      ReachabilityQueries.oracleSql ++ GraphMetricsQueries.oracleSql
+      ReachabilityQueries.oracleSql ++ GraphMetricsQueries.oracleSql ++ PipelineQueries.oracleSql
 
   /** Materialize every at-rest structure (graph tables + probes, shingle /
     * minhash-band / LSH / IVF indexes) for `dir` — ingest-time work a query

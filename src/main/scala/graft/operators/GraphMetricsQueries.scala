@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.build.{EventGraphSql, GraphCache}
+import graft.functions.Exact
 
 /** Whole-run graph metrics over the canonicalized interaction edge set —
   * the structural analytics layer on top of the reference's neighbor /
@@ -52,10 +53,16 @@ object GraphMetricsQueries {
   /** Label-propagation round cap (component diameter bound). */
   private val MaxRounds = 50
 
+  /** Fixed power-iteration count for the DECLARED g04 query (the oracle
+    * unrolls exactly this many rounds; convergence-threshold stopping would
+    * make the oracle's unroll depth data-dependent). */
+  private val PrIters = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_clustering_coeff" -> c12,
     "g02_kcore" -> g02,
-    "g03_components" -> g03)
+    "g03_components" -> g03,
+    "g04_pagerank" -> g04)
 
   /** Distinct canonical edges active on the probe date — a
     * partition-pruned scan (year/month/day are the at-rest partition
@@ -170,6 +177,37 @@ object GraphMetricsQueries {
       .orderBy($"actor_id")
   }
 
+  /** g04: PageRank on the probe-day window — [[PrIters]] power iterations of
+    * `pr' = 0.15/N + 0.85·Σ_{u∈N(v)} pr(u)/deg(u)` over the undirected
+    * day-edge set (no dangling mass: every vertex of an edge list has
+    * degree ≥ 1, so Σ pr stays exactly 1 — asserted in GraphMetricsSpec).
+    * Each iteration is one equi-join + one hash agg, the relational Pregel
+    * superstep: at 100 TB the edge list stays partitioned by `src`, the
+    * (small) rank table shuffles. The per-neighbor sum uses the library's
+    * decimal-exact double aggregation ([[graft.functions.Exact]]) so the
+    * result is association-order independent — identical bits on any
+    * cluster size AND on the DuckDB oracle's completely different join
+    * order. No `ln`/`exp` anywhere: every step is IEEE +,·,/ mirrored
+    * exactly by the unrolled-CTE oracle. */
+  private def g04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = dayEdges(s, d)
+    val und = e.select($"actor1".as("src"), $"actor2".as("dst"))
+      .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
+    val deg = und.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val n = deg.count() // scalar vertex count (A3 probe-lookup analog)
+    var rank = deg.select($"src".as("actor_id"), (lit(1.0) / n).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = und
+        .join(deg, "src")
+        .join(rank.withColumnRenamed("actor_id", "src"), "src")
+        .select($"dst".as("actor_id"), ($"pr" / $"deg").as("c"))
+      rank = contrib.groupBy($"actor_id")
+        .agg((lit(0.15) / n + lit(0.85) * Exact.dsum($"c")).as("pr"))
+    }
+    rank.orderBy($"actor_id")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   /** Distinct canonical edges on the probe date (matches [[dayEdges]]). */
@@ -228,6 +266,30 @@ object GraphMetricsQueries {
          |)
          |SELECT actor_id, component FROM comp
          |ORDER BY actor_id""".stripMargin),
+    // unrolled power iterations; double literals as 0.15e0 etc. so DuckDB
+    // parses them via strtod (bit-identical to Spark's double literal) and
+    // never through its own decimal arithmetic
+    "g04_pagerank" -> EventGraphSql.query(
+      s""", $dayEdgesSql,
+         |und AS MATERIALIZED (
+         |  SELECT actor1 AS src, actor2 AS dst FROM inter_d
+         |  UNION ALL SELECT actor2, actor1 FROM inter_d),
+         |pdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+         |pn AS (SELECT COUNT(*) AS n FROM pdeg),
+         |r0 AS MATERIALIZED (
+         |  SELECT src AS actor_id, 1.0e0 / pn.n AS pr FROM pdeg, pn)""".stripMargin +
+        (1 to PrIters).map { i =>
+          s""",
+             |r$i AS MATERIALIZED (
+             |  SELECT u.dst AS actor_id,
+             |         0.15e0 / pn.n + 0.85e0 * ${Exact.sqlSum("r.pr / pdeg.deg")} AS pr
+             |  FROM und u
+             |  JOIN r${i - 1} r ON u.src = r.actor_id
+             |  JOIN pdeg ON u.src = pdeg.src, pn
+             |  GROUP BY u.dst, pn.n)""".stripMargin
+        }.mkString +
+        s"""
+           |SELECT actor_id, pr FROM r$PrIters ORDER BY actor_id""".stripMargin),
     // every peel CTE is MATERIALIZED: each round references its predecessor
     // twice, so default CTE inlining would expand m16 into 2^16 copies of
     // the edge derivation (observed as a too-many-open-files explosion)

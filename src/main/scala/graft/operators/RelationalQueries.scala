@@ -37,7 +37,8 @@ object RelationalQueries {
     "q11_rollup" -> q11,
     "q12_corr_exists" -> q12,
     "q13_percentiles" -> q13,
-    "q14_cube" -> q14)
+    "q14_cube" -> q14,
+    "q15_salted_join" -> q15)
 
   /** TPC-H Q1-style pricing summary: wide partial+final hash agg over the fact
     * table, no joins, filter pushed to parquet. */
@@ -243,6 +244,24 @@ object RelationalQueries {
       .orderBy($"p_partkey")
   }
 
+  /** Skew-salted fact join ([[Skew.saltedJoin]], salt=8, discriminator =
+    * the (orderkey, linenumber) row id): lineitem⋈orders then revenue per
+    * order priority. The oracle is the PLAIN join — salting must be
+    * result-invisible; `SkewSpec` additionally proves row-identity against
+    * the unsalted join for several salt values. */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o_orderkey"), $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+    val ord = Tables.orders(s, d).select($"o_orderkey", $"o_orderpriority")
+    Skew.saltedJoin(li, ord, Seq("o_orderkey"), 8,
+        saltBy = hash($"o_orderkey", $"l_linenumber"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), dsum($"rev").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -351,6 +370,13 @@ object RelationalQueries {
          |FROM orders
          |GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS BIGINT))
          |ORDER BY status, o_year""".stripMargin,
+    "q15_salted_join" ->
+      s"""SELECT o_orderpriority,
+         |  COUNT(*) AS n_lines,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
     "q12_corr_exists" ->
       """SELECT p_partkey, p_brand, max_qty, n_big FROM part
         |JOIN (SELECT l_partkey, MAX(l_quantity) AS max_qty, COUNT(*) AS n_big

@@ -26,7 +26,9 @@ object TextQueries {
     "tx4_fingerprint" -> tx4,
     "tx5_stratified_sample" -> tx5,
     "tx6_fulltext_search" -> tx6,
-    "tx7_repetition" -> tx7)
+    "tx7_repetition" -> tx7,
+    "tx8_bigram_topk" -> tx8,
+    "tx9_tfidf_terms" -> tx9)
 
   /** Force at-rest posting-index materialization (untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -196,6 +198,47 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** tx8: corpus bigram top-k — the n-gram frequency profile corpus curation
+    * uses for boilerplate detection and contamination screens. Bigrams are
+    * formed per row with a codegen'd `zip_with` over two array slices (no
+    * per-token shuffle until the count), then one partial+final hash agg and
+    * a global top-20 (`TakeOrderedAndProject`, never a full sort) with the
+    * (count desc, bigram) total order making ties deterministic. */
+  private def tx8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = wsTokens($"text")
+    val bigrams = when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, d)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), $"bigram").limit(20)
+  }
+
+  /** tx9: per-document top TF-IDF terms off the at-rest posting index — the
+    * keyword-extraction shape (tf and df both come straight from the index;
+    * the only new shuffle is the per-document window). The score is the
+    * rational `tf·N/df` evaluated as one double division — no `ln`, whose
+    * last-ulp rounding is libm-dependent and would break the bit-exact
+    * oracle — which ranks identically to classic tf·idf for fixed N. */
+  private def tx9(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = postings(s, d)
+    val n = Tables.documents(s, d).count()
+    val byDf = p.groupBy($"t").agg(countDistinct($"doc_id").as("df"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy(desc("score"), $"term")
+    p.join(byDf, "t")
+      .select($"doc_id", $"t".as("term"),
+        (($"tf" * lit(n)).cast("double") / $"df").as("score"))
+      .withColumn("rn", row_number().over(win))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"term", $"score")
+      .orderBy($"doc_id", desc("score"), $"term")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
@@ -278,6 +321,32 @@ object TextQueries {
            |GROUP BY doc_id
            |HAVING COUNT(DISTINCT t) = 2
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+      "tx8_bigram_topk" ->
+        s"""SELECT bigram, COUNT(*) AS n FROM (
+           |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+           |                               i -> w[i] || ' ' || w[i+1])) AS bigram
+           |  FROM (SELECT $wsTokSql AS w FROM documents) z) y
+           |GROUP BY bigram
+           |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+      "tx9_tfidf_terms" ->
+        s"""WITH p AS (
+           |  SELECT t, doc_id, COUNT(*) AS tf FROM (
+           |    SELECT doc_id, unnest($wsTokSql) AS t FROM documents) z
+           |  GROUP BY t, doc_id
+           |),
+           |n AS (SELECT COUNT(*) AS n FROM documents),
+           |bydf AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY t),
+           |scored AS (
+           |  SELECT doc_id, t AS term,
+           |         CAST(tf * n AS DOUBLE) / df AS score
+           |  FROM p JOIN bydf USING (t), n
+           |)
+           |SELECT doc_id, term, score FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+           |                               ORDER BY score DESC, term) AS rn
+           |  FROM scored) w
+           |WHERE rn <= 3
+           |ORDER BY doc_id, score DESC, term""".stripMargin,
       "tx7_repetition" ->
         s"""SELECT doc_id,
            |  CAST(len(tri) AS BIGINT) AS n_trigrams,

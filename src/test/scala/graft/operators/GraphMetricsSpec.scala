@@ -64,6 +64,34 @@ class GraphMetricsSpec extends SparkSpec {
     assert(core.size < all.size, "fixture peel should actually drop vertices")
   }
 
+  test("g04 pagerank conserves probability mass and matches a naive recompute") {
+    import spark.implicits._
+    val pr = GraphMetricsQueries.queries("g04_pagerank")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.nonEmpty)
+    // no dangling vertices => sum pr stays exactly 1 every iteration (up to
+    // the 1e-10 decimal-exact rounding of each per-edge contribution)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6, s"mass=${pr.values.sum}")
+
+    // naive driver-side recompute (plain double sums, no decimal rounding)
+    val edges = dayEdges.select($"actor1", $"actor2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges ++ edges.map(e => (e._2, e._1))
+    val adj = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    val n = adj.size
+    var rank = adj.keys.map(_ -> 1.0 / n).toMap
+    // NB: sum over the neighbor ARRAY — a `.keys`-based formulation returns
+    // a Set whose map() would deduplicate equal contribution values
+    for (_ <- 1 to 3)
+      rank = adj.map { case (v, nbrs) =>
+        v -> (0.15 / n + 0.85 * nbrs.map(u => rank(u) / adj(u).size).sum)
+      }
+    assert(pr.keySet == rank.keySet)
+    pr.foreach { case (v, p) =>
+      assert(math.abs(p - rank(v)) < 1e-9, s"rank mismatch for $v: $p vs ${rank(v)}")
+    }
+  }
+
   test("g03 components match the GraphX mirror") {
     val tg = TemporalGraph.fromEdges(
       dayEdges.select("frame_id", "actor1", "actor2", "weight"))
