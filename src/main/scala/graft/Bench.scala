@@ -52,7 +52,13 @@ object Bench {
       case e: Throwable =>
         errors("_warm") = e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
     }
-    val stats = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // profiling aid: SPARK_GRAFT_BENCH_ONLY=<substring[,substring...]> runs a
+    // subset under otherwise-identical conditions (warm caches, shared
+    // session). The driver never sets it, so the contract is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    val stats = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

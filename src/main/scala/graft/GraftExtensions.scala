@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineExact, Dec10, DotExact, HyperSig, NormSqExact, SimHash64}
+import graft.functions.{CosineExact, Dec10, DotExact, HyperSig, NormSqExact, SimHash64, SortedFirstGeq}
 
 /** Spark-native registration of the library's custom Catalyst expressions as
   * SQL functions (SURVEY.md §4: extend via `SparkSessionExtensions`, never a
@@ -59,6 +59,10 @@ object GraftExtensions {
     ("norm_sq_exact",
       info("norm_sq_exact", "_FUNC_(array<float>) - decimal-exact squared L2 norm."),
       unary("norm_sq_exact", NormSqExact.apply) _),
+    ("sorted_first_geq",
+      info("sorted_first_geq",
+        "_FUNC_(array<bigint>, bigint) - first element >= probe of a sorted array (binary search)."),
+      binary("sorted_first_geq", SortedFirstGeq.apply) _),
     ("dec10",
       info("dec10", "_FUNC_(double) - exact DECIMAL(28,10) rounding of a double."),
       unary("dec10", Dec10.apply) _),

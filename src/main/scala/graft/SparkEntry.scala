@@ -44,5 +44,6 @@ object SparkEntry {
     SessionQueries.warm(spark, dir)
     ReachabilityQueries.warm(spark, dir)
     TextQueries.warm(spark, dir)
+    RelationalQueries.warm(spark, dir)
   }
 }

@@ -32,7 +32,7 @@ object DerivedCache {
     * + an md5 discriminator (distinct dirs can sanitize identically). The
     * source data itself is immutable by contract (TESTDATA.md); regenerating
     * a corpus in place requires clearing `target/graft-cache`. */
-  private[build] def dirKey(dir: String): String = {
+  private[graft] def dirKey(dir: String): String = {
     val san = dir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+|_+$", "")
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))

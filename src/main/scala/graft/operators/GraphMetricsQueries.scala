@@ -101,10 +101,13 @@ object GraphMetricsQueries {
     import s.implicits._
     val e = dayEdges(s, d)
 
+    // loop state is a checkpointed LogicalRDD with unknown stats — broadcast
+    // it explicitly or the planner shuffles the edge set every peel round
+    // (same rationale as the g01 frontier broadcast)
     def coreDegrees(members: DataFrame): DataFrame = {
       val em = e
-        .join(members.select($"actor_id".as("actor1")), "actor1")
-        .join(members.select($"actor_id".as("actor2")), "actor2")
+        .join(broadcast(members.select($"actor_id".as("actor1"))), "actor1")
+        .join(broadcast(members.select($"actor_id".as("actor2"))), "actor2")
       em.select($"actor1".as("actor_id")).unionAll(em.select($"actor2".as("actor_id")))
         .groupBy($"actor_id").agg(count(lit(1)).as("core_degree"))
     }
@@ -160,7 +163,8 @@ object GraphMetricsQueries {
     var round = 0
     var changed = true
     while (changed && round < MaxRounds) {
-      val cand = state.join(und, state("actor_id") === und("src"))
+      // broadcast the label table for the same unknown-stats reason as g01
+      val cand = und.join(broadcast(state), und("src") === state("actor_id"))
         .select($"dst".as("actor_id"), $"label")
       val next = state.unionAll(cand)
         .groupBy($"actor_id").agg(min($"label").as("label"))
@@ -192,15 +196,20 @@ object GraphMetricsQueries {
   private def g04(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = dayEdges(s, d)
+    // snapshot the edge list and degree table once: each power iteration
+    // references both, so the un-checkpointed plan would re-scan the edge
+    // parquet and re-run the degree shuffle PrIters+1 times per execution
     val und = e.select($"actor1".as("src"), $"actor2".as("dst"))
       .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
+      .localCheckpoint(eager = false)
     val deg = und.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
     val n = deg.count() // scalar vertex count (A3 probe-lookup analog)
     var rank = deg.select($"src".as("actor_id"), (lit(1.0) / n).as("pr"))
     for (_ <- 1 to PrIters) {
       val contrib = und
-        .join(deg, "src")
-        .join(rank.withColumnRenamed("actor_id", "src"), "src")
+        .join(broadcast(deg), "src")
+        .join(broadcast(rank.withColumnRenamed("actor_id", "src")), "src")
         .select($"dst".as("actor_id"), ($"pr" / $"deg").as("c"))
       rank = contrib.groupBy($"actor_id")
         .agg((lit(0.15) / n + lit(0.85) * Exact.dsum($"c")).as("pr"))

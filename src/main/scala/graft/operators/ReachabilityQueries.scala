@@ -86,16 +86,25 @@ object ReachabilityQueries {
     val pa1 = g.probes.pa1
     val adj = adjacency(s, d)
 
-    // Loop state is snapshotted with eager localCheckpoint(), NOT persist():
+    // Loop state is snapshotted with localCheckpoint(), NOT persist():
     // unpersisting a superseded state invalidates dependent cache entries
     // (non-cascading uncache re-compiles dependents), which silently dropped
     // the final state's buffer and made every downstream action replay the
     // whole round chain. Checkpoints truncate lineage instead — each round's
     // plan starts from materialized partitions, and nothing is ever
     // invalidated behind our back.
+    //
+    // The state table CARRIES the frontier flag (`imp` = arrival improved
+    // last round) instead of a separate frontier DataFrame: under AQE every
+    // localCheckpoint's toRdd synchronously executes its shuffle stages, so
+    // the earlier two-table round (frontier checkpoint + merged-state
+    // checkpoint + signature) paid three driver-synchronous executions per
+    // round. One merged table = one checkpoint + one signature action per
+    // round, and the candidate pre-aggregation folds into the merge groupBy
+    // — ONE shuffle per round total.
+    //
     // arrival(start) = -1: the first hop may use any frame
-    var state = Seq((pa1, -1L)).toDF("actor_id", "f").localCheckpoint()
-    var frontier = state
+    var state = Seq((pa1, -1L, true)).toDF("actor_id", "f", "imp").localCheckpoint()
     // convergence signature: arrivals only ever decrease and the reached set
     // only ever grows, so (|state|, Σ arrivals) is strictly monotone until
     // the fixpoint — one tiny aggregate per round instead of a diff join
@@ -108,28 +117,35 @@ object ReachabilityQueries {
     var changed = true
     while (changed && round < MaxRounds) {
       // earliest usable hop per neighbor pair: first active frame >= the
-      // frontier arrival, straight off the sorted frame array
-      val cand = frontier.join(adj, frontier("actor_id") === adj("src"))
-        .select($"dst", array_min(filter($"fs", _ >= $"f")).as("f"))
+      // frontier arrival, via the alloc-free binary-search expression
+      // (sorted_first_geq) straight off the sorted frame array.
+      //
+      // The frontier side is EXPLICITLY broadcast: loop state is a
+      // checkpointed LogicalRDD with unknown stats, so the planner would
+      // otherwise default it to "huge" and SHUFFLE the million-row adjacency
+      // on every round (measured ~1 s/round at sf0.1 — AQE only converts
+      // the join after the adjacency map stage already ran). Broadcasting
+      // the ≤|actors| frontier is also the stated 100 TB design: adjacency
+      // stays partitioned by src and never moves.
+      val frontier = state.filter($"imp").select($"actor_id", $"f")
+      val cand = adj.join(broadcast(frontier), adj("src") === frontier("actor_id"))
+        .select($"dst".as("actor_id"),
+          graft.functions.ArraySearch.sortedFirstGeq($"fs", $"f").as("f"))
         .filter($"f".isNotNull)
-        .groupBy($"dst").agg(min($"f").as("f"))
-        .select($"dst".as("actor_id"), $"f")
-      // delta: only arrivals that BEAT the current state re-propagate
-      val newFrontier = cand
-        .join(state.select($"actor_id", $"f".as("oldf")), Seq("actor_id"), "left")
-        .filter($"oldf".isNull || $"f" < $"oldf")
-        .select($"actor_id", $"f")
+      // merge = ONE hash aggregate: min arrival overall vs min arrival among
+      // the surviving old rows decides both the new state and the new
+      // frontier flag
+      val next = state.select($"actor_id", $"f", lit(false).as("isnew"))
+        .unionAll(cand.select($"actor_id", $"f", lit(true).as("isnew")))
+        .groupBy($"actor_id")
+        .agg(min($"f").as("f"), min(when(!$"isnew", $"f")).as("oldf"))
+        .select($"actor_id", $"f", ($"oldf".isNull || $"f" < $"oldf").as("imp"))
         .localCheckpoint(eager = false)
-      val next = state.join(newFrontier, Seq("actor_id"), "left_anti")
-        .unionAll(newFrontier)
-        .localCheckpoint(eager = false)
-      // ONE action per round: the signature materializes both lazy
-      // checkpoints (frontier as a subtree of next)
+      // ONE action per round materializes the lazy checkpoint
       val nextSig = signature(next)
       changed = nextSig != sig
       sig = nextSig
       state = next
-      frontier = newFrontier
       round += 1
     }
     // a silently truncated fixpoint would be a plausible-looking WRONG answer

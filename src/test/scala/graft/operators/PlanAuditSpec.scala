@@ -95,6 +95,18 @@ class PlanAuditSpec extends SparkSpec {
       s"fi scan must prune to the probe date: ${pf.take(300)}")
   }
 
+  test("q16 bucketed join+agg plans with no hash exchange (co-located layout)") {
+    val p = plan(RelationalQueries.queries("q16_bucketed_join")(spark, dir))
+    assert(p.contains("SortMergeJoin"), s"merge-hinted bucketed join expected:\n${p.take(1500)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join/agg must not shuffle — only the final sort may exchange:\n${p.take(2000)}")
+  }
+
+  test("q15 salted join replicates the dim side without shuffling it by key") {
+    val p = plan(RelationalQueries.queries("q15_salted_join")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("dd5 contamination never joins eval docs against train docs directly") {
     // the scale contract: one join keyed on the shingle against the
     // DISTINCT train-shingle set — no doc×doc shape anywhere
