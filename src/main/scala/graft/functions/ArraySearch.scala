@@ -44,7 +44,10 @@ case class SortedFirstGeq(left: Expression, right: Expression) extends BinaryExp
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, false), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, true), _) => TypeCheckResult.TypeCheckFailure(
+      "sorted_first_geq requires non-nullable array elements (a null would " +
+        "read as garbage inside the binary search, not fail)")
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"sorted_first_geq requires (array<bigint>, bigint), got ($l, $r)")
   }

@@ -25,7 +25,8 @@ import graft.sources.Tables
 object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p01_curation" -> p01)
+    "p01_curation" -> p01,
+    "p02_kmv_cardinality" -> p02)
 
   /** Quality gate: tx2's score ≥ [[MinQuality]] (which already zeroes
     * docs under 10 tokens) and a token-count ceiling. */
@@ -57,6 +58,42 @@ object PipelineQueries {
         count(lit(1)).as("n_gated"),
         sum($"kept".cast("long")).as("n_kept"),
         Exact.davg(when($"kept", $"quality")).as("avg_quality"))
+      .orderBy($"source")
+  }
+
+  /** Sketch size: estimates kick in for groups with > [[KmvK]] distinct
+    * hashes; smaller groups fall back to the exact distinct-hash count (the
+    * standard KMV rule — the sketch IS exact below k). */
+  private val KmvK = 64
+
+  /** p02: k-minimum-values distinct-count sketch — the cardinality
+    * estimator corpus pipelines run per shard/source when exact
+    * countDistinct is too expensive to merge. Unlike HLL-based
+    * `approx_count_distinct` (whose register layout is engine-private and
+    * therefore un-oracle-able), KMV is exactly reproducible on any engine:
+    * hash = first 8 md5 hex digits of the dd1 fingerprint, estimator =
+    * (k−1)/h_k with h_k the k-th smallest distinct hash normalized by 2^32
+    * (a power-of-two division — exact in binary, so the estimate is
+    * bit-identical in Spark and the DuckDB oracle). Accuracy ~1/√(k−2)
+    * (~13% at k=64) is asserted against the exact count in PipelineSpec.
+    * Scale shape: one distinct + one per-group top-k — at 100 TB the
+    * sketch state per group is k longs, mergeable across shards. */
+  private def p02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = conv(substring(fingerprintMd5($"text"), 1, 8), 16, 10).cast("long")
+    val hv = Tables.documents(s, d).select($"source", h.as("h")).distinct()
+    val ranked = hv.withColumn("rn",
+      row_number().over(Window.partitionBy($"source").orderBy($"h")))
+    val kth = ranked.filter($"rn" === KmvK).select($"source", $"h".as("hk"))
+    val cnt = hv.groupBy($"source").agg(count(lit(1)).as("n_hashes"))
+    val exact = Tables.documents(s, d)
+      .select($"source", fingerprintMd5($"text").as("fp"))
+      .groupBy($"source").agg(countDistinct($"fp").as("n_exact"))
+    exact.join(cnt, "source").join(kth, Seq("source"), "left")
+      .select($"source", $"n_exact",
+        when($"hk".isNotNull,
+          lit((KmvK - 1).toDouble) / ($"hk".cast("double") / lit(4294967296.0)))
+          .otherwise($"n_hashes".cast("double")).as("kmv_est"))
       .orderBy($"source")
   }
 
@@ -93,6 +130,32 @@ object PipelineQueries {
            |  ${Exact.sqlAvg("CASE WHEN kept THEN quality END")} AS avg_quality
            |FROM deduped
            |GROUP BY source
-           |ORDER BY source""".stripMargin)
+           |ORDER BY source""".stripMargin,
+      "p02_kmv_cardinality" -> {
+        // first 8 md5 hex digits as a BIGINT, via the same 1-based hex-digit
+        // positions construction the tx5/dd4 oracles use
+        val fpMd5 = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+        val hex8 = (1 to 8).map { i =>
+          val pow = java.lang.Long.toString(1L << (4 * (8 - i)))
+          s"(strpos('0123456789abcdef', substring($fpMd5, $i, 1)) - 1) * $pow"
+        }.mkString("(", "\n       + ", ")")
+        s"""WITH hv AS (
+           |  SELECT DISTINCT source, $hex8 AS h
+           |  FROM documents),
+           |ranked AS (
+           |  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+           |  FROM hv),
+           |kth AS (SELECT source, h AS hk FROM ranked WHERE rn = $KmvK),
+           |cnt AS (SELECT source, COUNT(*) AS n_hashes FROM hv GROUP BY source),
+           |ex AS (
+           |  SELECT source, COUNT(DISTINCT $fpMd5) AS n_exact
+           |  FROM documents GROUP BY source)
+           |SELECT source, n_exact,
+           |  CASE WHEN hk IS NOT NULL
+           |       THEN ${(KmvK - 1).toDouble}e0 / (CAST(hk AS DOUBLE) / 4294967296.0e0)
+           |       ELSE CAST(n_hashes AS DOUBLE) END AS kmv_est
+           |FROM ex JOIN cnt USING (source) LEFT JOIN kth USING (source)
+           |ORDER BY source""".stripMargin
+      })
   }
 }

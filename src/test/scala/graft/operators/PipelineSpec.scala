@@ -43,4 +43,25 @@ class PipelineSpec extends SparkSpec {
       assert(r.getLong(2) <= r.getLong(1), s"kept exceeds gated for $s")
     }
   }
+
+  test("p02 KMV estimate tracks the exact distinct count") {
+    // sf0.1: ~250 docs/source, so the k=64 estimator actually engages
+    // (sf0.001/sf0.01 groups are below k and take the exact fallback)
+    val rows = PipelineQueries.queries("p02_kmv_cardinality")(spark, "/root/testdata/sf0.1")
+      .collect()
+    assert(rows.nonEmpty)
+    var engaged = 0
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val est = r.getDouble(2)
+      assert(est > 0.0)
+      // KMV standard error ~ 1/sqrt(k-2) ≈ 8%; allow 4 sigma
+      if (est != exact) { // estimator path (fallback is exact by construction)
+        engaged += 1
+        assert(math.abs(est - exact) / exact < 0.35,
+          s"${r.getString(0)}: est=$est exact=$exact")
+      }
+    }
+    assert(engaged > 0, "estimator never engaged — fixture too small for k")
+  }
 }
