@@ -43,11 +43,14 @@ case class SortedFirstGeq(left: Expression, right: Expression) extends BinaryExp
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
+  // containsNull is accepted either way: Spark's parquet reader reports
+  // array elements as nullable even for files written with non-null
+  // elements, so a strict containsNull=false check would reject the at-rest
+  // index scan itself. The no-null-elements precondition is the INDEX
+  // BUILDER's contract (collect_set cannot emit nulls) — documented on
+  // [[ArraySearch.firstGeq]].
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, false), LongType) => TypeCheckResult.TypeCheckSuccess
-    case (ArrayType(LongType, true), _) => TypeCheckResult.TypeCheckFailure(
-      "sorted_first_geq requires non-nullable array elements (a null would " +
-        "read as garbage inside the binary search, not fail)")
+    case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"sorted_first_geq requires (array<bigint>, bigint), got ($l, $r)")
   }

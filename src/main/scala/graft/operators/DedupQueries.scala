@@ -39,7 +39,8 @@ object DedupQueries {
     "dd2_ngram_jaccard" -> dd2,
     "dd3_minhash_lsh" -> dd3,
     "dd4_simhash" -> dd4,
-    "dd5_contamination" -> dd5)
+    "dd5_contamination" -> dd5,
+    "dd6_dup_clusters" -> dd6)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -212,6 +213,61 @@ object DedupQueries {
 
   // ---------------------------------------------------------------- oracle --
 
+  /** Round cap for the dd6 label-propagation loop (dup-cluster diameter). */
+  private val MaxClusterRounds = 50
+
+  /** dd6: near-duplicate CLUSTERING — what a curation pipeline actually
+    * consumes: pair lists (dd1 exact identity ∪ dd3 verified LSH near-dups)
+    * closed transitively into connected components, canonical id = the
+    * smallest doc id of each cluster (a near-dup of a near-dup is a dup:
+    * pairwise output alone would keep both B and C when A~B and B~C but
+    * A‖C). The component loop is g03's min-label propagation with the
+    * broadcast side INVERTED: here the edge list (verified dup pairs) is
+    * the tiny table and the label state is corpus-sized, so the pairs
+    * broadcast and the state never shuffles except for its own merge
+    * groupBy. Exact pairs are the per-fingerprint stars (doc → group min),
+    * which also covers sub-3-token docs that have no shingles for dd3. */
+  private def dd6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val near = dd3(s, d).select($"d1", $"d2")
+    val exactPairs = Tables.documents(s, d)
+      .select($"doc_id", fingerprintMd5($"text").as("fp"))
+      .withColumn("m", min($"doc_id").over(Window.partitionBy($"fp")))
+      .filter($"doc_id" =!= $"m")
+      .select($"m".as("d1"), $"doc_id".as("d2"))
+    val pairs = near.unionAll(exactPairs).distinct()
+    val und = pairs.select($"d1".as("a"), $"d2".as("b"))
+      .unionAll(pairs.select($"d2".as("a"), $"d1".as("b")))
+      .localCheckpoint(eager = false)
+    var state = Tables.documents(s, d)
+      .select($"doc_id", $"doc_id".as("label"))
+      .localCheckpoint(eager = false)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum($"label")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(state)
+    var round = 0
+    var changed = true
+    while (changed && round < MaxClusterRounds) {
+      val cand = state.join(broadcast(und), state("doc_id") === und("a"))
+        .select($"b".as("doc_id"), $"label")
+      val next = state.unionAll(cand)
+        .groupBy($"doc_id").agg(min($"label").as("label"))
+        .localCheckpoint(eager = false)
+      val nextSig = signature(next)
+      changed = nextSig != sig
+      sig = nextSig
+      state = next
+      round += 1
+    }
+    if (changed) throw new IllegalStateException(
+      s"dup-cluster labeling did not converge within $MaxClusterRounds rounds; raise the cap")
+    state.select($"doc_id", $"label".as("cluster_id"),
+        ($"doc_id" =!= $"label").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
   private val shSql =
     """sh AS (
       |  SELECT DISTINCT doc_id, sg FROM (
@@ -238,7 +294,50 @@ object DedupQueries {
        |WHERE CAST(s.shared AS DOUBLE) / (s1.n + s2.n - s.shared) >= $Tau
        |ORDER BY s.d1, s.d2""".stripMargin
 
+  private lazy val dd3Sql: String =
+    s"""WITH $shSql,
+       |idx AS (SELECT unnest(generate_series(0, ${K - 1})) AS i),
+       |mh AS (
+       |  SELECT doc_id, i, min(md5(sg || '#' || CAST(i AS VARCHAR))) AS mh
+       |  FROM sh, idx GROUP BY doc_id, i
+       |),
+       |bands AS (
+       |  SELECT doc_id, i // $BandWidth AS band,
+       |         md5(array_to_string(list_sort(list(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || mh)), '|')) AS bh
+       |  FROM mh GROUP BY doc_id, i // $BandWidth
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |),
+       |${jaccardSql("JOIN cand c ON a.doc_id = c.d1 AND b.doc_id = c.d2")}""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dd6_dup_clusters" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |SELECT d1, d2 FROM (
+         |$dd3Sql
+         |) nearp
+         |UNION
+         |SELECT m AS d1, doc_id AS d2 FROM (
+         |  SELECT doc_id,
+         |         min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS m
+         |  FROM documents) ep
+         |WHERE doc_id <> m
+         |),
+         |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |        UNION ALL SELECT d2, d1 FROM pairs),
+         |comp AS (
+         |  WITH RECURSIVE r(doc_id, label) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT u.b, r.label FROM r JOIN und u ON u.a = r.doc_id
+         |  )
+         |  SELECT doc_id, MIN(label) AS cluster_id FROM r GROUP BY doc_id
+         |)
+         |SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_dup
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "dd1_exact_dedup" ->
       """SELECT doc_id, fp, canonical_id, doc_id <> canonical_id AS is_dup FROM (
         |  SELECT doc_id,
@@ -249,24 +348,7 @@ object DedupQueries {
     "dd2_ngram_jaccard" ->
       s"""WITH $shSql,
          |${jaccardSql("")}""".stripMargin,
-    "dd3_minhash_lsh" ->
-      s"""WITH $shSql,
-         |idx AS (SELECT unnest(generate_series(0, ${K - 1})) AS i),
-         |mh AS (
-         |  SELECT doc_id, i, min(md5(sg || '#' || CAST(i AS VARCHAR))) AS mh
-         |  FROM sh, idx GROUP BY doc_id, i
-         |),
-         |bands AS (
-         |  SELECT doc_id, i // $BandWidth AS band,
-         |         md5(array_to_string(list_sort(list(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || mh)), '|')) AS bh
-         |  FROM mh GROUP BY doc_id, i // $BandWidth
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-         |),
-         |${jaccardSql("JOIN cand c ON a.doc_id = c.d1 AND b.doc_id = c.d2")}""".stripMargin,
+    "dd3_minhash_lsh" -> dd3Sql,
     // SimHash64 reconstruction: bit b of a token's hash = bit (b mod 4) of
     // the hex nibble at 1-based position 16 - b/4 of md5(token)'s first 16
     // chars (big-endian 8-byte prefix, exactly graft.functions.SimHash.hash64).
