@@ -39,7 +39,8 @@ object RelationalQueries {
     "q13_percentiles" -> q13,
     "q14_cube" -> q14,
     "q15_salted_join" -> q15,
-    "q16_bucketed_join" -> q16)
+    "q16_bucketed_join" -> q16,
+    "q17_window_funcs" -> q17)
 
   /** Bucket layout shared by q16's two sides (equal counts = co-located). */
   private val Buckets = 8
@@ -304,6 +305,27 @@ object RelationalQueries {
       .orderBy($"o_orderkey")
   }
 
+  /** Window-function variety over per-customer order histories: ranking
+    * (rank with a unique tie-break), distribution (cume_dist — chosen over
+    * percent_rank, whose single-row-partition value is engine-dependent),
+    * bucketing (ntile), and neighbors (lag/lead). One shuffle on the
+    * partition key serves all five functions — Spark evaluates them in a
+    * single Window operator pass. */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+      .select($"o_orderkey", $"o_custkey", $"rnk", $"cd", $"quartile",
+        $"prev_price", $"next_price")
+      .orderBy($"o_custkey", $"rnk")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -412,6 +434,16 @@ object RelationalQueries {
          |FROM orders
          |GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS BIGINT))
          |ORDER BY status, o_year""".stripMargin,
+    "q17_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rnk,
+        |  CUME_DIST() OVER w AS cd,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rnk""".stripMargin,
     "q16_bucketed_join" ->
       s"""SELECT o_orderkey, o_orderpriority,
          |  COUNT(*) AS n_lines,
