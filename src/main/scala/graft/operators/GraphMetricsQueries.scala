@@ -99,7 +99,8 @@ object GraphMetricsQueries {
 
   private def g02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = dayEdges(s, d)
+    // snapshot once: every peel round scans the edge list twice
+    val e = dayEdges(s, d).localCheckpoint(eager = false)
 
     // loop state is a checkpointed LogicalRDD with unknown stats — broadcast
     // it explicitly or the planner shuffles the edge set every peel round
@@ -150,8 +151,11 @@ object GraphMetricsQueries {
   private def g03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = dayEdges(s, d)
+    // snapshot once — every propagation round references the edge list, so
+    // the un-checkpointed plan would re-scan the pruned parquet per round
     val und = e.select($"actor1".as("src"), $"actor2".as("dst"))
       .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
+      .localCheckpoint(eager = false)
     var state = und.select($"src".as("actor_id")).distinct()
       .select($"actor_id", $"actor_id".as("label"))
       .localCheckpoint(eager = false)
