@@ -46,6 +46,7 @@ object DedupQueries {
   def warm(s: SparkSession, d: String): Unit = {
     shingles(s, d)
     minhashBands(s, d)
+    dupPairs(s, d)
     ()
   }
 
@@ -227,15 +228,25 @@ object DedupQueries {
     * broadcast and the state never shuffles except for its own merge
     * groupBy. Exact pairs are the per-fingerprint stars (doc → group min),
     * which also covers sub-3-token docs that have no shingles for dd3. */
+  /** At-rest verified duplicate-pair table — "the dup graph": a pipeline
+    * persists the (expensive) LSH-verify output once and every downstream
+    * consumer (clustering, removal lists, audits) starts from the scan,
+    * exactly like the shingle/band indexes it derives from. */
+  private def dupPairs(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "dup_pairs", 1) {
+      import s.implicits._
+      val near = dd3(s, d).select($"d1", $"d2")
+      val exactPairs = Tables.documents(s, d)
+        .select($"doc_id", fingerprintMd5($"text").as("fp"))
+        .withColumn("m", min($"doc_id").over(Window.partitionBy($"fp")))
+        .filter($"doc_id" =!= $"m")
+        .select($"m".as("d1"), $"doc_id".as("d2"))
+      near.unionAll(exactPairs).distinct()
+    }
+
   private def dd6(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val near = dd3(s, d).select($"d1", $"d2")
-    val exactPairs = Tables.documents(s, d)
-      .select($"doc_id", fingerprintMd5($"text").as("fp"))
-      .withColumn("m", min($"doc_id").over(Window.partitionBy($"fp")))
-      .filter($"doc_id" =!= $"m")
-      .select($"m".as("d1"), $"doc_id".as("d2"))
-    val pairs = near.unionAll(exactPairs).distinct()
+    val pairs = dupPairs(s, d)
     val und = pairs.select($"d1".as("a"), $"d2".as("b"))
       .unionAll(pairs.select($"d2".as("a"), $"d1".as("b")))
       .localCheckpoint(eager = false)
