@@ -250,30 +250,18 @@ object DedupQueries {
     val und = pairs.select($"d1".as("a"), $"d2".as("b"))
       .unionAll(pairs.select($"d2".as("a"), $"d1".as("b")))
       .localCheckpoint(eager = false)
-    var state = Tables.documents(s, d)
+    val init = Tables.documents(s, d)
       .select($"doc_id", $"doc_id".as("label"))
-      .localCheckpoint(eager = false)
-    def signature(df: DataFrame): (Long, Long) = {
+    // labels only decrease: (count, Σ label) monotone until the fixpoint
+    val state = Fixpoint.iterate(init, MaxClusterRounds, "dup-cluster labeling") { df =>
       val r = df.agg(count(lit(1)), sum($"label")).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    var sig = signature(state)
-    var round = 0
-    var changed = true
-    while (changed && round < MaxClusterRounds) {
+      Seq(r.getLong(0), r.getLong(1))
+    } { (state, _) =>
       val cand = state.join(broadcast(und), state("doc_id") === und("a"))
         .select($"b".as("doc_id"), $"label")
-      val next = state.unionAll(cand)
+      state.unionAll(cand)
         .groupBy($"doc_id").agg(min($"label").as("label"))
-        .localCheckpoint(eager = false)
-      val nextSig = signature(next)
-      changed = nextSig != sig
-      sig = nextSig
-      state = next
-      round += 1
     }
-    if (changed) throw new IllegalStateException(
-      s"dup-cluster labeling did not converge within $MaxClusterRounds rounds; raise the cap")
     state.select($"doc_id", $"label".as("cluster_id"),
         ($"doc_id" =!= $"label").as("is_dup"))
       .orderBy($"doc_id")

@@ -113,27 +113,18 @@ object GraphMetricsQueries {
         .groupBy($"actor_id").agg(count(lit(1)).as("core_degree"))
     }
 
-    var members = e.select($"actor1".as("actor_id"))
+    val init = e.select($"actor1".as("actor_id"))
       .unionAll(e.select($"actor2".as("actor_id")))
       .distinct()
-      .localCheckpoint(eager = false)
-    var n = members.count()
-    var round = 0
-    var changed = true
-    while (changed && round < MaxPeel) {
-      val next = coreDegrees(members)
+    // membership only shrinks, so |members| is the convergence signature
+    val members = Fixpoint.iterate(init, MaxPeel,
+      "k-core peeling (deeper than the oracle unroll — raise MaxPeel in code AND oracle)") {
+      df => Seq(df.count())
+    } { (members, _) =>
+      coreDegrees(members)
         .filter($"core_degree" >= CoreK)
         .select($"actor_id")
-        .localCheckpoint(eager = false)
-      val nextN = next.count()
-      changed = nextN != n
-      n = nextN
-      members = next
-      round += 1
     }
-    if (changed) throw new IllegalStateException(
-      s"k-core peeling did not converge within $MaxPeel rounds " +
-        "(deeper than the oracle unroll); raise MaxPeel in code AND oracle")
     coreDegrees(members)
       .select($"actor_id", $"core_degree")
       .orderBy($"actor_id")
@@ -156,31 +147,19 @@ object GraphMetricsQueries {
     val und = e.select($"actor1".as("src"), $"actor2".as("dst"))
       .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
       .localCheckpoint(eager = false)
-    var state = und.select($"src".as("actor_id")).distinct()
+    val init = und.select($"src".as("actor_id")).distinct()
       .select($"actor_id", $"actor_id".as("label"))
-      .localCheckpoint(eager = false)
-    def signature(df: DataFrame): (Long, Long) = {
+    // labels only decrease, so (count, Σ label) is strictly monotone
+    val state = Fixpoint.iterate(init, MaxRounds, "component labeling") { df =>
       val r = df.agg(count(lit(1)), sum($"label")).collect()(0)
-      (r.getLong(0), r.getLong(1))
-    }
-    var sig = signature(state)
-    var round = 0
-    var changed = true
-    while (changed && round < MaxRounds) {
+      Seq(r.getLong(0), r.getLong(1))
+    } { (state, _) =>
       // broadcast the label table for the same unknown-stats reason as g01
       val cand = und.join(broadcast(state), und("src") === state("actor_id"))
         .select($"dst".as("actor_id"), $"label")
-      val next = state.unionAll(cand)
+      state.unionAll(cand)
         .groupBy($"actor_id").agg(min($"label").as("label"))
-        .localCheckpoint(eager = false)
-      val nextSig = signature(next)
-      changed = nextSig != sig
-      sig = nextSig
-      state = next
-      round += 1
     }
-    if (changed) throw new IllegalStateException(
-      s"component labeling did not converge within $MaxRounds rounds; raise MaxRounds")
     state.select($"actor_id", $"label".as("component"))
       .orderBy($"actor_id")
   }

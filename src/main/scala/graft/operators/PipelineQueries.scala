@@ -35,17 +35,17 @@ object PipelineQueries {
 
   private def p01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = filter(split(lower(trim($"text")), "\\s+"), t => length(t) > 0)
+    // tokenizer, stop list, and score all come from TextQueries — the gate
+    // IS tx2's, by construction, not by parallel maintenance
+    val toks = TextQueries.wsTokens($"text")
     val nTok = size(toks).cast("double")
-    val nStop = size(filter(toks,
-      t => t.isInCollection(Seq("the", "a", "and", "of", "to", "in")))).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(TextQueries.stop))).cast("double")
     val nPunct = size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
     val nChars = length($"text").cast("double")
-    val quality =
-      when(nTok >= 10, lit(1.0)).otherwise(lit(0.0)) *
-        (lit(1.0) - when(nChars > 0, nPunct / nChars).otherwise(lit(0.0))) *
-        when(when(nTok > 0, nStop / nTok).otherwise(lit(0.0)) > 0.02, lit(1.0))
-          .otherwise(lit(0.5))
+    val quality = TextQueries.qualityFormula(
+      nTok,
+      when(nTok > 0, nStop / nTok).otherwise(lit(0.0)),
+      when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)))
     val gated = Tables.documents(s, d)
       .select($"doc_id", $"source", $"text", quality.as("quality"),
         size(toks).cast("long").as("n_tokens"))
@@ -80,8 +80,8 @@ object PipelineQueries {
     * sketch state per group is k longs, mergeable across shards. */
   private def p02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val h = conv(substring(fingerprintMd5($"text"), 1, 8), 16, 10).cast("long")
-    val hv = Tables.documents(s, d).select($"source", h.as("h")).distinct()
+    val hv = Tables.documents(s, d)
+      .select($"source", graft.functions.Kmv.hashCol($"text").as("h")).distinct()
     val ranked = hv.withColumn("rn",
       row_number().over(Window.partitionBy($"source").orderBy($"h")))
     val kth = ranked.filter($"rn" === KmvK).select($"source", $"h".as("hk"))
@@ -91,16 +91,14 @@ object PipelineQueries {
       .groupBy($"source").agg(countDistinct($"fp").as("n_exact"))
     exact.join(cnt, "source").join(kth, Seq("source"), "left")
       .select($"source", $"n_exact",
-        when($"hk".isNotNull,
-          lit((KmvK - 1).toDouble) / ($"hk".cast("double") / lit(4294967296.0)))
+        when($"hk".isNotNull, graft.functions.Kmv.estimateCol($"hk", KmvK))
           .otherwise($"n_hashes".cast("double")).as("kmv_est"))
       .orderBy($"source")
   }
 
   def oracleSql: Map[String, String] = {
     val wsTok = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
-    val inStop = Seq("the", "a", "and", "of", "to", "in")
-      .map(w => s"t = '$w'").mkString("(", " OR ", ")")
+    val inStop = TextQueries.stop.map(w => s"t = '$w'").mkString("(", " OR ", ")")
     Map(
       "p01_curation" ->
         s"""WITH sig AS (
@@ -112,10 +110,9 @@ object PipelineQueries {
            |  FROM documents),
            |scored AS (
            |  SELECT doc_id, source, text, CAST(n_tok AS BIGINT) AS n_tokens,
-           |    (CASE WHEN n_tok >= 10 THEN 1.0 ELSE 0.0 END)
-           |      * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
-           |      * (CASE WHEN (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) > 0.02
-           |          THEN 1.0 ELSE 0.5 END) AS quality
+           |    ${TextQueries.qualityFormulaSql("n_tok",
+                  "CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END",
+                  "CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END")} AS quality
            |  FROM sig),
            |gated AS (
            |  SELECT * FROM scored WHERE quality >= $MinQuality AND n_tokens <= $MaxTokens),
@@ -132,13 +129,9 @@ object PipelineQueries {
            |GROUP BY source
            |ORDER BY source""".stripMargin,
       "p02_kmv_cardinality" -> {
-        // first 8 md5 hex digits as a BIGINT, via the same 1-based hex-digit
-        // positions construction the tx5/dd4 oracles use
+        // shared sketch definition: the SQL mirror of Kmv.hashCol
+        val hex8 = graft.functions.Kmv.hashSql()
         val fpMd5 = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
-        val hex8 = (1 to 8).map { i =>
-          val pow = java.lang.Long.toString(1L << (4 * (8 - i)))
-          s"(strpos('0123456789abcdef', substring($fpMd5, $i, 1)) - 1) * $pow"
-        }.mkString("(", "\n       + ", ")")
         s"""WITH hv AS (
            |  SELECT DISTINCT source, $hex8 AS h
            |  FROM documents),
@@ -152,7 +145,7 @@ object PipelineQueries {
            |  FROM documents GROUP BY source)
            |SELECT source, n_exact,
            |  CASE WHEN hk IS NOT NULL
-           |       THEN ${(KmvK - 1).toDouble}e0 / (CAST(hk AS DOUBLE) / 4294967296.0e0)
+           |       THEN ${graft.functions.Kmv.estimateSql("hk", KmvK)}
            |       ELSE CAST(n_hashes AS DOUBLE) END AS kmv_est
            |FROM ex JOIN cnt USING (source) LEFT JOIN kth USING (source)
            |ORDER BY source""".stripMargin

@@ -103,37 +103,26 @@ object ReachabilityQueries {
     val pa1 = g.probes.pa1
     val adj = adjacency(s, d)
 
-    // Loop state is snapshotted with localCheckpoint(), NOT persist():
-    // unpersisting a superseded state invalidates dependent cache entries
-    // (non-cascading uncache re-compiles dependents), which silently dropped
-    // the final state's buffer and made every downstream action replay the
-    // whole round chain. Checkpoints truncate lineage instead — each round's
-    // plan starts from materialized partitions, and nothing is ever
-    // invalidated behind our back.
+    // Loop discipline (checkpoint per round, one signature action, loud
+    // cap) lives in [[Fixpoint]]. The state table CARRIES the frontier flag
+    // (`imp` = arrival improved last round) instead of a separate frontier
+    // DataFrame: under AQE every localCheckpoint's toRdd synchronously
+    // executes its shuffle stages, so a two-table round (frontier ckpt +
+    // merged-state ckpt + signature) paid three driver-synchronous
+    // executions. One merged table = one checkpoint + one signature action
+    // per round, and the candidate pre-aggregation folds into the merge
+    // groupBy — ONE shuffle per round total.
     //
-    // The state table CARRIES the frontier flag (`imp` = arrival improved
-    // last round) instead of a separate frontier DataFrame: under AQE every
-    // localCheckpoint's toRdd synchronously executes its shuffle stages, so
-    // the earlier two-table round (frontier checkpoint + merged-state
-    // checkpoint + signature) paid three driver-synchronous executions per
-    // round. One merged table = one checkpoint + one signature action per
-    // round, and the candidate pre-aggregation folds into the merge groupBy
-    // — ONE shuffle per round total.
-    //
-    // arrival(start) = -1: the first hop may use any frame
-    var state = Seq((pa1, -1L, true)).toDF("actor_id", "f", "imp").localCheckpoint()
-    // convergence signature: arrivals only ever decrease and the reached set
-    // only ever grows, so (|state|, Σ arrivals) is strictly monotone until
-    // the fixpoint — one tiny aggregate per round instead of a diff join
-    def signature(df: DataFrame): (Long, Long, Long) = {
+    // arrival(start) = -1: the first hop may use any frame.
+    // Convergence signature: arrivals only ever decrease and the reached
+    // set only ever grows, so (|state|, Σ arrivals, |frontier|) is strictly
+    // monotone until the fixpoint.
+    val init = Seq((pa1, -1L, true)).toDF("actor_id", "f", "imp")
+    val state = Fixpoint.iterate(init, MaxRounds,
+      "temporal reachability (corpus temporal diameter exceeds the cap)") { df =>
       val r = df.agg(count(lit(1)), sum($"f"), sum($"imp".cast("long"))).collect()(0)
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-    var sig = signature(state)
-    var impCount = 1L // the seed is its own frontier
-    var round = 0
-    var changed = true
-    while (changed && round < MaxRounds) {
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    } { (state, sig) =>
       // earliest usable hop per neighbor pair: first active frame >= the
       // frontier arrival, via the alloc-free binary-search expression
       // (sorted_first_geq) straight off the sorted frame array.
@@ -145,6 +134,7 @@ object ReachabilityQueries {
       // the join after the adjacency map stage already ran). Broadcasting
       // the ≤|actors| frontier is also the stated 100 TB design: adjacency
       // stays partitioned by src and never moves.
+      val impCount = sig(2)
       val frontier = state.filter($"imp").select($"actor_id", $"f")
       val cand =
         if (impCount <= FrontierLiteralMax) {
@@ -170,26 +160,12 @@ object ReachabilityQueries {
       // merge = ONE hash aggregate: min arrival overall vs min arrival among
       // the surviving old rows decides both the new state and the new
       // frontier flag
-      val next = state.select($"actor_id", $"f", lit(false).as("isnew"))
+      state.select($"actor_id", $"f", lit(false).as("isnew"))
         .unionAll(cand.select($"actor_id", $"f", lit(true).as("isnew")))
         .groupBy($"actor_id")
         .agg(min($"f").as("f"), min(when(!$"isnew", $"f")).as("oldf"))
         .select($"actor_id", $"f", ($"oldf".isNull || $"f" < $"oldf").as("imp"))
-        .localCheckpoint(eager = false)
-      // ONE action per round materializes the lazy checkpoint
-      val nextSig = signature(next)
-      changed = nextSig != sig
-      sig = nextSig
-      impCount = nextSig._3
-      state = next
-      round += 1
     }
-    // a silently truncated fixpoint would be a plausible-looking WRONG answer
-    // (and diverge from the oracle) on any corpus with temporal diameter >
-    // MaxRounds — fail loudly instead
-    if (changed) throw new IllegalStateException(
-      s"temporal reachability did not converge within $MaxRounds rounds " +
-        "(corpus temporal diameter exceeds the cap); raise MaxRounds")
     state.filter($"actor_id" =!= pa1)
       .select($"actor_id", $"f".as("first_frame"))
       .orderBy($"actor_id")

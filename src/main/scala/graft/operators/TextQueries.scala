@@ -36,9 +36,27 @@ object TextQueries {
     ()
   }
 
-  /** Whitespace tokens of the lowercased text (empty text → empty array). */
-  private def wsTokens(c: Column): Column =
+  /** Whitespace tokens of the lowercased text (empty text → empty array).
+    * Shared with the composed curation pipeline (p01). */
+  private[operators] def wsTokens(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** THE quality formula over (token count, stopword ratio, punctuation
+    * ratio) — single source of truth for tx2 AND the p01 gate (Scala and
+    * SQL sides both): a drift between the two would silently break p01's
+    * "composed tx2 gate" contract. */
+  private[operators] def qualityFormula(nTokens: Column, stopRatio: Column,
+      punctRatio: Column): Column =
+    when(nTokens >= 10, lit(1.0)).otherwise(lit(0.0)) *
+      (lit(1.0) - punctRatio) *
+      when(stopRatio > 0.02, lit(1.0)).otherwise(lit(0.5))
+
+  /** [[qualityFormula]] as DuckDB SQL over caller-supplied expressions. */
+  private[operators] def qualityFormulaSql(nTokens: String, stopRatio: String,
+      punctRatio: String): String =
+    s"""(CASE WHEN $nTokens >= 10 THEN 1.0 ELSE 0.0 END)
+       |    * (1.0 - $punctRatio)
+       |    * (CASE WHEN ($stopRatio) > 0.02 THEN 1.0 ELSE 0.5 END)""".stripMargin
 
   /** tx1: token counting — whitespace tokens vs BPE-ish regex tokens
     * (letter runs / digit runs / single punctuation) vs chars. */
@@ -54,7 +72,7 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
-  private val stop = Seq("the", "a", "and", "of", "to", "in")
+  private[operators] val stop = Seq("the", "a", "and", "of", "to", "in")
 
   /** tx2: quality scoring — length/punctuation/stopword signals composed into
     * a deterministic score, the shape of heuristic quality filters used for
@@ -74,9 +92,7 @@ object TextQueries {
         when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)).as("punct_ratio"),
         when(nTok > 0, nChars / nTok).otherwise(lit(0.0)).as("avg_tok_len"))
       .withColumn("quality",
-        when($"n_tokens" >= 10, lit(1.0)).otherwise(lit(0.0)) *
-          (lit(1.0) - $"punct_ratio") *
-          when($"stop_ratio" > 0.02, lit(1.0)).otherwise(lit(0.5)))
+        qualityFormula($"n_tokens", $"stop_ratio", $"punct_ratio"))
       .orderBy($"doc_id")
   }
 
@@ -279,10 +295,9 @@ object TextQueries {
            |  CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
            |  CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
            |  CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0 END AS avg_tok_len,
-           |  (CASE WHEN n_tok >= 10 THEN 1.0 ELSE 0.0 END)
-           |    * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
-           |    * (CASE WHEN (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) > 0.02
-           |        THEN 1.0 ELSE 0.5 END) AS quality
+           |  ${qualityFormulaSql("n_tok",
+                "CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END",
+                "CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END")} AS quality
            |FROM t ORDER BY doc_id""".stripMargin,
       "tx3_lang_id" ->
         s"""WITH scored AS (

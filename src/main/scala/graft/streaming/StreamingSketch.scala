@@ -31,10 +31,9 @@ object StreamingSketch {
     import spark.implicits._
     docs
       .select(col("source").as[String],
-        // first 8 md5 hex digits of the dd1 fingerprint — the SAME Column
-        // construction as batch p02 (shared graft.functions.Fingerprint)
-        conv(substring(graft.functions.Fingerprint.fingerprintMd5(col("text")), 1, 8), 16, 10)
-          .cast("long").as[Long])
+        // the shared sketch definition (graft.functions.Kmv) — parity with
+        // batch p02 is BY CONSTRUCTION, not by parallel maintenance
+        graft.functions.Kmv.hashCol(col("text")).as[Long])
       .groupByKey(_._1)
       .mapGroupsWithState[KmvState, KmvEstimate](GroupStateTimeout.NoTimeout)(
         fold(k))
@@ -49,13 +48,27 @@ object StreamingSketch {
   }
 
   /** Fold new hashes into the sorted ≤k state: distinct, sorted, keep the k
-    * smallest — associative/commutative, so shard merges commute. */
-  private[streaming] def merge(state: Array[Long], hs: Iterator[Long], k: Int): Array[Long] =
-    (state.toSet ++ hs).toArray.sorted.take(k)
+    * smallest — associative/commutative, so shard merges commute. O(k)
+    * working memory REGARDLESS of batch size: once the sketch is full,
+    * hashes at or above the current k-th smallest are rejected before
+    * insertion, so a backfill micro-batch replaying millions of rows for
+    * one group never materializes more than k+1 values. */
+  private[streaming] def merge(state: Array[Long], hs: Iterator[Long], k: Int): Array[Long] = {
+    val set = scala.collection.mutable.TreeSet.empty[Long]
+    set ++= state
+    hs.foreach { h =>
+      if (set.size < k) set += h
+      else if (h < set.last) {
+        set += h
+        if (set.size > k) set -= set.last
+      }
+    }
+    set.toArray
+  }
 
-  /** The batch p02 estimator: (k−1)/h_k normalized by 2^32 once the sketch
-    * is full; exact count (= state size) below k. */
+  /** The batch p02 estimator (shared [[graft.functions.Kmv]] definition):
+    * (k−1)/h_k once the sketch is full; exact count (= state size) below k. */
   private[streaming] def estimate(sorted: Array[Long], k: Int): Double =
-    if (sorted.length >= k) (k - 1).toDouble / (sorted(k - 1).toDouble / 4294967296.0)
+    if (sorted.length >= k) graft.functions.Kmv.estimate(sorted(k - 1), k)
     else sorted.length.toDouble
 }

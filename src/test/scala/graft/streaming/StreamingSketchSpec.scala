@@ -22,21 +22,24 @@ class StreamingSketchSpec extends SparkSpec {
 
     val in = MemoryStream[(String, String)]
     val out = StreamingSketch.kmvBySource(in.toDF().toDF("source", "text"), k = 64)
-    val q = out.writeStream.format("memory").queryName("kmv_out")
-      .outputMode(OutputMode.Update).start()
+    // foreachBatch processes batches IN ORDER, so overwriting per source
+    // leaves exactly the final update — estimator-shape-agnostic (selecting
+    // "max n_hashes" from a memory sink would break once the sketch is
+    // full: later updates tie at k with different estimates)
+    val finalEst = scala.collection.mutable.Map.empty[String, Double]
+    val q = out.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[KmvEstimate], _: Long) =>
+        df.collect().foreach(e => finalEst(e.source) = e.kmv_est)
+      }
+      .start()
     try {
       // three uneven micro-batches, deliberately splitting sources across them
       val (b1, rest) = docs.splitAt(docs.length / 3)
       val (b2, b3) = rest.splitAt(rest.length / 2)
       Seq(b1, b2, b3).foreach { b => in.addData(b.toIndexedSeq); q.processAllAvailable() }
 
-      // final state per source = the update with the largest sketch
-      // (n_hashes only grows; ties carry identical estimates) — `last` over
-      // the memory table would be order-nondeterministic
-      val streamed = spark.table("kmv_out")
-        .groupBy($"source").agg(max(struct($"n_hashes", $"kmv_est")).as("m"))
-        .select($"source", $"m.kmv_est")
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val streamed = finalEst.toMap
 
       val batch = PipelineQueries.queries("p02_kmv_cardinality")(spark, dir)
         .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
