@@ -61,8 +61,9 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
-  /** Sketch size: estimates kick in for groups with > [[KmvK]] distinct
-    * hashes; smaller groups fall back to the exact distinct-hash count (the
+  /** Sketch size: estimates kick in for groups with >= [[KmvK]] distinct
+    * hashes (the `rn === KmvK` row exists exactly when the group reaches k);
+    * smaller groups fall back to the exact distinct-hash count (the
     * standard KMV rule — the sketch IS exact below k). */
   private val KmvK = 64
 

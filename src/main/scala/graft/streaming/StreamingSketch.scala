@@ -4,8 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** One group's current cardinality estimate, same contract as the batch
-  * `p02_kmv_cardinality` estimator column. */
+/** One group's current cardinality estimate. `kmv_est` has bit-exact parity
+  * with the batch `p02_kmv_cardinality` estimator column; `n_hashes` is the
+  * SKETCH size (distinct hashes retained, capped at k) — the batch query's
+  * `n_hashes` column is the uncapped full distinct-hash count, so only
+  * `kmv_est` is comparable across the two. */
 final case class KmvEstimate(source: String, n_hashes: Long, kmv_est: Double)
 
 /** Streaming KMV distinct-count sketch — the MERGEABLE-sketch property that

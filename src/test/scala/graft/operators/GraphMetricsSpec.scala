@@ -88,7 +88,11 @@ class GraphMetricsSpec extends SparkSpec {
       }
     assert(pr.keySet == rank.keySet)
     pr.foreach { case (v, p) =>
-      assert(math.abs(p - rank(v)) < 1e-9, s"rank mismatch for $v: $p vs ${rank(v)}")
+      // tolerance scales with degree: Exact.dsum rounds each per-edge
+      // contribution to DECIMAL(28,10) (up to 5e-11 error each), so a
+      // high-degree vertex on a denser fixture accumulates proportionally
+      val tol = 1e-10 * math.max(adj(v).size.toDouble, 10.0) * 3 // 3 iterations
+      assert(math.abs(p - rank(v)) < tol, s"rank mismatch for $v: $p vs ${rank(v)}")
     }
   }
 
