@@ -40,7 +40,8 @@ object DedupQueries {
     "dd3_minhash_lsh" -> dd3,
     "dd4_simhash" -> dd4,
     "dd5_contamination" -> dd5,
-    "dd6_dup_clusters" -> dd6)
+    "dd6_dup_clusters" -> dd6,
+    "dd7_prefix_containment" -> dd7)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -210,6 +211,57 @@ object DedupQueries {
         ($"n_contaminated".cast("double") / $"n_shingles".cast("double"))
           .as("contamination"))
       .orderBy($"doc_id")
+  }
+
+  /** Containment threshold for dd7 (as the exact rational 9/10 — every
+    * comparison is integer arithmetic, never a float threshold). */
+  private val ContainNum = 9
+  private val ContainDen = 10
+
+  /** dd7: prefix-filtered containment join (the PPJoin/All-Pairs prefix
+    * principle, SIGMOD'06/WWW'08 lineage): find (d1, d2) with containment
+    * C(d1→d2) = |S1∩S2| / |S1| ≥ 9/10 — the ASYMMETRIC near-dup case
+    * (quote inclusion, page-in-page, boilerplate wrapping) that Jaccard
+    * near-dup (dd2/dd3) misses by construction: a small doc fully inside a
+    * big one has tiny Jaccard but containment 1.0.
+    *
+    * Scale path: if |S1∩S2| ≥ t·|S1| then d1 can miss at most
+    * ⌊(1−t)·|S1|⌋ of its own shingles in d2, so among d1's first
+    * ⌊|S1|/10⌋+1 shingles — in GLOBAL (document-frequency, shingle) order,
+    * rarest first — at least one must hit S2. Candidate generation joins
+    * only that prefix (≈10% of the index, and the RAREST 10%: prefix
+    * shingles have df ≈ 1, so bucket fan-out is near-minimal) against the
+    * full index, then the exact verify is candidate-driven like dd3's.
+    * Every step is integer arithmetic (10·shared ≥ 9·n1, prefix bound
+    * n1 div 10 + 1), so the DuckDB oracle matches bit-for-bit; the final
+    * `containment` column is one bigint/bigint IEEE division, identical on
+    * both engines. */
+  private def dd7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d)
+    val df = sh.groupBy($"sg").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, "sg")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"sg")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val prefix = ranked
+      .filter($"rn" <= expr(s"(n * ${ContainDen - ContainNum}) div $ContainDen") + 1)
+      .select($"doc_id".as("d1"), $"sg")
+    val candidates = prefix
+      .join(sh.select($"doc_id".as("d2"), $"sg"), "sg")
+      .filter($"d1" =!= $"d2")
+      .select($"d1", $"d2").distinct()
+    val shared = candidates
+      .join(sh.select($"doc_id".as("d1"), $"sg"), "d1")
+      .join(sh.select($"doc_id".as("d2"), $"sg"), Seq("d2", "sg"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("shared"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    shared
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .filter($"shared" * ContainDen >= $"n1" * ContainNum)
+      .select($"d1", $"d2", $"n1", $"shared",
+        ($"shared".cast("double") / $"n1".cast("double")).as("containment"))
+      .orderBy($"d1", $"d2")
   }
 
   // ---------------------------------------------------------------- oracle --
@@ -389,6 +441,36 @@ object DedupQueries {
          |SELECT d1, d2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamdist
          |FROM cand WHERE bit_count(xor(sh1, sh2)) <= $HammingTau
          |ORDER BY d1, d2""".stripMargin,
+    "dd7_prefix_containment" ->
+      s"""WITH $shSql,
+         |df AS (SELECT sg, COUNT(*) AS df FROM sh GROUP BY sg),
+         |ranked AS (
+         |  SELECT doc_id, sg,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, sg) AS rn,
+         |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM sh JOIN df USING (sg)
+         |),
+         |pref AS (
+         |  SELECT doc_id AS d1, sg FROM ranked
+         |  WHERE rn <= (n * ${ContainDen - ContainNum}) // $ContainDen + 1
+         |),
+         |cand AS (
+         |  SELECT DISTINCT p.d1, b.doc_id AS d2
+         |  FROM pref p JOIN sh b ON p.sg = b.sg AND p.d1 <> b.doc_id
+         |),
+         |shared AS (
+         |  SELECT c.d1, c.d2, COUNT(*) AS shared
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1
+         |  JOIN sh b ON b.doc_id = c.d2 AND b.sg = a.sg
+         |  GROUP BY c.d1, c.d2
+         |),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT s.d1, s.d2, z.n AS n1, s.shared,
+         |       CAST(s.shared AS DOUBLE) / CAST(z.n AS DOUBLE) AS containment
+         |FROM shared s JOIN sizes z ON s.d1 = z.doc_id
+         |WHERE s.shared * $ContainDen >= z.n * $ContainNum
+         |ORDER BY s.d1, s.d2""".stripMargin,
     // same first-md5-byte split expression as tx5_stratified_sample
     "dd5_contamination" ->
       s"""WITH $shSql,

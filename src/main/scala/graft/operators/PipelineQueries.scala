@@ -26,7 +26,8 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation" -> p01,
-    "p02_kmv_cardinality" -> p02)
+    "p02_kmv_cardinality" -> p02,
+    "p03_mixture_resample" -> p03)
 
   /** Quality gate: tx2's score ≥ [[MinQuality]] (which already zeroes
     * docs under 10 tokens) and a token-count ceiling. */
@@ -97,6 +98,45 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** p03: deterministic mixture resampling — rebalance the LANGUAGE mixture
+    * (the driver corpus is en-heavy ~3:1) by downsampling every language to
+    * the smallest language's size in expectation (the domain-reweighting
+    * step a pretraining pipeline runs before tokenization; a τ-temperature
+    * or hand-set target mixture is the identical construction with a
+    * different `n_target` column). A document survives iff
+    * `hash32(doc_id) · n_docs < n_target · 2^32` — the keep decision is one
+    * pushed-down integer comparison per row against a broadcast per-group
+    * threshold: no shuffle of the corpus, no RNG (a retried task re-drawing
+    * `rand()` would duplicate or lose rows), and the same doc set survives
+    * on any cluster. The comparison runs in DECIMAL(38,0) (HUGEINT in the
+    * oracle) so it cannot overflow even with per-group counts beyond 2^31
+    * at the 100 TB end. */
+  private def p03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val target = counts.agg(min($"n_docs").as("n_target"))
+    val hash32 =
+      expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast("long")
+    val kept = docs.select($"doc_id", $"lang", hash32.as("h"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(target))
+      .filter($"h".cast("decimal(38,0)") * $"n_docs" <
+        $"n_target".cast("decimal(38,0)") * lit(Kmv32))
+      .groupBy($"lang").agg(count(lit(1)).as("n_kept"))
+    // report every language, including one that (at a tiny sf) keeps nothing
+    counts.crossJoin(target)
+      .join(kept, Seq("lang"), "left")
+      .select($"lang", $"n_docs", $"n_target",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        (coalesce($"n_kept", lit(0L)).cast("double") / $"n_docs".cast("double"))
+          .as("achieved_rate"))
+      .orderBy($"lang")
+  }
+
+  /** 2^32 — the 32-bit hash-space size as a long (p03's threshold scale). */
+  private val Kmv32 = 4294967296L
+
   def oracleSql: Map[String, String] = {
     val wsTok = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
     val inStop = TextQueries.stop.map(w => s"t = '$w'").mkString("(", " OR ", ")")
@@ -129,6 +169,28 @@ object PipelineQueries {
            |FROM deduped
            |GROUP BY source
            |ORDER BY source""".stripMargin,
+      "p03_mixture_resample" -> {
+        // 32-bit hash of the doc id key (NOT the text fingerprint): first 8
+        // md5 hex digits via 1-based positions, the tx5/dd5 construction
+        val h32 = (1 to 8).map { i =>
+          val pow = java.lang.Long.toString(1L << (4 * (8 - i)))
+          s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $pow"
+        }.mkString("(", "\n         + ", ")")
+        s"""WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+           |tgt AS (SELECT MIN(n_docs) AS n_target FROM counts),
+           |kept AS (
+           |  SELECT lang, COUNT(*) AS n_kept
+           |  FROM documents JOIN counts USING (lang), tgt
+           |  WHERE CAST($h32 AS HUGEINT) * n_docs < CAST(n_target AS HUGEINT) * 4294967296
+           |  GROUP BY lang
+           |)
+           |SELECT lang, n_docs, n_target,
+           |       coalesce(n_kept, 0) AS n_kept,
+           |       CAST(coalesce(n_kept, 0) AS DOUBLE) / CAST(n_docs AS DOUBLE) AS achieved_rate
+           |FROM (SELECT c.lang, c.n_docs, t.n_target FROM counts c, tgt t) ct
+           |LEFT JOIN kept USING (lang)
+           |ORDER BY lang""".stripMargin
+      },
       "p02_kmv_cardinality" -> {
         // shared sketch definition: the SQL mirror of Kmv.hashCol
         val hex8 = graft.functions.Kmv.hashSql()

@@ -40,7 +40,8 @@ object RelationalQueries {
     "q14_cube" -> q14,
     "q15_salted_join" -> q15,
     "q16_bucketed_join" -> q16,
-    "q17_window_funcs" -> q17)
+    "q17_window_funcs" -> q17,
+    "q18_pivot" -> q18)
 
   /** Bucket layout shared by q16's two sides (equal counts = co-located). */
   private val Buckets = 8
@@ -326,6 +327,29 @@ object RelationalQueries {
       .orderBy($"o_custkey", $"rnk")
   }
 
+  /** Pivot (long→wide reshaping): per order-year, revenue and order count
+    * pivoted by order status. The value list is EXPLICIT — `pivot(col)`
+    * without one runs a hidden collect-distinct job to discover the
+    * columns, a driver round-trip a 100 TB plan shouldn't pay (and the
+    * output schema should never depend on the data). Spark plans this as
+    * the same single-pass conditional aggregation the oracle spells out —
+    * one fact scan, partial+final agg, no extra shuffle vs q08. Groups
+    * with no rows for a status yield NULL sums (normalized to 0 on both
+    * sides) and 0 counts via the `coalesce`d count pivot. */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .withColumn("o_year", year($"o_orderdate").cast("long"))
+      .groupBy($"o_year")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum($"o_totalprice").as("rev"), count(lit(1)).as("n"))
+      .select($"o_year",
+        coalesce($"F_rev", lit(0.0)).as("rev_f"), coalesce($"F_n", lit(0L)).as("n_f"),
+        coalesce($"O_rev", lit(0.0)).as("rev_o"), coalesce($"O_n", lit(0L)).as("n_o"),
+        coalesce($"P_rev", lit(0.0)).as("rev_p"), coalesce($"P_n", lit(0L)).as("n_p"))
+      .orderBy($"o_year")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -464,6 +488,17 @@ object RelationalQueries {
         |      FROM lineitem WHERE l_quantity > 45.0 GROUP BY l_partkey) b
         |  ON p_partkey = l_partkey
         |ORDER BY p_partkey""".stripMargin,
+    "q18_pivot" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  coalesce(${sqlSum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}, 0.0) AS rev_f,
+         |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+         |  coalesce(${sqlSum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}, 0.0) AS rev_o,
+         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+         |  coalesce(${sqlSum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}, 0.0) AS rev_p,
+         |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY o_year""".stripMargin,
     "q13_percentiles" ->
       """SELECT c_mktsegment,
         |       quantile_cont(o_totalprice, 0.5) AS p50,

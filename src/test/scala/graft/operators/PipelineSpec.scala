@@ -44,6 +44,41 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("p03 keep set matches a driver-side MessageDigest recompute, exactly") {
+    // independent path: Java MessageDigest md5 + BigInteger parse, vs the
+    // query's conv(substring(md5(..)))-in-SQL hash — any divergence in the
+    // hash construction or the integer threshold rule breaks equality
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val target = counts.values.min
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = docs
+      .filter { case (id, lang) =>
+        BigInt(h32(id)) * counts(lang) < BigInt(target) * 4294967296L }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val p03 = PipelineQueries.queries("p03_mixture_resample")(spark, dir).collect()
+    assert(p03.map(_.getString(0)).toSet == counts.keySet)
+    p03.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getLong(1) == counts(lang), s"n_docs mismatch for $lang")
+      assert(r.getLong(2) == target, s"n_target mismatch for $lang")
+      assert(r.getLong(3) == expected.getOrElse(lang, 0L), s"n_kept mismatch for $lang")
+    }
+    // the skewed language must actually be downsampled near the target:
+    // binomial std ≈ √target, allow 5σ
+    val en = p03.find(_.getString(0) == "en").get
+    assert(en.getLong(1) > target, "fixture must be language-skewed for this test to bite")
+    assert(math.abs(en.getLong(3) - target) < 5 * math.sqrt(target.toDouble),
+      s"en kept ${en.getLong(3)} should concentrate near target $target")
+  }
+
   test("p02 KMV estimate tracks the exact distinct count") {
     // sf0.1: ~250 docs/source, so the k=64 estimator actually engages
     // (sf0.001/sf0.01 groups are below k and take the exact fallback)

@@ -35,6 +35,25 @@ class VariantEquivalenceSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("q18 pivot == the explicit conditional-aggregation formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.Exact.dsum
+    val pivoted = RelationalQueries.queries("q18_pivot")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    def rev(st: String) =
+      coalesce(dsum(when($"o_orderstatus" === st, $"o_totalprice")), lit(0.0))
+    def n(st: String) = count(when($"o_orderstatus" === st, lit(1)))
+    val manual = graft.sources.Tables.orders(spark, dir)
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(rev("F").as("rev_f"), n("F").as("n_f"),
+        rev("O").as("rev_o"), n("O").as("n_o"),
+        rev("P").as("rev_p"), n("P").as("n_p"))
+      .collect().map(_.toSeq).toSet
+    assert(pivoted == manual)
+    assert(pivoted.nonEmpty)
+  }
+
   test("dd3's LSH-candidate pairs are a subset of dd2's exhaustive pairs") {
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
