@@ -58,11 +58,16 @@ object GraphMetricsQueries {
     * make the oracle's unroll depth data-dependent). */
   private val PrIters = 3
 
+  /** Result cap for the declared link-prediction query (total order makes
+    * the cut deterministic). */
+  private val LpTopK = 100
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_clustering_coeff" -> c12,
     "g02_kcore" -> g02,
     "g03_components" -> g03,
-    "g04_pagerank" -> g04)
+    "g04_pagerank" -> g04,
+    "g05_link_prediction" -> g05)
 
   /** Distinct canonical edges active on the probe date — a
     * partition-pruned scan (year/month/day are the at-rest partition
@@ -200,6 +205,52 @@ object GraphMetricsQueries {
     rank.orderBy($"actor_id")
   }
 
+  /** g05: link prediction on the probe-day window — for every NON-adjacent
+    * actor pair with at least one common neighbor, the three classic
+    * neighborhood scores: common-neighbor count, Jaccard
+    * `cn / (deg(a)+deg(b)−cn)`, and the Resource-Allocation index
+    * `Σ_{z∈CN} 1/deg(z)` (RA over Adamic-Adar deliberately: AA's `1/ln deg`
+    * needs libm `ln`, whose last-ulp rounding is engine-dependent and would
+    * break the bit-exact oracle; RA is pure IEEE division and ranks the
+    * same candidates). Top-[[LpTopK]] by (ra desc, pair) — a total order,
+    * so the cut is deterministic.
+    *
+    * Plan shape at 100 TB: 2-paths are one self-equi-join of the
+    * directed edge list keyed on the middle vertex z (Σ deg(z)² work — the
+    * irreducible cost of CN-based link prediction; the day window is what
+    * bounds it, same argument as c12), per-pair scores are one partial+final
+    * hash agg, adjacency is removed with a LEFT ANTI join against the
+    * canonical edge list, and the degree table broadcasts. The RA sum uses
+    * decimal-exact accumulation so the ranking is identical on any
+    * partitioning and on the oracle. */
+  private def g05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // snapshot once: referenced by the 2-path join (twice), the anti-join,
+    // and the degree build
+    val e = dayEdges(s, d).localCheckpoint(eager = false)
+    val und = e.select($"actor1".as("src"), $"actor2".as("dst"))
+      .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
+    val deg = und.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val paths = und.select($"src".as("z"), $"dst".as("a"))
+      .join(und.select($"src".as("z"), $"dst".as("b")), "z")
+      .filter($"a" < $"b")
+    val scored = paths
+      .join(broadcast(deg.select($"src".as("z"), $"deg".as("dz"))), "z")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("common_neighbors"),
+        Exact.dsum(lit(1.0) / $"dz".cast("double")).as("ra_score"))
+    scored
+      .join(e.select($"actor1".as("a"), $"actor2".as("b")), Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.select($"src".as("a"), $"deg".as("da"))), "a")
+      .join(broadcast(deg.select($"src".as("b"), $"deg".as("db"))), "b")
+      .select($"a".as("actor_a"), $"b".as("actor_b"), $"common_neighbors",
+        ($"common_neighbors".cast("double") /
+          ($"da" + $"db" - $"common_neighbors")).as("jaccard"),
+        $"ra_score")
+      .orderBy(desc("ra_score"), $"actor_a", $"actor_b")
+      .limit(LpTopK)
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   /** Distinct canonical edges on the probe date (matches [[dayEdges]]). */
@@ -282,6 +333,37 @@ object GraphMetricsQueries {
         }.mkString +
         s"""
            |SELECT actor_id, pr FROM r$PrIters ORDER BY actor_id""".stripMargin),
+    // mirror of g05: 2-path self-join, RA via the decimal-exact sum, NOT
+    // EXISTS for the anti-join, identical total order at the cut
+    "g05_link_prediction" -> EventGraphSql.query(
+      s""", $dayEdgesSql,
+         |und AS MATERIALIZED (
+         |  SELECT actor1 AS src, actor2 AS dst FROM inter_d
+         |  UNION ALL SELECT actor2, actor1 FROM inter_d),
+         |pdeg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+         |paths AS (
+         |  SELECT p1.dst AS a, p2.dst AS b, p1.src AS z
+         |  FROM und p1 JOIN und p2 ON p1.src = p2.src AND p1.dst < p2.dst
+         |),
+         |scored AS (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         |         ${Exact.sqlSum("1.0e0 / CAST(pdeg.deg AS DOUBLE)")} AS ra_score
+         |  FROM paths JOIN pdeg ON paths.z = pdeg.src
+         |  GROUP BY a, b
+         |),
+         |nonadj AS (
+         |  SELECT s.* FROM scored s
+         |  WHERE NOT EXISTS (SELECT 1 FROM inter_d e
+         |                    WHERE e.actor1 = s.a AND e.actor2 = s.b)
+         |)
+         |SELECT n.a AS actor_a, n.b AS actor_b, n.common_neighbors,
+         |       CAST(n.common_neighbors AS DOUBLE)
+         |         / (da.deg + db.deg - n.common_neighbors) AS jaccard,
+         |       n.ra_score
+         |FROM nonadj n
+         |JOIN pdeg da ON n.a = da.src
+         |JOIN pdeg db ON n.b = db.src
+         |ORDER BY n.ra_score DESC, actor_a, actor_b LIMIT $LpTopK""".stripMargin),
     // every peel CTE is MATERIALIZED: each round references its predecessor
     // twice, so default CTE inlining would expand m16 into 2^16 copies of
     // the edge derivation (observed as a too-many-open-files explosion)

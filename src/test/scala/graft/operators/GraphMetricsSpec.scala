@@ -96,6 +96,33 @@ class GraphMetricsSpec extends SparkSpec {
     }
   }
 
+  test("g05 link prediction matches a naive neighbor-set recompute") {
+    import spark.implicits._
+    val rows = GraphMetricsQueries.queries("g05_link_prediction")(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture should produce candidate pairs")
+
+    val edges = dayEdges.select($"actor1", $"actor2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, "pairs must be canonically ordered")
+      assert(!edges.contains((a, b)), s"($a,$b) is adjacent — must be excluded")
+      val cn = adj(a).intersect(adj(b))
+      assert(cn.nonEmpty && r.getLong(2) == cn.size, s"cn mismatch for ($a,$b)")
+      val jac = cn.size.toDouble / (adj(a).size + adj(b).size - cn.size)
+      assert(r.getDouble(3) == jac, s"jaccard mismatch for ($a,$b)")
+      val ra = cn.toSeq.map(z => 1.0 / adj(z).size).sum
+      // decimal-exact vs naive double summation: 5e-11 per term
+      assert(math.abs(r.getDouble(4) - ra) < 1e-10 * math.max(cn.size, 10),
+        s"ra mismatch for ($a,$b): ${r.getDouble(4)} vs $ra")
+    }
+    // the declared query is a top-k: scores must be non-increasing
+    val scores = rows.map(_.getDouble(4)).toSeq
+    assert(scores == scores.sorted.reverse, "ra_score must be non-increasing")
+  }
+
   test("g03 components match the GraphX mirror") {
     val tg = TemporalGraph.fromEdges(
       dayEdges.select("frame_id", "actor1", "actor2", "weight"))
