@@ -30,7 +30,8 @@ object SessionQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a02_sessionize" -> a02,
-    "a03_session_copresence" -> a03)
+    "a03_session_copresence" -> a03,
+    "a05_overlap_join" -> a05)
 
   /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
     * dur_sec), session breaking when the gap to the previous event exceeds
@@ -122,6 +123,50 @@ object SessionQueries {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** a05: interval × interval overlap join — for each session, how many
+    * OTHER users' sessions truly overlap it in time (closed-interval
+    * semantics: `a1 <= e2 AND a2 <= e1`), plus the longest exact overlap in
+    * seconds. This is the general range join a03 deliberately avoids (a03
+    * joins intervals to grid-resolution STATE; a05 joins intervals to
+    * intervals with an EXACT time predicate).
+    *
+    * The scale-correct shape: the Δ-grid is the CANDIDATE GENERATOR — both
+    * sides explode to covered frame buckets (bounded by duration/Δ, never
+    * data volume) and equi-join on the bucket, which makes the shuffle keyed
+    * and the plan hash-join, never a nested-loop/cartesian; overlapping
+    * intervals always share the bucket containing `max(a1,a2)`, so candidates
+    * are a superset of the truth. The exact interval predicate then VERIFIES
+    * each candidate, and the bucket-induced duplicates collapse in one
+    * distinct keyed on the pair. The DuckDB oracle runs the opposite plan —
+    * a direct inequality join (IEJoin) with no grid at all — so the
+    * hash-match re-derives candidate completeness every round. */
+  private def a05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = GraphCache(s, d)
+    val t0 = g.probes.t0
+    val delta = g.delta
+    val sess = sessions(s, d)
+      .withColumn("f0", expr(s"(unix_timestamp(ts_start) - $t0) div $delta"))
+      .withColumn("f1", expr(s"(unix_timestamp(ts_end) - $t0) div $delta"))
+    val lhs = sess.select($"user_id".as("u1"), $"session_id".as("s1"),
+      $"ts_start".as("a1"), $"ts_end".as("e1"),
+      explode(sequence($"f0", $"f1")).as("f"))
+    val rhs = sess.select($"user_id".as("u2"), $"session_id".as("s2"),
+      $"ts_start".as("a2"), $"ts_end".as("e2"),
+      explode(sequence($"f0", $"f1")).as("f"))
+    lhs.join(rhs, "f")
+      .filter($"u1" =!= $"u2" && $"a1" <= $"e2" && $"a2" <= $"e1")
+      .select($"u1", $"s1", $"u2", $"s2", $"a1", $"e1", $"a2", $"e2")
+      .distinct()
+      .groupBy($"u1", $"s1")
+      .agg(count(lit(1)).as("n_overlap"),
+        max(unix_timestamp(least($"e1", $"e2")) -
+          unix_timestamp(greatest($"a1", $"a2"))).as("max_overlap_sec"))
+      .select($"u1".as("user_id"), $"s1".as("session_id"),
+        $"n_overlap", $"max_overlap_sec")
+      .orderBy($"user_id", $"session_id")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val sessionsSql =
@@ -154,6 +199,21 @@ object SessionQueries {
          |       CAST(n_events AS BIGINT) AS n_events, ts_start, ts_end,
          |       date_diff('second', ts_start, ts_end) AS dur_sec
          |FROM sess ORDER BY user_id, session_id""".stripMargin,
+    // the oracle's plan is the OPPOSITE of the engine's: a direct
+    // inequality join (DuckDB IEJoin), no grid — candidate completeness of
+    // the bucketed formulation is re-proven by the hash match
+    "a05_overlap_join" ->
+      s"""WITH $sessionsSql
+         |SELECT s1.user_id, CAST(s1.session_id AS BIGINT) AS session_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+         |       CAST(MAX(date_diff('second',
+         |                greatest(s1.ts_start, s2.ts_start),
+         |                least(s1.ts_end, s2.ts_end))) AS BIGINT) AS max_overlap_sec
+         |FROM sess s1 JOIN sess s2
+         |  ON s1.user_id <> s2.user_id
+         | AND s1.ts_start <= s2.ts_end AND s2.ts_start <= s1.ts_end
+         |GROUP BY s1.user_id, s1.session_id
+         |ORDER BY s1.user_id, s1.session_id""".stripMargin,
     "a03_session_copresence" -> EventGraphSql.query(
       s""", $sessionsSql,
          |sf AS (

@@ -87,6 +87,34 @@ class TemporalOpsSpec extends SparkSpec {
     assert(sess.map(_.getLong(2)).sum == nEvents, "n_events must partition the stream")
   }
 
+  test("a05 bucketed overlap join == naive theta-join (differential)") {
+    import spark.implicits._
+    val sess = SessionQueries.queries("a02_sessionize")(spark, dir)
+      .select($"user_id", $"session_id", $"ts_start", $"ts_end")
+    // the formulation a05 exists to avoid: an unkeyed theta-join (at scale
+    // this plans as BroadcastNestedLoopJoin — quadratic, fine at sf0.001)
+    val l = sess.select($"user_id".as("u1"), $"session_id".as("s1"),
+      $"ts_start".as("a1"), $"ts_end".as("e1"))
+    val r = sess.select($"user_id".as("u2"), $"session_id".as("s2"),
+      $"ts_start".as("a2"), $"ts_end".as("e2"))
+    val naive = l.join(r,
+      $"u1" =!= $"u2" && $"a1" <= $"e2" && $"a2" <= $"e1")
+      .groupBy($"u1", $"s1")
+      .agg(count(lit(1)).as("n_overlap"),
+        max(unix_timestamp(least($"e1", $"e2")) -
+          unix_timestamp(greatest($"a1", $"a2"))).as("max_overlap_sec"))
+    val fast = SessionQueries.queries("a05_overlap_join")(spark, dir)
+    val n = naive.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    val f = fast.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(f === n, "bucketed candidates + exact verify must equal the theta-join")
+    assert(f.nonEmpty)
+    // overlap is symmetric: if (u1,s1) counts (u2,s2), the reverse holds,
+    // so every overlap_sec value appears at least twice across the output
+    assert(f.values.map(_._2).forall(_ >= 0), "closed-interval overlap is non-negative")
+  }
+
   test("a03 self-presence invariant + range-dedup == naive per-session count") {
     import spark.implicits._
     val g = graft.build.GraphCache(spark, dir)
