@@ -186,6 +186,45 @@ object MultimodalPipeline {
       }
   }
 
+  /** One fixed-size analysis window of a decoded PCM16 stream — integer
+    * stats only (sum, min, max, energy = Σ v²) so the DuckDB oracle can
+    * reproduce them exactly from the generation formula. */
+  final case class AudioWindow(
+      assetId: Long,
+      winIdx: Int,
+      nSamples: Int,
+      sSum: Long,
+      sMin: Long,
+      sMax: Long,
+      energy: Long)
+
+  /** Windowed audio feature extraction over the REAL codec path: parse each
+    * WAV (RIFF chunk walk), split the PCM16 stream into fixed windows of
+    * `win` samples (last window may be short), emit per-window integer
+    * features — the frame-level analysis stage (VAD, loudness, onset
+    * detection) every audio pipeline layers over decode. Same execution
+    * model as [[decodeCodec]]: repartition by asset, per-partition batch
+    * loop, one decoder pass per asset. */
+  def decodeWavWindows(assets: Dataset[MediaAsset], win: Int): Dataset[AudioWindow] = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(col("modality") === "audio")
+      .repartition(col("assetId"))
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val (_, samples) = Codec.parseWav(a.bytes)
+          samples.grouped(win).zipWithIndex.map { case (w, i) =>
+            var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var en = 0L
+            w.foreach { v =>
+              sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+              en += v.toLong * v
+            }
+            AudioWindow(a.assetId, i, w.length, sum, mn, mx, en)
+          }
+        }
+      }
+  }
+
   /** Demo/test asset source: wraps document texts as fake binary payloads
     * (videos get an n_frames metadata entry derived from doc length). */
   def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {

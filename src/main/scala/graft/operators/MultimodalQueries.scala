@@ -19,10 +19,15 @@ object MultimodalQueries {
   private val TargetW = 64
   private val TargetH = 64
 
+  /** PCM window size (samples) for mm4; the 256-sample assets yield 4 full
+    * windows each. */
+  private val WinSize = 64
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_decode_stats" -> mm1,
     "mm2_resize_features" -> mm2,
-    "mm3_codec_decode" -> mm3)
+    "mm3_codec_decode" -> mm3,
+    "mm4_audio_windows" -> mm4)
 
   /** mm1: per-modality decode statistics — asset/frame counts and mean
     * decoded dimensions after frame-sampling every 2nd frame. */
@@ -87,6 +92,24 @@ object MultimodalQueries {
         sum($"s2").as("sum2"),
         sum($"s3").as("sum3"))
       .orderBy($"modality")
+  }
+
+  /** mm4: windowed audio features over the REAL WAV decode — per
+    * [[WinSize]]-sample window of each PCM16 stream: sample count, sum,
+    * min, max, and integer energy (Σ v²). The oracle regenerates the
+    * samples from the md5 chain WITHOUT parsing binary (window w = the
+    * samples of blocks 8w..8w+7), so a misplaced window boundary or a
+    * misread sample anywhere in the chunk walk breaks the hash match. */
+  private def mm4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = MultimodalPipeline.codecAssets(s, d)
+    MultimodalPipeline.decodeWavWindows(assets, WinSize).toDF()
+      .select($"assetId".as("asset_id"),
+        $"winIdx".cast("long").as("win_idx"),
+        $"nSamples".cast("long").as("n_samples"),
+        $"sSum".as("s_sum"), $"sMin".as("s_min"), $"sMax".as("s_max"),
+        $"energy")
+      .orderBy($"asset_id", $"win_idx")
   }
 
   /** Hex-pair byte value (0..255) at byte index `j` of md5-hex `hx`. */
@@ -184,6 +207,30 @@ object MultimodalQueries {
          |       CAST(MIN(fs) AS DOUBLE) AS feat_min,
          |       CAST(MAX(fs) AS DOUBLE) AS feat_max
          |FROM scaled GROUP BY modality ORDER BY modality""".stripMargin,
+    // mm4: audio = 32 md5 blocks of 8 samples each; window w (WinSize=64
+    // samples) = blocks 8w..8w+7, i.e. win_idx = b // (WinSize/8)
+    "mm4_audio_windows" ->
+      s"""WITH assets AS (
+         |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 1
+         |),
+         |audb AS (
+         |  SELECT asset_id, b,
+         |         md5(CAST(asset_id AS VARCHAR) || '#aud#' || CAST(b AS VARCHAR)) AS hx
+         |  FROM assets, (SELECT unnest(generate_series(0, 31)) AS b) bb
+         |),
+         |audv AS (
+         |  SELECT asset_id, b // ${WinSize / 8} AS win_idx,
+         |         ${hexByte("hx", "2 * m")} * 256 + ${hexByte("hx", "2 * m + 1")} - 32768 AS v
+         |  FROM audb, (SELECT unnest(generate_series(0, 7)) AS m) mm
+         |)
+         |SELECT asset_id, CAST(win_idx AS BIGINT) AS win_idx,
+         |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+         |       CAST(SUM(v) AS BIGINT) AS s_sum,
+         |       CAST(MIN(v) AS BIGINT) AS s_min,
+         |       CAST(MAX(v) AS BIGINT) AS s_max,
+         |       CAST(SUM(v * v) AS BIGINT) AS energy
+         |FROM audv GROUP BY asset_id, win_idx
+         |ORDER BY asset_id, win_idx""".stripMargin,
     // mm3: content = chained md5 blocks (16 bytes each); image 48 blocks
     // (16×16×3), audio 32 blocks (256 PCM16 samples, 8 per block), video
     // (n_chars%3)+2 frames of 12 blocks (8×8×3), sampled by stride 2 —

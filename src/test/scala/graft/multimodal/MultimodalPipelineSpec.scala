@@ -40,4 +40,33 @@ class MultimodalPipelineSpec extends SparkSpec {
     val resized = resize(frames, 32, 32).collect()
     assert(resized.forall(f => f.width == 32 && f.height == 32))
   }
+
+  test("WAV windows partition the stream and recompose whole-file stats") {
+    val ca = codecAssets(spark, dir)
+    val windows = decodeWavWindows(ca, 64).collect()
+    assert(windows.nonEmpty)
+    val byAsset = windows.groupBy(_.assetId)
+    // windows tile the 256-sample stream: contiguous indexes, 64 each
+    byAsset.values.foreach { ws =>
+      assert(ws.map(_.winIdx).sorted.toSeq == (0 until ws.length).toSeq)
+      assert(ws.forall(_.nSamples == 64) && ws.map(_.nSamples).sum == 256)
+    }
+    // recomposition: window stats fold back to the whole-file decode (mm3's
+    // audio row: s1 = sum, s2 = max, s3 = min)
+    val whole = decodeCodec(ca).filter(_.width == 256).collect()
+      .map(f => f.assetId -> f).toMap
+    assert(whole.keySet == byAsset.keySet)
+    byAsset.foreach { case (id, ws) =>
+      assert(ws.map(_.sSum).sum == whole(id).s1, s"sum mismatch for $id")
+      assert(ws.map(_.sMax).max == whole(id).s2, s"max mismatch for $id")
+      assert(ws.map(_.sMin).min == whole(id).s3, s"min mismatch for $id")
+      assert(ws.forall(_.energy >= 0))
+    }
+    // a short tail window is handled (non-multiple window size)
+    val odd = decodeWavWindows(ca, 60).collect().groupBy(_.assetId)
+    odd.values.foreach { ws =>
+      assert(ws.map(_.nSamples).sum == 256)
+      assert(ws.maxBy(_.winIdx).nSamples == 256 % 60)
+    }
+  }
 }
