@@ -82,7 +82,8 @@ object SimilarityQueries {
     "ss3_embed_neardup" -> ss3,
     "ss4_ivf_topk" -> ((s, d) => ivfTopK(s, d, DefaultCells, DefaultNProbe)),
     "ss5_ivf_kmeans" -> ((s, d) => kmeansTopK(s, d, DefaultCells, DefaultNProbe)),
-    "ss6_sq_rerank" -> ss6)
+    "ss6_sq_rerank" -> ss6,
+    "ss7_pq_topk" -> ss7)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -92,6 +93,7 @@ object SimilarityQueries {
     kmCentroids(s, d, DefaultCells)
     kmAssign(s, d, DefaultCells)
     sqIndex(s, d)
+    pqCodes(s, d)
     probeRow(s, d)
     ()
   }
@@ -274,6 +276,86 @@ object SimilarityQueries {
         ($"scale" * lit(pScale) * dotq.cast("double") / lit(16129.0) /
           (sqrt($"nsq") * lit(psqrtN))).as("approx"))
       .orderBy(desc("approx"), $"vec_id").limit(SqRerank)
+    approx.join(idx.select($"vec_id", $"embedding", $"nsq"), "vec_id")
+      .select($"vec_id",
+        (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
+      .orderBy(desc("cosine"), $"vec_id").limit(TopK)
+  }
+
+  // ------------------------------------------- product quantization (ss7) --
+
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each (64-dim
+    * corpus), [[PqKs]] codes per subspace. The codebook is the subvectors of
+    * the [[PqKs]] lowest-id vectors — the same FIXED deterministic quantizer
+    * discipline as ss4 (swap-in point for a trained codebook = bump
+    * [[PqVersion]], nothing else changes), so the DuckDB oracle reproduces
+    * the identical code assignment. */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqKs = 16
+  private val PqVersion = 1
+  /** Rerank pool (approx top-R → exact top-K), same contract as ss6. */
+  private val PqRerank = 50
+
+  /** Exploded corpus rows tagged with their subspace: (vec_id, m, pos, e).
+    * NB: [[evRows]] pos is 0-based (posexplode) while the oracle's
+    * generate_series pos is 1-based — hence `pos div` here vs
+    * `(pos-1) //` in SQL. */
+  private def evSub(s: SparkSession, d: String): DataFrame =
+    evRows(s, d).withColumn("m", expr(s"pos div $PqSubDim"))
+
+  /** Codebook rows (cid, m, pos, ce): subvectors of the PqKs lowest-id
+    * vectors; code id = source vec_id (the ss4/IVF convention). */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.embeddings(s, d).orderBy($"vec_id").limit(PqKs)
+      .select($"vec_id".as("cid"))
+    evSub(s, d).join(broadcast(ids), $"vec_id" === $"cid")
+      .select($"cid", $"m", $"pos", $"e".as("ce"))
+  }
+
+  /** At-rest PQ code assignment (vec_id, m, cid): per subspace, each
+    * vector's subvector maps to its min-L2 codebook entry (ties → lowest
+    * cid; distances are decimal-exact sums so the argmin is bit-stable on
+    * any engine). At 100 TB this is THE compressed-domain representation:
+    * M small ints per vector (codes) replace the float payload on the scan
+    * side, and a query touches full vectors only in the rerank pool. */
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, s"emb_pq_m${PqM}_k$PqKs", PqVersion) {
+      import s.implicits._
+      val dist = evSub(s, d).join(pqCodebook(s, d), Seq("m", "pos"))
+        .groupBy($"vec_id", $"m", $"cid")
+        .agg(dsum(($"e" - $"ce") * ($"e" - $"ce")).as("dist"))
+      val w = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"cid")
+      dist.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"vec_id", $"m", $"cid")
+    }
+
+  /** ss7: PQ ANN top-k by asymmetric distance computation — the probe
+    * builds a [[PqM]]×[[PqKs]] lookup table of exact codebook·probe
+    * subspace dots (tiny, broadcast), each vector's approximate dot is the
+    * decimal-exact sum of its M looked-up entries (reconstructed-vector ·
+    * probe), normalized by the TRUE stored norms, and only the top
+    * [[PqRerank]] pool pays an exact full-width cosine. Completes the ANN
+    * family: ss2 prunes by hash bucket, ss4/ss5 by coarse cell, ss6 shrinks
+    * scan bandwidth 4× (int8), ss7 shrinks it to M code bytes — the
+    * compressed-domain scan every billion-vector deployment runs. */
+  private def ss7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = index(s, d)
+    val p = probeRow(s, d)
+    val pid = p.getLong(0)
+    val pemb = p.getSeq[Float](1)
+    val psqrtN = math.sqrt(p.getDouble(2))
+    val pe = evSub(s, d).filter($"vec_id" === pid).select($"pos", $"e".as("pe"))
+    val lut = pqCodebook(s, d).join(pe, "pos")
+      .groupBy($"m", $"cid").agg(dsum($"ce" * $"pe").as("dotp"))
+    val approx = pqCodes(s, d).join(broadcast(lut), Seq("m", "cid"))
+      .groupBy($"vec_id").agg(dsum($"dotp").as("adot"))
+      .join(idx.select($"vec_id", $"nsq"), "vec_id")
+      .filter($"vec_id" =!= pid)
+      .select($"vec_id", ($"adot" / (sqrt($"nsq") * psqrtN)).as("approx"))
+      .orderBy(desc("approx"), $"vec_id").limit(PqRerank)
     approx.join(idx.select($"vec_id", $"embedding", $"nsq"), "vec_id")
       .select($"vec_id",
         (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
@@ -602,6 +684,61 @@ object SimilarityQueries {
          |  JOIN nrm n1 ON n1.vec_id = d.vec_id, psc, pn, probe
          |  WHERE d.vec_id <> probe.pid
          |  ORDER BY approx DESC, d.vec_id LIMIT $SqRerank
+         |),
+         |cos AS (
+         |  SELECT ev.vec_id,
+         |         ${sqlSum("ev.e * pv.pe")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("pv.pe * pv.pe")})) AS cosine
+         |  FROM ev
+         |  JOIN approx ON ev.vec_id = approx.vec_id
+         |  JOIN pv USING (pos)
+         |  GROUP BY ev.vec_id
+         |)
+         |SELECT vec_id, cosine FROM cos
+         |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
+    // identical PQ construction: subspace m = (pos-1)//SubDim, codebook =
+    // PqKs lowest-id subvectors, min-L2 assignment (decimal-exact dist,
+    // ties -> lowest cid), ADC lookup summed decimal-exact, true-norm
+    // normalization, exact rerank of the top pool
+    "ss7_pq_topk" ->
+      s"""WITH $evSql,
+         |evm AS (SELECT vec_id, pos, e, (pos - 1) // $PqSubDim AS m FROM ev),
+         |cb AS (
+         |  SELECT ic.vec_id AS cid, evm.m, evm.pos, evm.e AS ce
+         |  FROM evm JOIN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKs) ic
+         |    ON evm.vec_id = ic.vec_id
+         |),
+         |dist AS (
+         |  SELECT evm.vec_id, evm.m, cb.cid,
+         |         ${sqlSum("(evm.e - cb.ce) * (evm.e - cb.ce)")} AS dist
+         |  FROM evm JOIN cb ON evm.m = cb.m AND evm.pos = cb.pos
+         |  GROUP BY evm.vec_id, evm.m, cb.cid
+         |),
+         |codes AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |                                 ORDER BY dist, cid) AS rn
+         |    FROM dist) t
+         |  WHERE rn = 1
+         |),
+         |probe AS (SELECT min(vec_id) AS pid FROM embeddings),
+         |pv AS (SELECT pos, e AS pe FROM ev, probe WHERE vec_id = pid),
+         |nrm AS (SELECT vec_id, ${sqlSum("e * e")} AS nsq FROM ev GROUP BY vec_id),
+         |pn AS (SELECT nsq AS pnsq FROM nrm, probe WHERE vec_id = pid),
+         |lut AS (
+         |  SELECT cb.m, cb.cid, ${sqlSum("cb.ce * pv.pe")} AS dotp
+         |  FROM cb JOIN pv USING (pos) GROUP BY cb.m, cb.cid
+         |),
+         |adot AS (
+         |  SELECT codes.vec_id, ${sqlSum("lut.dotp")} AS adot
+         |  FROM codes JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
+         |  GROUP BY codes.vec_id
+         |),
+         |approx AS (
+         |  SELECT a.vec_id, a.adot / (sqrt(n1.nsq) * sqrt(pn.pnsq)) AS approx
+         |  FROM adot a JOIN nrm n1 ON n1.vec_id = a.vec_id, pn, probe
+         |  WHERE a.vec_id <> probe.pid
+         |  ORDER BY approx DESC, a.vec_id LIMIT $PqRerank
          |),
          |cos AS (
          |  SELECT ev.vec_id,

@@ -88,6 +88,13 @@ class VariantEquivalenceSpec extends SparkSpec {
     val sq = ids("ss6_sq_rerank")
     val sqRecall = sq.intersect(exact).size.toDouble / exact.size
     assert(sqRecall >= 0.9, s"ss6 recall too low: $sqRecall")
+    // product quantization (ss7): M=4 16-dim subspaces over a 16-entry
+    // fixed codebook is aggressive compression on isotropic vectors, but
+    // the ADC ranking only has to land the true top-20 inside its top-50
+    // rerank pool; floor set below the observed recall at both sfs
+    val pq = ids("ss7_pq_topk")
+    val pqRecall = pq.intersect(exact).size.toDouble / exact.size
+    assert(pqRecall >= 0.5, s"ss7 recall too low: $pqRecall")
   }
 
   test("ss3 candidates respect the threshold and canonical pair order") {
