@@ -45,5 +45,6 @@ object SparkEntry {
     ReachabilityQueries.warm(spark, dir)
     TextQueries.warm(spark, dir)
     RelationalQueries.warm(spark, dir)
+    GraphMetricsQueries.warm(spark, dir)
   }
 }

@@ -88,11 +88,20 @@ class PlanAuditSpec extends SparkSpec {
       s"the exploded range list must broadcast over frame_actors:\n${p.take(1500)}")
   }
 
-  test("c12 probe-day metrics partition-prune the edge scan") {
-    val p = plan(GraphMetricsQueries.queries("c12_clustering_coeff")(spark, dir))
-    val pf = partitionFilters(p)
-    assert(pf.contains("year") && pf.contains("day"),
-      s"fi scan must prune to the probe date: ${pf.take(300)}")
+  test("c12 probe-day metrics read the at-rest day-edge table, not frame_interactions") {
+    // round 5: the probe-day edge set is a DerivedCache table (five queries
+    // share it), so the partition pruning happens once at the index BUILD;
+    // the query plan must scan the materialized table and never fall back
+    // to the raw frame_interactions scan
+    val df = GraphMetricsQueries.queries("c12_clustering_coeff")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.exists(_.contains("edges_probe_day")),
+      s"c12 must scan the at-rest probe-day edges, got: $scans")
+    assert(!scans.exists(_.contains("frame_interactions")),
+      s"c12 must not re-derive the day window from raw edge partitions: $scans")
   }
 
   test("q16 bucketed join+agg plans with no hash exchange (co-located layout)") {
@@ -105,6 +114,29 @@ class PlanAuditSpec extends SparkSpec {
   test("q15 salted join replicates the dim side without shuffling it by key") {
     val p = plan(RelationalQueries.queries("q15_salted_join")(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("a05 interval-overlap join stays a bucket-keyed hash join") {
+    // the general range join: the Δ-grid generates candidates, so the plan
+    // must never contain the nested-loop shape the raw theta-join plans to
+    val p = plan(SessionQueries.queries("a05_overlap_join")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval×interval overlap must equi-join on the grid bucket:\n${p.take(1500)}")
+  }
+
+  test("g05 link prediction broadcasts the degree table into the score joins") {
+    val p = plan(GraphMetricsQueries.queries("g05_link_prediction")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"degree joins must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), "the top-k cut must not global-sort")
+  }
+
+  test("ss7 PQ scan joins codes against a broadcast lookup table") {
+    val p = plan(SimilarityQueries.queries("ss7_pq_topk")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the M×Ks ADC lookup table must broadcast:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), "rerank pool cut must be top-k")
   }
 
   test("dd5 contamination never joins eval docs against train docs directly") {
