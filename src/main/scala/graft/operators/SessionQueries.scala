@@ -148,18 +148,26 @@ object SessionQueries {
     val sess = sessions(s, d)
       .withColumn("f0", expr(s"(unix_timestamp(ts_start) - $t0) div $delta"))
       .withColumn("f1", expr(s"(unix_timestamp(ts_end) - $t0) div $delta"))
+    // explicit-width repartition on the bucket key: the exploded session
+    // shuffle is small, so AQE would coalesce the row-expanding join to ~1
+    // task (the documented a03 trap)
+    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
     val lhs = sess.select($"user_id".as("u1"), $"session_id".as("s1"),
       $"ts_start".as("a1"), $"ts_end".as("e1"),
       explode(sequence($"f0", $"f1")).as("f"))
+      .repartition(shuffleN, $"f")
     val rhs = sess.select($"user_id".as("u2"), $"session_id".as("s2"),
       $"ts_start".as("a2"), $"ts_end".as("e2"),
       explode(sequence($"f0", $"f1")).as("f"))
+      .repartition(shuffleN, $"f")
+    // bucket-induced duplicate pairs need no standalone distinct: MAX is
+    // duplicate-insensitive and the overlap count is a countDistinct on the
+    // partner key — one partial+final aggregation replaces the wide
+    // 8-column distinct + regroup
     lhs.join(rhs, "f")
       .filter($"u1" =!= $"u2" && $"a1" <= $"e2" && $"a2" <= $"e1")
-      .select($"u1", $"s1", $"u2", $"s2", $"a1", $"e1", $"a2", $"e2")
-      .distinct()
       .groupBy($"u1", $"s1")
-      .agg(count(lit(1)).as("n_overlap"),
+      .agg(countDistinct($"u2", $"s2").as("n_overlap"),
         max(unix_timestamp(least($"e1", $"e2")) -
           unix_timestamp(greatest($"a1", $"a2"))).as("max_overlap_sec"))
       .select($"u1".as("user_id"), $"s1".as("session_id"),
