@@ -307,7 +307,7 @@ object DedupQueries {
     * persists the (expensive) LSH-verify output once and every downstream
     * consumer (clustering, removal lists, audits) starts from the scan,
     * exactly like the shingle/band indexes it derives from. */
-  private def dupPairs(s: SparkSession, d: String): DataFrame =
+  private[operators] def dupPairs(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, "dup_pairs", 1) {
       import s.implicits._
       val near = dd3(s, d).select($"d1", $"d2")
@@ -387,31 +387,35 @@ object DedupQueries {
        |),
        |${jaccardSql("JOIN cand c ON a.doc_id = c.d1 AND b.doc_id = c.d2")}""".stripMargin
 
+  /** dd6's full clustering SQL — shared with the p04 leak-free-split oracle
+    * (PipelineQueries), which consumes clusters as a CTE. */
+  private[operators] lazy val dd6Sql: String =
+    s"""WITH pairs AS MATERIALIZED (
+       |SELECT d1, d2 FROM (
+       |$dd3Sql
+       |) nearp
+       |UNION
+       |SELECT m AS d1, doc_id AS d2 FROM (
+       |  SELECT doc_id,
+       |         min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS m
+       |  FROM documents) ep
+       |WHERE doc_id <> m
+       |),
+       |und AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |        UNION ALL SELECT d2, d1 FROM pairs),
+       |comp AS (
+       |  WITH RECURSIVE r(doc_id, label) AS (
+       |    SELECT doc_id, doc_id FROM documents
+       |    UNION
+       |    SELECT u.b, r.label FROM r JOIN und u ON u.a = r.doc_id
+       |  )
+       |  SELECT doc_id, MIN(label) AS cluster_id FROM r GROUP BY doc_id
+       |)
+       |SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_dup
+       |FROM comp ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "dd6_dup_clusters" ->
-      s"""WITH pairs AS MATERIALIZED (
-         |SELECT d1, d2 FROM (
-         |$dd3Sql
-         |) nearp
-         |UNION
-         |SELECT m AS d1, doc_id AS d2 FROM (
-         |  SELECT doc_id,
-         |         min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS m
-         |  FROM documents) ep
-         |WHERE doc_id <> m
-         |),
-         |und AS (SELECT d1 AS a, d2 AS b FROM pairs
-         |        UNION ALL SELECT d2, d1 FROM pairs),
-         |comp AS (
-         |  WITH RECURSIVE r(doc_id, label) AS (
-         |    SELECT doc_id, doc_id FROM documents
-         |    UNION
-         |    SELECT u.b, r.label FROM r JOIN und u ON u.a = r.doc_id
-         |  )
-         |  SELECT doc_id, MIN(label) AS cluster_id FROM r GROUP BY doc_id
-         |)
-         |SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_dup
-         |FROM comp ORDER BY doc_id""".stripMargin,
+    "dd6_dup_clusters" -> dd6Sql,
     "dd1_exact_dedup" ->
       """SELECT doc_id, fp, canonical_id, doc_id <> canonical_id AS is_dup FROM (
         |  SELECT doc_id,

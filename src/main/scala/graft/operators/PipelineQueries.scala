@@ -27,7 +27,8 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation" -> p01,
     "p02_kmv_cardinality" -> p02,
-    "p03_mixture_resample" -> p03)
+    "p03_mixture_resample" -> p03,
+    "p04_leakfree_split" -> p04)
 
   /** Quality gate: tx2's score ≥ [[MinQuality]] (which already zeroes
     * docs under 10 tokens) and a token-count ceiling. */
@@ -137,6 +138,32 @@ object PipelineQueries {
   /** 2^32 — the 32-bit hash-space size as a long (p03's threshold scale). */
   private val Kmv32 = 4294967296L
 
+  /** p04: leakage-free train/eval split — the dedup-aware assignment a
+    * curation pipeline must run INSTEAD of tx5's per-document hash split:
+    * near-duplicates of a training document inside the eval set are
+    * contamination (dd5 measures it; this prevents it). The split key is
+    * the dd6 CLUSTER id, so whole near-dup clusters move together and no
+    * verified dup pair can straddle the boundary BY CONSTRUCTION (pinned
+    * against the at-rest dup-pair graph in PipelineSpec, with the
+    * per-document split as the leaking positive control). Output: per
+    * split, document/cluster/dup-member counts. Scale shape: dd6's
+    * clustering (broadcast pair fixpoint) + one md5 per CLUSTER + a final
+    * tiny agg — the split decision itself is a pushed-down per-row
+    * comparison, no corpus shuffle beyond dd6's own merge. */
+  private def p04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val clusters = DedupQueries.queries("dd6_dup_clusters")(s, d)
+    val split =
+      when(expr("conv(substring(md5(cast(cluster_id as string)), 1, 2), 16, 10)")
+        .cast("long") < 64, "eval").otherwise("train")
+    clusters.withColumn("split", split)
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster_id").as("n_clusters"),
+        sum(when($"is_dup", 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy($"split")
+  }
+
   def oracleSql: Map[String, String] = {
     val wsTok = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
     val inStop = TextQueries.stop.map(w => s"t = '$w'").mkString("(", " OR ", ")")
@@ -191,6 +218,21 @@ object PipelineQueries {
            |LEFT JOIN kept USING (lang)
            |ORDER BY lang""".stripMargin
       },
+      // dd6's clustering SQL as a CTE + the tx5 hash construction keyed on
+      // the CLUSTER id
+      "p04_leakfree_split" ->
+        s"""WITH clusters AS (
+           |${DedupQueries.dd6Sql}
+           |)
+           |SELECT CASE WHEN (strpos('0123456789abcdef', substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16
+           |                 + strpos('0123456789abcdef', substring(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1 < 64
+           |            THEN 'eval' ELSE 'train' END AS split,
+           |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           |       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+           |FROM clusters
+           |GROUP BY split
+           |ORDER BY split""".stripMargin,
       "p02_kmv_cardinality" -> {
         // shared sketch definition: the SQL mirror of Kmv.hashCol
         val hex8 = graft.functions.Kmv.hashSql()

@@ -44,6 +44,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("p04 cluster-keyed split seals the dup boundary; doc-keyed split leaks") {
+    import spark.implicits._
+    val clusters = DedupQueries.queries("dd6_dup_clusters")(spark, dir)
+      .select($"doc_id", $"cluster_id")
+    def evalSide(c: org.apache.spark.sql.Column) =
+      expr(s"conv(substring(md5(cast(${c.toString} as string)), 1, 2), 16, 10)")
+        .cast("long") < 64
+    val byCluster = clusters.select($"doc_id", evalSide($"cluster_id").as("ev"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val byDoc = clusters.select($"doc_id", evalSide($"doc_id").as("ev"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val pairs = DedupQueries.dupPairs(spark, dir)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain verified dup pairs")
+    // the p04 guarantee: no verified dup pair straddles the split
+    val leaksCluster = pairs.count { case (a, b) => byCluster(a) != byCluster(b) }
+    assert(leaksCluster == 0, s"cluster-keyed split leaked $leaksCluster pairs")
+    // positive control: the naive per-document split (tx5's construction)
+    // DOES leak on this fixture — the reason p04 exists
+    val leaksDoc = pairs.count { case (a, b) => byDoc(a) != byDoc(b) }
+    assert(leaksDoc > 0, "per-doc split should leak on this fixture")
+    // the split totals partition the corpus
+    val p04 = PipelineQueries.queries("p04_leakfree_split")(spark, dir).collect()
+    assert(p04.map(_.getLong(1)).sum == clusters.count())
+  }
+
   test("p03 keep set matches a driver-side MessageDigest recompute, exactly") {
     // independent path: Java MessageDigest md5 + BigInteger parse, vs the
     // query's conv(substring(md5(..)))-in-SQL hash — any divergence in the
