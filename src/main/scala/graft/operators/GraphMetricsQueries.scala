@@ -67,7 +67,8 @@ object GraphMetricsQueries {
     "g02_kcore" -> g02,
     "g03_components" -> g03,
     "g04_pagerank" -> g04,
-    "g05_link_prediction" -> g05)
+    "g05_link_prediction" -> g05,
+    "g06_temporal_brokerage" -> g06)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -77,13 +78,16 @@ object GraphMetricsQueries {
     * shuffle. At 100 TB this is the materialized time-slice subgraph every
     * temporal-graph pipeline snapshots before running structural metrics. */
   private def dayEdges(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "edges_probe_day", 1) {
+    DerivedCache.table(s, d, "edges_probe_day", 2) {
       import s.implicits._
       val g = GraphCache(s, d)
       val p = g.probes
+      // v2 carries each edge's FIRST activation frame for the temporal
+      // wedge query (g06); the structural metrics ignore the column
       g.frameInteractions
         .filter($"year" === p.py && $"month" === p.pm && $"day" === p.pdd)
-        .select($"actor1", $"actor2").distinct()
+        .groupBy($"actor1", $"actor2")
+        .agg(min($"frame_id").as("f_min"))
     }
 
   /** Force at-rest probe-day edge materialization (untimed in Bench). */
@@ -273,6 +277,36 @@ object GraphMetricsQueries {
       .limit(LpTopK)
   }
 
+  /** g06: temporal brokerage — per actor z, the count of TIME-ORDERED
+    * wedges (a → z → b): z's first contact with a (frame f1) precedes z's
+    * first contact with b (f2 > f1), so z can relay from a to b — the
+    * temporal-motif analog of the reference's structural wedge queries
+    * (C9/C11 count un-ordered co-neighbors; dynamic-contact analyses order
+    * them in time). Uses each edge's FIRST activation on the probe day
+    * (`f_min`, carried by the at-rest day-edge table), which both defines
+    * the semantics (earliest possible relay) and bounds the join to one
+    * row per edge — joining raw frame-activations would square the
+    * per-actor activation count instead of the degree. Strict `>` means
+    * simultaneous first contacts create no wedge (no tie-break needed).
+    * Same Σ deg² / explicit-width discipline as g05. */
+  private def g06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = dayEdges(s, d)
+    val und = e.select($"actor1".as("z"), $"actor2".as("o"), $"f_min")
+      .unionAll(e.select($"actor2".as("z"), $"actor1".as("o"), $"f_min"))
+    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val in = und.select($"z", $"o".as("a"), $"f_min".as("f1"))
+      .repartition(shuffleN, $"z")
+    val out = und.select($"z", $"o".as("b"), $"f_min".as("f2"))
+      .repartition(shuffleN, $"z")
+    in.join(out, "z")
+      .filter($"a" =!= $"b" && $"f2" > $"f1")
+      .groupBy($"z")
+      .agg(count(lit(1)).as("n_wedges"), countDistinct($"b").as("n_targets"))
+      .select($"z".as("actor_id"), $"n_wedges", $"n_targets")
+      .orderBy($"actor_id")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   /** Distinct canonical edges on the probe date (matches [[dayEdges]]). */
@@ -355,6 +389,24 @@ object GraphMetricsQueries {
         }.mkString +
         s"""
            |SELECT actor_id, pr FROM r$PrIters ORDER BY actor_id""".stripMargin),
+    // mirror of g06: first-activation edges, time-ordered wedge self-join
+    "g06_temporal_brokerage" -> EventGraphSql.query(
+      s""", inter_f AS MATERIALIZED (
+         |  SELECT fi.actor1, fi.actor2, MIN(frame_id) AS f_min
+         |  FROM fi JOIN frames USING (frame_id), probe_date
+         |  WHERE frames.year = py AND frames.month = pm AND frames.day = pdd
+         |  GROUP BY fi.actor1, fi.actor2
+         |),
+         |undf AS (
+         |  SELECT actor1 AS z, actor2 AS o, f_min FROM inter_f
+         |  UNION ALL SELECT actor2, actor1, f_min FROM inter_f)
+         |SELECT a.z AS actor_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_wedges,
+         |       CAST(COUNT(DISTINCT b.o) AS BIGINT) AS n_targets
+         |FROM undf a JOIN undf b
+         |  ON a.z = b.z AND a.o <> b.o AND b.f_min > a.f_min
+         |GROUP BY a.z
+         |ORDER BY actor_id""".stripMargin),
     // mirror of g05: 2-path self-join, RA via the decimal-exact sum, NOT
     // EXISTS for the anti-join, identical total order at the cut
     "g05_link_prediction" -> EventGraphSql.query(

@@ -123,6 +123,31 @@ class GraphMetricsSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse, "ra_score must be non-increasing")
   }
 
+  test("g06 temporal wedges match a naive first-contact recompute") {
+    import spark.implicits._
+    val rows = GraphMetricsQueries.queries("g06_temporal_brokerage")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    // naive: first activation frame per canonical edge, then count ordered
+    // neighbor pairs per middle vertex driver-side
+    val first = dayEdges.groupBy($"actor1", $"actor2")
+      .agg(min($"frame_id").as("f")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byZ = (first.toSeq.map { case ((a, b), f) => (a, (b, f)) } ++
+      first.toSeq.map { case ((a, b), f) => (b, (a, f)) })
+      .groupBy(_._1).map { case (z, xs) => z -> xs.map(_._2) }
+    byZ.foreach { case (z, nbrs) =>
+      val wedges = for {
+        (a, f1) <- nbrs; (b, f2) <- nbrs if a != b && f2 > f1
+      } yield b
+      if (wedges.nonEmpty) {
+        val (nw, nt) = rows(z)
+        assert(nw == wedges.size, s"wedge count mismatch for $z")
+        assert(nt == wedges.distinct.size, s"target count mismatch for $z")
+      } else assert(!rows.contains(z), s"$z should have no wedges")
+    }
+  }
+
   test("g03 components match the GraphX mirror") {
     val tg = TemporalGraph.fromEdges(
       dayEdges.select("frame_id", "actor1", "actor2", "weight"))
