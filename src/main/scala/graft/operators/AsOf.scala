@@ -57,6 +57,42 @@ object AsOf {
       ts: String, tieBreak: String, payload: Seq[String]): DataFrame =
     joinDirected(left, right, keys, ts, tieBreak, payload, backward = false)
 
+  /** Nearest-in-time join: for each left row, the right row minimizing the
+    * ABSOLUTE time distance within the key group — backward match wins
+    * exact-distance ties (the sensor-alignment / log-correlation primitive;
+    * backward and forward as-of are its two halves). Distances compare in
+    * exact integer MICROSECONDS (no float, no second-flooring), so the
+    * choice is bit-deterministic and oracle-reproducible. Output:
+    * `nearest_<payload>` columns, `nearest_dist_us` (non-negative BIGINT,
+    * null when the key group has no right rows at all), and `nearest_dir`
+    * ('backward' | 'forward' | null). Cost: the two directed window passes
+    * over one union — still a single hash shuffle on the keys (the two
+    * sorts share the exchange), never a pair explosion. */
+  def joinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ts: String, tieBreak: String, payload: Seq[String]): DataFrame = {
+    val pay = if (payload.contains(ts)) payload else payload :+ ts
+    val clash = pay.map(c => s"nearest_$c").filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"left frame already contains output columns: ${clash.mkString(", ")}")
+    val back = joinBackward(left, right, keys, ts, tieBreak, pay)
+    val backR = pay.foldLeft(back)((df, c) =>
+      df.withColumnRenamed(s"asof_$c", s"nearest_bk_$c"))
+    val both = joinForward(backR, right, keys, ts, tieBreak, pay)
+    val backD = unix_micros(col(ts)) - unix_micros(col(s"nearest_bk_$ts"))
+    val fwdD = unix_micros(col(s"asof_$ts")) - unix_micros(col(ts))
+    val useBack = col(s"asof_$ts").isNull ||
+      (col(s"nearest_bk_$ts").isNotNull && backD <= fwdD)
+    both.select(left.columns.toIndexedSeq.map(col) ++
+      pay.map(c =>
+        when(useBack, col(s"nearest_bk_$c")).otherwise(col(s"asof_$c"))
+          .as(s"nearest_$c")) ++ Seq(
+      when(useBack, backD).otherwise(fwdD).as("nearest_dist_us"),
+      when(col(s"nearest_bk_$ts").isNull && col(s"asof_$ts").isNull,
+        lit(null).cast("string"))
+        .when(useBack, lit("backward")).otherwise(lit("forward"))
+        .as("nearest_dir")): _*)
+  }
+
   private def joinDirected(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, tieBreak: String, payload: Seq[String],
       backward: Boolean): DataFrame = {

@@ -21,7 +21,8 @@ object AsOfQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_asof_attribution" -> a01,
-    "a04_next_conversion" -> a04)
+    "a04_next_conversion" -> a04,
+    "a06_nearest_join" -> a06)
 
   private def a01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -53,6 +54,25 @@ object AsOfQueries {
       .orderBy($"event_id")
   }
 
+  /** a06 (nearest): error→click correlation — for each `error`, the same
+    * user's click CLOSEST in time, either direction, exact-microsecond
+    * distances, backward winning ties ([[AsOf.joinNearest]]). */
+  private def a06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    AsOf.joinNearest(errors, clicks, Seq("user_id"), "ts", "event_id",
+        Seq("event_id"))
+      .select($"event_id", $"user_id", $"ts",
+        $"nearest_event_id".as("click_event_id"),
+        $"nearest_ts".as("click_ts"),
+        $"nearest_dist_us".as("dist_us"), $"nearest_dir".as("dir"))
+      .orderBy($"event_id")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "a01_asof_attribution" ->
       """WITH u AS (
@@ -72,6 +92,49 @@ object AsOfQueries {
         |)
         |SELECT event_id, user_id, ts, value, view_event_id, view_ts
         |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin,
+    // both directed window carries over one tagged union, then the exact
+    // integer-microsecond comparison picks the closer side (ties backward)
+    "a06_nearest_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_left
+        |  FROM events WHERE event_type IN ('error', 'click')
+        |),
+        |b AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)
+        |           OVER wb AS bk_id,
+        |         last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+        |           OVER wb AS bk_ts
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_left, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |),
+        |f AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)
+        |           OVER wf AS fw_id,
+        |         last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+        |           OVER wf AS fw_ts
+        |  FROM b
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts DESC, is_left, event_id DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |),
+        |pick AS (
+        |  SELECT event_id, user_id, ts, bk_id, bk_ts, fw_id, fw_ts,
+        |         (fw_ts IS NULL OR (bk_ts IS NOT NULL
+        |            AND epoch_us(ts) - epoch_us(bk_ts) <= epoch_us(fw_ts) - epoch_us(ts)))
+        |           AS use_bk
+        |  FROM f WHERE is_left = 1
+        |)
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN use_bk THEN bk_id ELSE fw_id END AS click_event_id,
+        |       CASE WHEN use_bk THEN bk_ts ELSE fw_ts END AS click_ts,
+        |       CASE WHEN use_bk THEN epoch_us(ts) - epoch_us(bk_ts)
+        |            ELSE epoch_us(fw_ts) - epoch_us(ts) END AS dist_us,
+        |       CASE WHEN bk_ts IS NULL AND fw_ts IS NULL THEN NULL
+        |            WHEN use_bk THEN 'backward' ELSE 'forward' END AS dir
+        |FROM pick ORDER BY event_id""".stripMargin,
     // forward mirror: descending time, equal-ts purchases sort before the
     // view row, smallest event_id wins among equal purchase timestamps
     "a04_next_conversion" ->

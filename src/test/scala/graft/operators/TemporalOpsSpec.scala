@@ -55,6 +55,39 @@ class TemporalOpsSpec extends SparkSpec {
       "fixture should exercise both converting and non-converting views")
   }
 
+  test("nearest join == naive |Δt| argmin with backward tie preference") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir)
+    val e = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    // naive: all same-user pairs, order by (|Δ|, prefer backward, the
+    // directional tie rules), keep the first
+    val dist = abs(unix_micros($"c_ts") - unix_micros($"ts"))
+    val isFwd = (unix_micros($"c_ts") > unix_micros($"ts")).cast("int")
+    val naive = e.join(c, $"user_id" === $"c_user", "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_id").orderBy(
+          dist.asc, isFwd.asc,
+          // backward keeps the GREATEST id among equal ts, forward the
+          // SMALLEST — mirror of the directed operators' tie rules
+          when(isFwd === 0, -$"c_id").otherwise($"c_id").asc)))
+      .filter($"rn" === 1)
+      .select($"event_id", $"c_id")
+    val fast = AsOfQueries.queries("a06_nearest_join")(spark, dir)
+      .select($"event_id", $"click_event_id", $"dir", $"dist_us")
+    val n = naive.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val f = fast.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(f === n, "window formulation must equal the naive |Δt| argmin")
+    // distances are non-negative; both directions occur on the fixture
+    val rows = fast.collect()
+    assert(rows.forall(r => r.isNullAt(3) || r.getLong(3) >= 0))
+    val dirs = rows.map(_.getString(2)).filter(_ != null).toSet
+    assert(dirs == Set("backward", "forward"),
+      s"fixture should exercise both directions, got $dirs")
+  }
+
   test("sessionization invariants: partition, ordering, gap separation") {
     import spark.implicits._
     val gap = 1800L
