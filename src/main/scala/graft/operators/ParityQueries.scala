@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.build.{EventGraphSql, GraphCache, MaterializedGraph}
@@ -45,7 +46,8 @@ object ParityQueries {
     "c10_degree" -> c10,
     "c11a_ego_triangles" -> c11a,
     "c11b_ego_triangles_anchored" -> c11b,
-    "c11c_ego_triangles_denorm" -> c11c)
+    "c11c_ego_triangles_denorm" -> c11c,
+    "c13_contact_gaps" -> c13)
 
   /** The `other endpoint` of canonicalized undirected edges incident to the
     * literal probe actor — Cypher's 2-hop-via-hypernode pattern collapsed to
@@ -63,6 +65,28 @@ object ParityQueries {
     val (y, m, d) = g.frameDate(frameId)
     table.filter(col("year") === y && col("month") === m && col("day") === d &&
       col("frame_id") === frameId)
+  }
+
+  /** c13: per-actor inter-contact gap statistics over the whole run — the
+    * burstiness texture of each actor's activation timeline (dense regular
+    * contact vs long-silence bursts), the temporal complement of C4's flat
+    * activity count. One window pass per actor ordered by frame (a single
+    * hash shuffle — the a02 sessionization shape over membership rows), then
+    * a partial+final agg. The gap sum telescopes (last − first frame), so
+    * `mean_gap` is one integer/integer double division — exact on both
+    * engines; single-activation actors report null gaps on both. */
+  private def c13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = GraphCache(s, d)
+    val w = Window.partitionBy($"actor_id").orderBy($"frame_id")
+    g.frameActors
+      .select($"actor_id", $"frame_id")
+      .withColumn("gap", $"frame_id" - lag($"frame_id", 1).over(w))
+      .groupBy($"actor_id")
+      .agg(count(lit(1)).as("n_frames"),
+        max($"gap").as("max_gap"),
+        (sum($"gap").cast("double") / count($"gap")).as("mean_gap"))
+      .orderBy($"actor_id")
   }
 
   /** C1/QUERY1: frames of the 9–12h window on the busiest (year, month, day)
@@ -382,6 +406,19 @@ object ParityQueries {
           |ORDER BY degree DESC, e.actor_id""".stripMargin),
       "c11a_ego_triangles" -> c11Sql,
       "c11b_ego_triangles_anchored" -> c11Sql,
-      "c11c_ego_triangles_denorm" -> c11Sql)
+      "c11c_ego_triangles_denorm" -> c11Sql,
+      // telescoping integer sum / integer count — one exact double division
+      "c13_contact_gaps" -> q(
+        """SELECT actor_id,
+          |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+          |       CAST(MAX(gap) AS BIGINT) AS max_gap,
+          |       CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS mean_gap
+          |FROM (
+          |  SELECT actor_id, frame_id,
+          |         frame_id - lag(frame_id) OVER (PARTITION BY actor_id
+          |                                        ORDER BY frame_id) AS gap
+          |  FROM fa) g
+          |GROUP BY actor_id
+          |ORDER BY actor_id""".stripMargin))
   }
 }

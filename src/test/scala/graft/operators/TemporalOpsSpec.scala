@@ -148,6 +148,27 @@ class TemporalOpsSpec extends SparkSpec {
     assert(f.values.map(_._2).forall(_ >= 0), "closed-interval overlap is non-negative")
   }
 
+  test("c13 gap stats: telescoping mean, max bound, singleton nulls") {
+    import spark.implicits._
+    val rows = ParityQueries.queries("c13_contact_gaps")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val frames = graft.build.GraphCache(spark, dir).frameActors
+      .select($"actor_id", $"frame_id").collect()
+      .groupBy(_.getLong(0)).map { case (a, rs) => a -> rs.map(_.getLong(1)).sorted }
+    rows.foreach { r =>
+      val fs = frames(r.getLong(0))
+      assert(r.getLong(1) == fs.length)
+      if (fs.length == 1) {
+        assert(r.isNullAt(2) && r.isNullAt(3), "singleton actor must report null gaps")
+      } else {
+        val gaps = fs.sliding(2).map { case Array(x, y) => y - x }.toSeq
+        // telescoping: mean = (last - first) / (n - 1), exactly
+        assert(r.getDouble(3) == (fs.last - fs.head).toDouble / (fs.length - 1))
+        assert(r.getLong(2) == gaps.max)
+      }
+    }
+  }
+
   test("a03 self-presence invariant + range-dedup == naive per-session count") {
     import spark.implicits._
     val g = graft.build.GraphCache(spark, dir)
