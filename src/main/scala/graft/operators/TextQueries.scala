@@ -62,7 +62,7 @@ object TextQueries {
     * (letter runs / digit runs / single punctuation) vs chars. */
   private def tx1(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    Tables.documentsWide(s, d)
       .select(
         $"doc_id",
         size(wsTokens($"text")).cast("long").as("ws_tokens"),
@@ -84,7 +84,7 @@ object TextQueries {
     val nStop = size(filter(toks, t => t.isInCollection(stop))).cast("double")
     val nPunct = size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
     val nChars = length($"text").cast("double")
-    Tables.documents(s, d)
+    Tables.documentsWide(s, d)
       .select(
         $"doc_id",
         nTok.cast("long").as("n_tokens"),
@@ -115,7 +115,7 @@ object TextQueries {
     val scoreCols = Seq($"doc_id", $"lang") ++ langMarkers.map { case (l, ws) =>
       size(filter(toks, t => t.isInCollection(ws))).as(s"s_$l")
     }
-    val scored = Tables.documents(s, d).select(scoreCols: _*)
+    val scored = Tables.documentsWide(s, d).select(scoreCols: _*)
     // strictly-greater chain = first-listed language wins ties
     val pred = langMarkers.init.foldRight(lit(langMarkers.last._1)) {
       case ((l, _), rest) =>
@@ -227,7 +227,7 @@ object TextQueries {
       zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-    Tables.documents(s, d)
+    Tables.documentsWide(s, d)
       .select(explode(bigrams).as("bigram"))
       .groupBy($"bigram").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), $"bigram").limit(20)

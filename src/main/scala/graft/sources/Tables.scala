@@ -34,5 +34,20 @@ object Tables {
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** `documents` redistributed for CPU-heavy per-row stages (tokenization,
+    * regex scoring, hashing): scan parallelism is bounded by row groups —
+    * the test corpus is ONE row group, so a fused scan+score stage runs
+    * single-task regardless of cores. Repartitioning on the stable key
+    * separates scan parallelism from COMPUTE parallelism for a few hundred
+    * KB of shuffle — the same discipline as the multimodal decode's
+    * repartition(assetId). On a many-row-group production corpus the same
+    * move still bounds task skew when per-row cost dwarfs scan cost;
+    * cheap projections should keep reading [[documents]] directly. */
+  def documentsWide(s: SparkSession, d: String): DataFrame = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    documents(s, d).repartition(n, org.apache.spark.sql.functions.col("doc_id"))
+  }
+
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
