@@ -22,7 +22,8 @@ object AsOfQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_asof_attribution" -> a01,
     "a04_next_conversion" -> a04,
-    "a06_nearest_join" -> a06)
+    "a06_nearest_join" -> a06,
+    "a07_funnel" -> a07)
 
   private def a01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -73,6 +74,37 @@ object AsOfQueries {
       .orderBy($"event_id")
   }
 
+  /** a07 (composed): the 3-step funnel view → click → purchase — stage 2
+    * is [[AsOf.joinForward]] anchored at stage 1's MATCHED time (earliest
+    * click at-or-after the view, then earliest purchase at-or-after that
+    * click). Composition is where the single-shuffle window shape pays off
+    * twice: each stage is one key shuffle, never a growing pair explosion.
+    * Output: every view with its stage matches and funnel depth (0/1/2). */
+  private def a07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("ts2"), $"event_id")
+    val v1 = AsOf.joinForward(views, clicks, Seq("user_id"), "ts", "event_id",
+        Seq("event_id", "ts"))
+      .select($"event_id", $"user_id", $"ts",
+        $"asof_event_id".as("click_event_id"), $"asof_ts".as("click_ts"))
+    val reached = v1.filter($"click_ts".isNotNull).withColumn("ts2", $"click_ts")
+    val v2 = AsOf.joinForward(reached, purchases, Seq("user_id"), "ts2",
+        "event_id", Seq("event_id"))
+      .select($"event_id", $"asof_event_id".as("purchase_event_id"))
+    v1.join(v2, Seq("event_id"), "left")
+      .select($"event_id", $"user_id", $"ts", $"click_event_id",
+        $"purchase_event_id",
+        when($"click_event_id".isNull, 0)
+          .when($"purchase_event_id".isNull, 1).otherwise(2).as("funnel_depth"))
+      .orderBy($"event_id")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "a01_asof_attribution" ->
       """WITH u AS (
@@ -92,6 +124,51 @@ object AsOfQueries {
         |)
         |SELECT event_id, user_id, ts, value, view_event_id, view_ts
         |FROM m WHERE is_left = 1 ORDER BY event_id""".stripMargin,
+    // two chained forward carries: stage 1 the a04 construction, stage 2
+    // re-anchored at the matched click time (ts2), identical tie rules
+    "a07_funnel" ->
+      """WITH u1 AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_left
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |),
+        |m1 AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)
+        |           OVER w AS click_event_id,
+        |         last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+        |           OVER w AS click_ts
+        |  FROM u1
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, is_left, event_id DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |),
+        |v1 AS (
+        |  SELECT event_id, user_id, ts, click_event_id, click_ts
+        |  FROM m1 WHERE is_left = 1
+        |),
+        |u2 AS (
+        |  SELECT user_id, click_ts AS ts2, event_id, 1 AS is_left
+        |  FROM v1 WHERE click_ts IS NOT NULL
+        |  UNION ALL
+        |  SELECT user_id, ts AS ts2, event_id, 0 AS is_left
+        |  FROM events WHERE event_type = 'purchase'
+        |),
+        |m2 AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)
+        |           OVER w2 AS purchase_event_id
+        |  FROM u2
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts2 DESC, is_left, event_id DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |),
+        |v2 AS (SELECT event_id, purchase_event_id FROM m2 WHERE is_left = 1)
+        |SELECT v1.event_id, v1.user_id, v1.ts, v1.click_event_id,
+        |       v2.purchase_event_id,
+        |       CASE WHEN v1.click_event_id IS NULL THEN 0
+        |            WHEN v2.purchase_event_id IS NULL THEN 1
+        |            ELSE 2 END AS funnel_depth
+        |FROM v1 LEFT JOIN v2 USING (event_id)
+        |ORDER BY v1.event_id""".stripMargin,
     // both directed window carries over one tagged union, then the exact
     // integer-microsecond comparison picks the closer side (ties backward)
     "a06_nearest_join" ->

@@ -55,6 +55,36 @@ class TemporalOpsSpec extends SparkSpec {
       "fixture should exercise both converting and non-converting views")
   }
 
+  test("funnel == naive per-view double argmin (differential)") {
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir).collect()
+    // exact microseconds, not Timestamp.getTime millis — sub-ms ties matter
+    def us(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def of(t: String) = ev.filter(_.getString(3) == t)
+      .map(r => (r.getLong(0), r.getLong(2), us(r.getTimestamp(1)))) // id, user, us
+      .sortBy(x => (x._3, x._1))
+    val views = of("view"); val clicks = of("click"); val purchases = of("purchase")
+    val naive = views.map { case (vid, u, vts) =>
+      // earliest click >= view ts (ties -> smallest id), then earliest
+      // purchase >= that click's ts
+      val c = clicks.filter(c => c._2 == u && c._3 >= vts).headOption
+      val p = c.flatMap(c0 =>
+        purchases.filter(p => p._2 == u && p._3 >= c0._3).headOption)
+      vid -> (c.map(_._1), p.map(_._1))
+    }.toMap
+    val fast = AsOfQueries.queries("a07_funnel")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.get(4))), r.getInt(5))).toMap
+    assert(fast.keySet == naive.keySet)
+    fast.foreach { case (vid, ((c, p), depth)) =>
+      assert((c, p) == naive(vid), s"funnel mismatch for view $vid")
+      assert(depth == Seq(c, p).count(_.isDefined), s"depth mismatch for $vid")
+    }
+    // the fixture must exercise all three depths
+    assert(fast.values.map(_._2).toSet == Set(0, 1, 2))
+  }
+
   test("nearest join == naive |Δt| argmin with backward tie preference") {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, dir)
