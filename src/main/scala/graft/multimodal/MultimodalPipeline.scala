@@ -225,6 +225,50 @@ object MultimodalPipeline {
       }
   }
 
+  /** One spatial tile of a decoded image — integer channel sums only, so
+    * the DuckDB oracle reproduces them from the generation formula. */
+  final case class ImageTile(
+      assetId: Long,
+      tileIdx: Int,
+      w: Int,
+      h: Int,
+      sR: Long,
+      sG: Long,
+      sB: Long)
+
+  /** Tiled image feature extraction over the REAL codec path: parse each
+    * PPM, split the raster into a `grid × grid` tile grid (image dims must
+    * divide evenly — loud failure otherwise), emit per-tile channel sums —
+    * the patch/crop stage (patch embeddings, tile-level filtering) vision
+    * pipelines layer over decode. Same execution model as [[decodeCodec]]. */
+  def decodeImageTiles(assets: Dataset[MediaAsset], grid: Int): Dataset[ImageTile] = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(col("modality") === "image")
+      .repartition(col("assetId"))
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val (w, h, rgb) = Codec.parsePpm(a.bytes)
+          require(w % grid == 0 && h % grid == 0,
+            s"dims ${w}x$h not divisible into a ${grid}x$grid tile grid")
+          val (tw, th) = (w / grid, h / grid)
+          val sums = Array.ofDim[Long](grid * grid, 3)
+          var p = 0
+          while (p < w * h) {
+            val x = p % w; val y = p / w
+            val t = (y / th) * grid + (x / tw)
+            sums(t)(0) += rgb(3 * p) & 0xff
+            sums(t)(1) += rgb(3 * p + 1) & 0xff
+            sums(t)(2) += rgb(3 * p + 2) & 0xff
+            p += 1
+          }
+          (0 until grid * grid).iterator.map { t =>
+            ImageTile(a.assetId, t, tw, th, sums(t)(0), sums(t)(1), sums(t)(2))
+          }
+        }
+      }
+  }
+
   /** Demo/test asset source: wraps document texts as fake binary payloads
     * (videos get an n_frames metadata entry derived from doc length). */
   def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {

@@ -23,11 +23,15 @@ object MultimodalQueries {
     * windows each. */
   private val WinSize = 64
 
+  /** Tile grid for mm5 (16×16 PPMs → 2×2 grid of 8×8 tiles). */
+  private val TileGrid = 2
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_decode_stats" -> mm1,
     "mm2_resize_features" -> mm2,
     "mm3_codec_decode" -> mm3,
-    "mm4_audio_windows" -> mm4)
+    "mm4_audio_windows" -> mm4,
+    "mm5_image_tiles" -> mm5)
 
   /** mm1: per-modality decode statistics — asset/frame counts and mean
     * decoded dimensions after frame-sampling every 2nd frame. */
@@ -110,6 +114,24 @@ object MultimodalQueries {
         $"sSum".as("s_sum"), $"sMin".as("s_min"), $"sMax".as("s_max"),
         $"energy")
       .orderBy($"asset_id", $"win_idx")
+  }
+
+  /** mm5: tiled image features over the REAL PPM decode — the 16×16 raster
+    * splits into a 2×2 grid of 8×8 tiles, per-tile integer channel sums
+    * (the patch/crop stage of a vision pipeline). The oracle regenerates
+    * every raster byte from the md5 chain and re-derives each byte's
+    * (pixel, channel, tile) coordinates arithmetically, so a transposed
+    * tile boundary or channel order anywhere in the decode breaks the
+    * hash match. */
+  private def mm5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = MultimodalPipeline.codecAssets(s, d)
+    MultimodalPipeline.decodeImageTiles(assets, TileGrid).toDF()
+      .select($"assetId".as("asset_id"),
+        $"tileIdx".cast("long").as("tile_idx"),
+        $"w".cast("long").as("tile_w"), $"h".cast("long").as("tile_h"),
+        $"sR".as("s_r"), $"sG".as("s_g"), $"sB".as("s_b"))
+      .orderBy($"asset_id", $"tile_idx")
   }
 
   /** Hex-pair byte value (0..255) at byte index `j` of md5-hex `hx`. */
@@ -231,6 +253,30 @@ object MultimodalQueries {
          |       CAST(SUM(v * v) AS BIGINT) AS energy
          |FROM audv GROUP BY asset_id, win_idx
          |ORDER BY asset_id, win_idx""".stripMargin,
+    // mm5: byte j of the 768-byte raster comes from md5 block j//16 offset
+    // j%16; its pixel is p = j//3 (x = p%16, y = p//16), channel j%3, tile
+    // (y//8)*2 + x//8 — EXACTLY Codec.contentBytes + decodeImageTiles
+    "mm5_image_tiles" ->
+      s"""WITH assets AS (
+         |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 0
+         |),
+         |bytes AS (
+         |  SELECT asset_id, j,
+         |         ${hexByte("md5(CAST(asset_id AS VARCHAR) || '#img#' || CAST(j // 16 AS VARCHAR))", "j % 16")} AS v
+         |  FROM assets, (SELECT unnest(generate_series(0, 767)) AS j) jj
+         |),
+         |coords AS (
+         |  SELECT asset_id, v, j % 3 AS ch,
+         |         ((j // 3) // 16 // 8) * 2 + ((j // 3) % 16 // 8) AS tile_idx
+         |  FROM bytes
+         |)
+         |SELECT asset_id, CAST(tile_idx AS BIGINT) AS tile_idx,
+         |       CAST(8 AS BIGINT) AS tile_w, CAST(8 AS BIGINT) AS tile_h,
+         |       CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS s_r,
+         |       CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS s_g,
+         |       CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS s_b
+         |FROM coords GROUP BY asset_id, tile_idx
+         |ORDER BY asset_id, tile_idx""".stripMargin,
     // mm3: content = chained md5 blocks (16 bytes each); image 48 blocks
     // (16×16×3), audio 32 blocks (256 PCM16 samples, 8 per block), video
     // (n_chars%3)+2 frames of 12 blocks (8×8×3), sampled by stride 2 —

@@ -41,6 +41,32 @@ class MultimodalPipelineSpec extends SparkSpec {
     assert(resized.forall(f => f.width == 32 && f.height == 32))
   }
 
+  test("image tiles partition the raster and recompose whole-image sums") {
+    val ca = codecAssets(spark, dir)
+    val tiles = decodeImageTiles(ca, 2).collect()
+    assert(tiles.nonEmpty)
+    val byAsset = tiles.groupBy(_.assetId)
+    byAsset.values.foreach { ts =>
+      assert(ts.map(_.tileIdx).sorted.toSeq == (0 until 4))
+      assert(ts.forall(t => t.w == 8 && t.h == 8))
+    }
+    // recomposition: tile channel sums fold back to mm3's whole-image row
+    val whole = decodeCodec(ca).filter(f => f.width == 16 && f.height == 16)
+      .collect().map(f => f.assetId -> f).toMap
+    assert(whole.keySet == byAsset.keySet)
+    byAsset.foreach { case (id, ts) =>
+      assert(ts.map(_.sR).sum == whole(id).s1, s"R mismatch for $id")
+      assert(ts.map(_.sG).sum == whole(id).s2, s"G mismatch for $id")
+      assert(ts.map(_.sB).sum == whole(id).s3, s"B mismatch for $id")
+    }
+    // an indivisible grid fails loudly, never silently crops
+    val err = intercept[org.apache.spark.SparkException] {
+      decodeImageTiles(ca, 3).collect()
+    }
+    assert(err.getMessage.contains("tile grid") ||
+      Option(err.getCause).exists(_.getMessage.contains("tile grid")))
+  }
+
   test("WAV windows partition the stream and recompose whole-file stats") {
     val ca = codecAssets(spark, dir)
     val windows = decodeWavWindows(ca, 64).collect()
