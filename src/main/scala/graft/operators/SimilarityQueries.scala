@@ -83,7 +83,8 @@ object SimilarityQueries {
     "ss4_ivf_topk" -> ((s, d) => ivfTopK(s, d, DefaultCells, DefaultNProbe)),
     "ss5_ivf_kmeans" -> ((s, d) => kmeansTopK(s, d, DefaultCells, DefaultNProbe)),
     "ss6_sq_rerank" -> ss6,
-    "ss7_pq_topk" -> ss7)
+    "ss7_pq_topk" -> ss7,
+    "ss8_mips" -> ss8)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -360,6 +361,38 @@ object SimilarityQueries {
       .select($"vec_id",
         (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
       .orderBy(desc("cosine"), $"vec_id").limit(TopK)
+  }
+
+  /** ss8: maximum-inner-product search (MIPS) — rank by the raw DOT
+    * product, not cosine: the retrieval objective when magnitudes carry
+    * signal (recommendation scores, unnormalized retrieval embeddings;
+    * cosine ANN deliberately erases it). Scan side is the int8 SQ code
+    * table (ss6's at-rest index) with the exact integer code dot rescaled
+    * once — no norm division anywhere — and only the top [[SqRerank]] pool
+    * pays exact full-width dots. MIPS has no triangle inequality, so
+    * metric-space indexes don't apply directly; the compressed-domain
+    * scan + rerank is the assumption-free shape (the norm-augmentation
+    * reduction to cosine is the alternative when an angular index already
+    * exists). */
+  private def ss8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sq = sqIndex(s, d)
+    val idx = index(s, d)
+    val p = probeRow(s, d)
+    val pid = p.getLong(0)
+    val pemb = p.getSeq[Float](1)
+    val pr = sq.filter($"vec_id" === pid).select($"scale", $"q").collect()(0)
+    val pScale = pr.getDouble(0)
+    val pq = pr.getSeq[Long](1)
+    val dotq = aggregate(
+      zip_with($"q", typedlit(pq), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val approx = sq.filter($"vec_id" =!= pid)
+      .select($"vec_id",
+        ($"scale" * lit(pScale) * dotq.cast("double") / lit(16129.0)).as("approx"))
+      .orderBy(desc("approx"), $"vec_id").limit(SqRerank)
+    approx.join(idx.select($"vec_id", $"embedding"), "vec_id")
+      .select($"vec_id", dotExact($"embedding", typedlit(pemb)).as("dot"))
+      .orderBy(desc("dot"), $"vec_id").limit(TopK)
   }
 
   // ------------------------------------------------- k-means IVF (ss5) --
@@ -696,6 +729,42 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
+    // ss6's quantization CTEs minus every norm division: approx = rescaled
+    // integer code dot, final score = the exact decimal dot
+    "ss8_mips" ->
+      s"""WITH $evSql,
+         |sc AS (SELECT vec_id, MAX(abs(e)) AS scale FROM ev GROUP BY vec_id),
+         |qv AS (
+         |  SELECT ev.vec_id, ev.pos,
+         |         CASE WHEN sc.scale > 0
+         |              THEN CAST(floor(ev.e * 127.0 / sc.scale + 0.5) AS BIGINT)
+         |              ELSE 0 END AS q
+         |  FROM ev JOIN sc USING (vec_id)
+         |),
+         |probe AS (SELECT min(vec_id) AS pid FROM embeddings),
+         |pq AS (SELECT pos, q AS pqv FROM qv, probe WHERE vec_id = pid),
+         |psc AS (SELECT scale AS pscale FROM sc, probe WHERE vec_id = pid),
+         |pv AS (SELECT pos, e AS pe FROM ev, probe WHERE vec_id = pid),
+         |dq AS (
+         |  SELECT qv.vec_id, CAST(SUM(qv.q * pq.pqv) AS BIGINT) AS dotq
+         |  FROM qv JOIN pq USING (pos) GROUP BY qv.vec_id
+         |),
+         |approx AS (
+         |  SELECT d.vec_id,
+         |         sc.scale * psc.pscale * CAST(d.dotq AS DOUBLE) / 16129.0 AS approx
+         |  FROM dq d JOIN sc ON sc.vec_id = d.vec_id, psc, probe
+         |  WHERE d.vec_id <> probe.pid
+         |  ORDER BY approx DESC, d.vec_id LIMIT $SqRerank
+         |),
+         |dots AS (
+         |  SELECT ev.vec_id, ${sqlSum("ev.e * pv.pe")} AS dot
+         |  FROM ev
+         |  JOIN approx ON ev.vec_id = approx.vec_id
+         |  JOIN pv USING (pos)
+         |  GROUP BY ev.vec_id
+         |)
+         |SELECT vec_id, dot FROM dots
+         |ORDER BY dot DESC, vec_id LIMIT $TopK""".stripMargin,
     // identical PQ construction: subspace m = (pos-1)//SubDim, codebook =
     // PqKs lowest-id subvectors, min-L2 assignment (decimal-exact dist,
     // ties -> lowest cid), ADC lookup summed decimal-exact, true-norm

@@ -97,6 +97,23 @@ class VariantEquivalenceSpec extends SparkSpec {
     assert(pqRecall >= 0.5, s"ss7 recall too low: $pqRecall")
   }
 
+  test("ss8 MIPS recall vs a brute-force exact-dot ranking is >= 0.9") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.VectorOps.dotExact
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val probe = emb.orderBy($"vec_id").limit(1)
+      .select($"vec_id".as("pid"), $"embedding".as("pemb"))
+    val exact = emb.crossJoin(broadcast(probe)).filter($"vec_id" =!= $"pid")
+      .select($"vec_id", dotExact($"embedding", $"pemb").as("dot"))
+      .orderBy(desc("dot"), $"vec_id").limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val mips = SimilarityQueries.queries("ss8_mips")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = mips.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ss8 recall too low: $recall")
+  }
+
   test("ss3 candidates respect the threshold and canonical pair order") {
     val rows = SimilarityQueries.queries("ss3_embed_neardup")(spark, dir).collect()
     assert(rows.nonEmpty)
