@@ -41,7 +41,8 @@ object RelationalQueries {
     "q15_salted_join" -> q15,
     "q16_bucketed_join" -> q16,
     "q17_window_funcs" -> q17,
-    "q18_pivot" -> q18)
+    "q18_pivot" -> q18,
+    "q19_range_window" -> q19)
 
   /** Bucket layout shared by q16's two sides (equal counts = co-located). */
   private val Buckets = 8
@@ -327,6 +328,27 @@ object RelationalQueries {
       .orderBy($"o_custkey", $"rnk")
   }
 
+
+  /** q19: RANGE-frame window — per customer, the trailing-30-day revenue
+    * and order count at each order (`RANGE BETWEEN 29 PRECEDING AND
+    * CURRENT ROW` over the integer day number). The one window-frame type
+    * the surface didn't yet exercise: ROWS frames (q06) count physical
+    * rows; RANGE frames bound the frame by the ORDER value, so same-day
+    * orders share a frame regardless of row order — which also makes the
+    * result partition-order independent. Same single-shuffle window shape
+    * as q06/q17; the windowed sum accumulates decimal-exact. */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dn = datediff($"o_orderdate", to_date(lit("1992-01-01")))
+    val w = Window.partitionBy($"o_custkey").orderBy(dn).rangeBetween(-29, 0)
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("rev30", sum(graft.functions.Exact.dec10($"o_totalprice")).over(w).cast("double"))
+      .withColumn("n30", count(lit(1)).over(w))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"rev30", $"n30")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
   /** Pivot (long→wide reshaping): per order-year, revenue and order count
     * pivoted by order status. The value list is EXPLICIT — `pivot(col)`
     * without one runs a hidden collect-distinct job to discover the
@@ -458,6 +480,28 @@ object RelationalQueries {
          |FROM orders
          |GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS BIGINT))
          |ORDER BY status, o_year""".stripMargin,
+    // decimal-exact windowed sum: the VARCHAR cast-chain is Exact.sqlSum's
+    // construction applied to a WINDOW aggregate
+    "q19_range_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE) AS rev30,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n30
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+        |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    // decimal-exact windowed sum: the VARCHAR cast-chain is Exact.sqlSum's
+    // construction applied to a WINDOW aggregate
+    "q19_range_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE) AS rev30,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n30
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+        |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q17_window_funcs" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rnk,
