@@ -54,6 +54,43 @@ class AsOfSpec extends SparkSpec {
     assert(out.isNullAt(5), s"price must be the matched row's null, got ${out.get(5)}")
   }
 
+  test("nearest: direction choice, exact tie -> backward, one-sided nulls") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, t(100)), // back at 95 (d=5) beats fwd at 110 (d=10)
+      (2L, 10L, t(108)), // fwd at 110 (d=2) beats back at 95 (d=13)
+      (3L, 11L, t(100)), // only a forward candidate exists
+      (4L, 12L, t(100)), // no candidates at all
+      (5L, 13L, t(100))) // exact tie (90 vs 110): backward must win
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (20L, 10L, t(95)), (21L, 10L, t(110)),
+      (30L, 11L, t(140)),
+      (50L, 13L, t(90)), (51L, 13L, t(110)))
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOf.joinNearest(left, right, Seq("user_id"), "ts", "event_id",
+      Seq("event_id")).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(out(1L) == ((Some(20L), Some(5000000L), Some("backward"))))
+    assert(out(2L) == ((Some(21L), Some(2000000L), Some("forward"))))
+    assert(out(3L) == ((Some(30L), Some(40000000L), Some("forward"))))
+    assert(out(4L) == ((None, None, None)))
+    assert(out(5L) == ((Some(50L), Some(10000000L), Some("backward"))))
+  }
+
+  test("nearest rejects clashing output columns up front") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, t(100), 0L))
+      .toDF("event_id", "user_id", "ts", "nearest_event_id")
+    val right = Seq((20L, 10L, t(95))).toDF("event_id", "user_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinNearest(left, right, Seq("user_id"), "ts", "event_id",
+        Seq("event_id"))
+    }
+    assert(e.getMessage.contains("nearest_event_id"))
+  }
+
   test("plan is join-free: union + single window, no range-join explosion") {
     val p = AsOfQueries.queries("a01_asof_attribution")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
