@@ -41,11 +41,13 @@ object DedupQueries {
     "dd4_simhash" -> dd4,
     "dd5_contamination" -> dd5,
     "dd6_dup_clusters" -> dd6,
-    "dd7_prefix_containment" -> dd7)
+    "dd7_prefix_containment" -> dd7,
+    "dd8_minhash_estimate" -> dd8)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
     shingles(s, d)
+    docMinhash(s, d)
     minhashBands(s, d)
     dupPairs(s, d)
     containPrefix(s, d)
@@ -73,16 +75,25 @@ object DedupQueries {
         .distinct()
     }
 
-  /** At-rest MinHash band index (doc_id, band, bh), K hashes in B bands —
-    * the LSH bucket table a 100-TB dedup pipeline would persist next to the
-    * corpus. */
-  private def minhashBands(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "doc_mh_bands", 1) {
+  /** At-rest per-hash MinHash signatures (doc_id, i, mh) — the sketch the
+    * band index derives from, kept queryable for estimate audits (dd8). */
+  private def docMinhash(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "doc_minhash", 1) {
       import s.implicits._
       shingles(s, d)
         .select($"doc_id", $"sg", explode(sequence(lit(0), lit(K - 1))).as("i"))
         .withColumn("h", md5(concat($"sg", lit("#"), $"i".cast("string")).cast("binary")))
         .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
+    }
+
+  /** At-rest MinHash band index (doc_id, band, bh), K hashes in B bands —
+    * the LSH bucket table a 100-TB dedup pipeline would persist next to the
+    * corpus. Identical output to the pre-round-5 single-step build (the
+    * per-hash table is materialized on the way, so no version bump). */
+  private def minhashBands(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "doc_mh_bands", 1) {
+      import s.implicits._
+      docMinhash(s, d)
         .withColumn("band", expr(s"i div $BandWidth"))
         .groupBy($"doc_id", $"band")
         .agg(md5(concat_ws("|",
@@ -115,7 +126,7 @@ object DedupQueries {
     * millions makes the verify stage quadratic at 100 TB. dd2 keeps the
     * exhaustive shape as the declared baseline.) */
   private def jaccardPairs(s: SparkSession, sh: DataFrame,
-      candidates: Option[DataFrame]): DataFrame = {
+      candidates: Option[DataFrame], minJac: Option[Double] = Some(Tau)): DataFrame = {
     import s.implicits._
     val shared = candidates.fold {
       val a = sh.select($"doc_id".as("d1"), $"sg")
@@ -136,7 +147,7 @@ object DedupQueries {
       .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
       .select($"d1", $"d2", $"shared",
         ($"shared".cast("double") / ($"n1" + $"n2" - $"shared").cast("double")).as("jac"))
-      .filter($"jac" >= Tau)
+      .filter(minJac.map($"jac" >= _).getOrElse(lit(true)))
       .orderBy($"d1", $"d2")
   }
 
@@ -156,6 +167,34 @@ object DedupQueries {
       .filter($"d1" < $"d2")
       .select($"d1", $"d2")
     jaccardPairs(s, shingles(s, d), Some(candidates))
+  }
+
+  /** dd8: sketch-accuracy audit — for every LSH candidate pair, the
+    * MinHash Jaccard ESTIMATE (fraction of the K signature positions that
+    * agree — the only similarity a sketch-only pipeline ever sees) next to
+    * the exact shingle Jaccard. The operational question this answers at
+    * 100 TB: is the K in production sized right? The estimate reads two
+    * K-row signature slices per pair from the at-rest sketch; the exact
+    * side is the dd3 candidate-driven verify WITHOUT the threshold. */
+  private def dd8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = minhashBands(s, d)
+    val candidates = bands.select($"doc_id".as("d1"), $"band", $"bh")
+      .join(bands.select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2").distinct()
+    val mh = docMinhash(s, d)
+    val est = candidates
+      .join(mh.select($"doc_id".as("d1"), $"i", $"mh".as("mh1")), "d1")
+      .join(mh.select($"doc_id".as("d2"), $"i", $"mh".as("mh2")), Seq("d2", "i"))
+      .groupBy($"d1", $"d2")
+      .agg((sum(when($"mh1" === $"mh2", 1L).otherwise(0L)).cast("double") / K)
+        .as("est_jaccard"))
+    // a band collision implies >= 1 shared shingle, so the exact side has a
+    // row for every candidate — the inner join loses nothing
+    val exact = jaccardPairs(s, shingles(s, d), Some(candidates), None)
+    est.join(exact.select($"d1", $"d2", $"jac".as("jaccard")), Seq("d1", "d2"))
+      .orderBy($"d1", $"d2")
   }
 
   /** dd4: SimHash near-dup via the native `simhash64` Catalyst expression
@@ -368,8 +407,10 @@ object DedupQueries {
        |WHERE CAST(s.shared AS DOUBLE) / (s1.n + s2.n - s.shared) >= $Tau
        |ORDER BY s.d1, s.d2""".stripMargin
 
-  private lazy val dd3Sql: String =
-    s"""WITH $shSql,
+  /** The shared MinHash CTE chain (shingles → per-hash signatures → band
+    * hashes → candidate pairs) — prefix of dd3's oracle, reused by dd8. */
+  private lazy val mhCandSql: String =
+    s"""$shSql,
        |idx AS (SELECT unnest(generate_series(0, ${K - 1})) AS i),
        |mh AS (
        |  SELECT doc_id, i, min(md5(sg || '#' || CAST(i AS VARCHAR))) AS mh
@@ -384,8 +425,39 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-       |),
+       |)""".stripMargin
+
+  private lazy val dd3Sql: String =
+    s"""WITH $mhCandSql,
        |${jaccardSql("JOIN cand c ON a.doc_id = c.d1 AND b.doc_id = c.d2")}""".stripMargin
+
+  /** dd8's oracle: the estimate joins the per-hash signature slices, the
+    * exact side is dd3's candidate-driven Jaccard without the threshold. */
+  private lazy val dd8Sql: String =
+    s"""WITH $mhCandSql,
+       |est AS (
+       |  SELECT c.d1, c.d2,
+       |         CAST(SUM(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS DOUBLE) / $K
+       |           AS est_jaccard
+       |  FROM cand c
+       |  JOIN mh m1 ON m1.doc_id = c.d1
+       |  JOIN mh m2 ON m2.doc_id = c.d2 AND m2.i = m1.i
+       |  GROUP BY c.d1, c.d2
+       |),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+       |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |  JOIN cand c ON a.doc_id = c.d1 AND b.doc_id = c.d2
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.d1, e.d2, e.est_jaccard,
+       |       CAST(s.shared AS DOUBLE) / (s1.n + s2.n - s.shared) AS jaccard
+       |FROM est e
+       |JOIN shared s ON s.d1 = e.d1 AND s.d2 = e.d2
+       |JOIN sizes s1 ON e.d1 = s1.doc_id
+       |JOIN sizes s2 ON e.d2 = s2.doc_id
+       |ORDER BY e.d1, e.d2""".stripMargin
 
   /** dd6's full clustering SQL — shared with the p04 leak-free-split oracle
     * (PipelineQueries), which consumes clusters as a CTE. */
@@ -427,6 +499,7 @@ object DedupQueries {
       s"""WITH $shSql,
          |${jaccardSql("")}""".stripMargin,
     "dd3_minhash_lsh" -> dd3Sql,
+    "dd8_minhash_estimate" -> dd8Sql,
     // SimHash64 reconstruction: bit b of a token's hash = bit (b mod 4) of
     // the hex nibble at 1-based position 16 - b/4 of md5(token)'s first 16
     // chars (big-endian 8-byte prefix, exactly graft.functions.SimHash.hash64).

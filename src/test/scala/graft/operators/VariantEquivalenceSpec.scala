@@ -63,6 +63,20 @@ class VariantEquivalenceSpec extends SparkSpec {
       s"LSH found pairs the exhaustive join missed: ${lsh.diff(exhaustive)}")
   }
 
+  test("dd8 estimate: a band collision forces >= BandWidth/K agreement; tracks exact") {
+    val rows = DedupQueries.queries("dd8_minhash_estimate")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getDouble(2); val exact = r.getDouble(3)
+      // candidates collide on a whole band = 3 of the 12 positions agree —
+      // a deterministic floor, not a statistical one
+      assert(est >= 3.0 / 12 - 1e-9, s"est $est below the band floor")
+      assert(est >= 0 && est <= 1 && exact > 0 && exact <= 1)
+    }
+    val mae = rows.map(r => math.abs(r.getDouble(2) - r.getDouble(3))).sum / rows.length
+    assert(mae <= 0.25, s"K=12 sketch MAE implausibly high: $mae")
+  }
+
   test("ss4 IVF top-k recall vs the ss1 exact baseline is >= 0.8") {
     // nProbe=4 of 16 cells must still find most of the true top-20. (No
     // analogous bound for ss2: hyperplane-LSH banding guarantees recall only
