@@ -68,7 +68,8 @@ object GraphMetricsQueries {
     "g03_components" -> g03,
     "g04_pagerank" -> g04,
     "g05_link_prediction" -> g05,
-    "g06_temporal_brokerage" -> g06)
+    "g06_temporal_brokerage" -> g06,
+    "g07_assortativity" -> g07)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -316,6 +317,29 @@ object GraphMetricsQueries {
       .orderBy($"actor_id")
   }
 
+  /** g07: degree assortativity of the probe-day graph — the Pearson
+    * correlation of endpoint degrees over the DIRECTED edge list (both
+    * orientations, the standard Newman formulation; by symmetry the x and
+    * y moments coincide, so only n, Σx, Σxy, Σx² are needed). Social
+    * contact graphs are classically assortative (hubs meet hubs); this is
+    * the one-number summary of that structure. Every sum is INTEGER
+    * (degrees are counts — no decimal machinery needed for exactness);
+    * the final correlation is one fixed-order double expression, so the
+    * value is bit-identical on any partitioning and on the oracle. */
+  private def g07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val adj = dayAdj(s, d)
+    val degO = adj.select($"z".as("o"), $"deg".as("y")).distinct()
+    adj.select($"z", $"o", $"deg".as("x"))
+      .join(broadcast(degO), "o")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"n".as("n_dir_edges"),
+        (($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sx") /
+          ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
+          .as("assortativity"))
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   /** Distinct canonical edges on the probe date (matches [[dayEdges]]). */
@@ -398,6 +422,27 @@ object GraphMetricsQueries {
         }.mkString +
         s"""
            |SELECT actor_id, pr FROM r$PrIters ORDER BY actor_id""".stripMargin),
+    // integer moments over the directed edge list; one fixed-order double
+    // expression at the end
+    "g07_assortativity" -> EventGraphSql.query(
+      s""", $dayEdgesSql,
+         |und AS MATERIALIZED (
+         |  SELECT actor1 AS z, actor2 AS o FROM inter_d
+         |  UNION ALL SELECT actor2, actor1 FROM inter_d),
+         |pdeg AS MATERIALIZED (SELECT z, COUNT(*) AS deg FROM und GROUP BY z),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(dz.deg) AS BIGINT) AS sx,
+         |         CAST(SUM(dz.deg * dob.deg) AS BIGINT) AS sxy,
+         |         CAST(SUM(dz.deg * dz.deg) AS BIGINT) AS sxx
+         |  FROM und u
+         |  JOIN pdeg dz ON u.z = dz.z
+         |  JOIN pdeg dob ON u.o = dob.z
+         |)
+         |SELECT n AS n_dir_edges,
+         |       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) /
+         |       (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS assortativity
+         |FROM agg""".stripMargin),
     // mirror of g06: first-activation edges, time-ordered wedge self-join
     "g06_temporal_brokerage" -> EventGraphSql.query(
       s""", inter_f AS MATERIALIZED (

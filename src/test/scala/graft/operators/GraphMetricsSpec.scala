@@ -148,6 +148,28 @@ class GraphMetricsSpec extends SparkSpec {
     }
   }
 
+  test("g07 assortativity matches a naive Pearson recompute") {
+    import spark.implicits._
+    val r = GraphMetricsQueries.queries("g07_assortativity")(spark, dir).collect()(0)
+    val edges = dayEdges.select($"actor1", $"actor2").distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val und = edges ++ edges.map(e => (e._2, e._1))
+    val deg = und.groupBy(_._1).map { case (v, es) => v -> es.length }
+    val xs = und.map(e => deg(e._1).toDouble)
+    val ys = und.map(e => deg(e._2).toDouble)
+    val n = und.length.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum
+    val vy = ys.map(y => (y - my) * (y - my)).sum
+    val expected = cov / math.sqrt(vx * vy)
+    assert(r.getLong(0) == und.length)
+    assert(math.abs(r.getDouble(1) - expected) < 1e-9,
+      s"assortativity ${r.getDouble(1)} vs naive $expected")
+    // a degenerate (all-equal-degree) fixture would make the test vacuous
+    assert(deg.values.toSet.size > 1)
+  }
+
   test("g03 components match the GraphX mirror") {
     val tg = TemporalGraph.fromEdges(
       dayEdges.select("frame_id", "actor1", "actor2", "weight"))
