@@ -136,8 +136,9 @@ object SessionQueries {
     * and the plan hash-join, never a nested-loop/cartesian; overlapping
     * intervals always share the bucket containing `max(a1,a2)`, so candidates
     * are a superset of the truth. The exact interval predicate then VERIFIES
-    * each candidate, and the bucket-induced duplicates collapse in one
-    * distinct keyed on the pair. The DuckDB oracle runs the opposite plan —
+    * each candidate, and the bucket-induced duplicates are absorbed by the
+    * final aggregation (duplicate-insensitive MAX + countDistinct on the
+    * partner key). The DuckDB oracle runs the opposite plan —
     * a direct inequality join (IEJoin) with no grid at all — so the
     * hash-match re-derives candidate completeness every round. */
   private def a05(s: SparkSession, d: String): DataFrame = {
