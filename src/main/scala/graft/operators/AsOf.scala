@@ -71,9 +71,14 @@ object AsOf {
   def joinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, tieBreak: String, payload: Seq[String]): DataFrame = {
     val pay = if (payload.contains(ts)) payload else payload :+ ts
-    val clash = pay.map(c => s"nearest_$c").filter(left.columns.contains)
+    // loud up-front rejection for EVERY column this join writes: the
+    // nearest_<payload> outputs, the fixed nearest_dist_us / nearest_dir
+    // outputs, and the nearest_bk_<c> working columns the two-pass
+    // formulation threads through — same Reserved discipline as joinDirected
+    val clash = (pay.flatMap(c => Seq(s"nearest_$c", s"nearest_bk_$c")) ++
+      Seq("nearest_dist_us", "nearest_dir")).filter(left.columns.contains)
     require(clash.isEmpty,
-      s"left frame already contains output columns: ${clash.mkString(", ")}")
+      s"left frame already contains output/working columns: ${clash.mkString(", ")}")
     val back = joinBackward(left, right, keys, ts, tieBreak, pay)
     val backR = pay.foldLeft(back)((df, c) =>
       df.withColumnRenamed(s"asof_$c", s"nearest_bk_$c"))

@@ -491,17 +491,6 @@ object RelationalQueries {
         |             ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
         |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
-    // decimal-exact windowed sum: the VARCHAR cast-chain is Exact.sqlSum's
-    // construction applied to a WINDOW aggregate
-    "q19_range_window" ->
-      """SELECT o_orderkey, o_custkey, o_orderdate,
-        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE) AS rev30,
-        |       CAST(COUNT(*) OVER w AS BIGINT) AS n30
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey
-        |             ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
-        |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q17_window_funcs" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rnk,

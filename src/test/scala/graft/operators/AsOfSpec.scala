@@ -91,6 +91,24 @@ class AsOfSpec extends SparkSpec {
     assert(e.getMessage.contains("nearest_event_id"))
   }
 
+  test("nearest rejects clashing fixed-output and working columns too") {
+    import spark.implicits._
+    val right = Seq((20L, 10L, t(95))).toDF("event_id", "user_id", "ts")
+    // the fixed outputs (nearest_dist_us / nearest_dir) and the two-pass
+    // working columns (nearest_bk_<c>) would silently duplicate or corrupt
+    // if present on the left — each must fail the up-front require
+    Seq("nearest_dist_us", "nearest_dir", "nearest_bk_event_id",
+      "nearest_bk_ts").foreach { bad =>
+      val left = Seq((1L, 10L, t(100), 0L))
+        .toDF("event_id", "user_id", "ts", bad)
+      val e = intercept[IllegalArgumentException] {
+        AsOf.joinNearest(left, right, Seq("user_id"), "ts", "event_id",
+          Seq("event_id"))
+      }
+      assert(e.getMessage.contains(bad), s"guard missed $bad: ${e.getMessage}")
+    }
+  }
+
   test("plan is join-free: union + single window, no range-join explosion") {
     val p = AsOfQueries.queries("a01_asof_attribution")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -86,6 +86,55 @@ class StreamingFunnelSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quiet key holding only unclaimed candidates is evicted (no leak)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, Int)]
+    val out = StreamingFunnel.funnel(in.toDF().toDF(cols: _*), "30 seconds", Win)
+    val q = out.writeStream.format("memory").queryName("funnel_leak")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 clicks but never views: no stage pends, yet the click stays
+      // buffered (an earlier view could still arrive). The regression was
+      // that no timeout got registered for such keys, so eviction never ran
+      // and the state row lived until query end.
+      in.addData((1L, ts(100), 20L, 1))
+      q.processAllAvailable()
+      // march the watermark far past the click's lateness horizon
+      Seq(10000L, 20000L, 30000L).foreach { s =>
+        in.addData((99L, ts(s), 1000L + s, 0))
+        q.processAllAvailable()
+      }
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L,
+        s"only user 99's last pending view may remain in state, got $stateRows rows")
+    } finally q.stop()
+  }
+
+  test("sub-millisecond click ordering follows the batch microsecond rule") {
+    implicit val sqlCtx = spark.sqlContext
+    def tsUs(sec: Long, us: Long) = {
+      val t = new Timestamp(sec * 1000); t.setNanos((us * 1000).toInt); t
+    }
+    val in = MemoryStream[(Long, Timestamp, Long, Int)]
+    val out = StreamingFunnel.funnel(in.toDF().toDF(cols: _*), "30 seconds", Win)
+    val q = out.writeStream.format("memory").queryName("funnel_subms")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // both clicks land on the SAME millisecond; id 21 is 200 µs earlier
+      // and must win — ms-granular buffering would collapse them to a tie
+      // and pick the smaller id 20, diverging from batch a06/a07
+      in.addData((1L, ts(100), 10L, 0),
+        (1L, tsUs(100, 500L), 20L, 1), (1L, tsUs(100, 300L), 21L, 1))
+      q.processAllAvailable()
+      in.addData((99L, ts(10000), 999L, 0))
+      q.processAllAvailable()
+      val r = spark.table("funnel_subms").filter($"user_id" === 1L)
+        .select($"click_id").collect()
+      assert(r.length == 1 && r(0).getLong(0) == 21L,
+        "the microsecond-earlier click must be the match")
+    } finally q.stop()
+  }
+
   test("streaming funnel matches the naive windowed recompute (parity)") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
