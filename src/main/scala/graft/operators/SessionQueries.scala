@@ -28,6 +28,14 @@ object SessionQueries {
   /** Inactivity gap closing a session, seconds. */
   private val GapSec = 1800L
 
+  /** Max exploded distinct-range rows a03 may BROADCAST. Above this the
+    * plan degrades to a keyed shuffle equi-join on frame_id — one extra
+    * exchange, never a driver OOM or a job killed at Spark's broadcast
+    * limit. ~24 B/row (3 longs), so the default caps the broadcast near
+    * 100 MB. Override per session via [[A03BroadcastMaxRowsKey]]. */
+  val A03BroadcastMaxRowsKey = "spark.graft.a03.broadcastMaxRows"
+  private val A03BroadcastMaxRowsDefault = 4000000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a02_sessionize" -> a02,
     "a03_session_copresence" -> a03,
@@ -99,13 +107,28 @@ object SessionQueries {
       .withColumn("f1", expr(s"(unix_timestamp(ts_end) - $t0) div $delta"))
       .select($"user_id", $"session_id", $"f0", $"f1")
     // distinct-actor count per DISTINCT frame range. The exploded range
-    // list is grid-bounded (≤ |ranges| × frames-per-range), so BROADCAST
-    // it: frame_actors streams at full scan parallelism with no exchange —
-    // the same plan shape that wins at 100 TB, where fa is the giant side.
-    val rangeCounts = fa
-      .join(broadcast(sess.select($"f0", $"f1").distinct()
-        .select($"f0", $"f1", explode(sequence($"f0", $"f1")).as("frame_id"))),
-        "frame_id")
+    // list is grid-bounded (≤ |ranges| × frames-per-range), USUALLY tiny —
+    // broadcasting it lets frame_actors stream at full scan parallelism
+    // with no exchange, the plan that wins at 100 TB where fa is the giant
+    // side. But "usually" is not a guarantee: at extreme corpus durations
+    // the exploded grid can exceed Spark's broadcast limit and FAIL the job
+    // (or OOM the driver). One exact scalar pre-aggregation sizes it — the
+    // sum of range widths IS the exploded row count, computed by a
+    // map-side-combined agg over the at-rest session table at a cost ≪ the
+    // join it plans — and picks: broadcast under the threshold, keyed
+    // shuffle equi-join on frame_id above it (degraded by one exchange,
+    // never failed).
+    val distinctRanges = sess.select($"f0", $"f1").distinct()
+    val grid = distinctRanges
+      .select($"f0", $"f1", explode(sequence($"f0", $"f1")).as("frame_id"))
+    val maxRows = s.conf.getOption(A03BroadcastMaxRowsKey)
+      .map(_.toLong).getOrElse(A03BroadcastMaxRowsDefault)
+    val nGridRows = distinctRanges
+      .agg(coalesce(sum($"f1" - $"f0" + 1L), lit(0L))).head.getLong(0)
+    val joined =
+      if (nGridRows <= maxRows) fa.join(broadcast(grid), "frame_id")
+      else fa.join(grid, "frame_id")
+    val rangeCounts = joined
       .groupBy($"f0", $"f1")
       .agg(countDistinct($"actor_id").as("n_all"))
     // The session's own user is ALWAYS active somewhere in its range:

@@ -8,10 +8,16 @@ import graft.SparkSpec
   * story depends on, asserted on the executed plans so a refactor can't
   * silently reintroduce a scan-everything or join-everything shape
   * (the builder prompt's ".explain and iterate until it's the plan you'd
-  * want", frozen as tests). */
-class PlanAuditSpec extends SparkSpec {
+  * want", frozen as tests).
+  *
+  * The suite runs at TWO scales: sf0.001 ([[PlanAuditSpec]], the fast
+  * default) and the bench scale sf0.1 ([[PlanAuditSf01Spec]]) — broadcast
+  * vs shuffle decisions, AQE coalescing and skew handling are all
+  * size-dependent, so a plan property asserted only on tiny data can
+  * silently flip where it matters. */
+abstract class PlanAuditBase extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  protected def dir: String
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
@@ -88,6 +94,24 @@ class PlanAuditSpec extends SparkSpec {
       s"the exploded range list must broadcast over frame_actors:\n${p.take(1500)}")
   }
 
+  test("a03 over the broadcast threshold degrades to a keyed shuffle join, result-identical") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val base = SessionQueries.queries("a03_session_copresence")(spark, dir).collect().toSeq
+    spark.conf.set(SessionQueries.A03BroadcastMaxRowsKey, "0")
+    try {
+      val df = SessionQueries.queries("a03_session_copresence")(spark, dir)
+      // the guard must drop the broadcast HINT entirely (AQE may still pick
+      // a broadcast at runtime when the actual size is small — that's fine,
+      // it's size-informed; the bug was the unconditional force)
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"over-threshold a03 must not force a broadcast: $hints")
+      val p = df.queryExecution.sparkPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"degraded a03 must stay an equi-join:\n${p.take(1500)}")
+      assert(df.collect().toSeq == base, "both modes must return identical rows")
+    } finally spark.conf.unset(SessionQueries.A03BroadcastMaxRowsKey)
+  }
+
   test("c12 probe-day metrics read the at-rest day-edge table, not frame_interactions") {
     // round 5: the probe-day edge set is a DerivedCache table (five queries
     // share it), so the partition pruning happens once at the index BUILD;
@@ -147,4 +171,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(docJoin.findFirstIn(p).isEmpty, p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+}
+
+/** Plan audits at the tiny scale — the fast default. */
+class PlanAuditSpec extends PlanAuditBase {
+  protected val dir = "/root/testdata/sf0.001"
+}
+
+/** The same plan properties at the BENCH scale: what broadcasts at
+  * sf0.001 because everything is tiny must still broadcast (or stay a
+  * keyed equi-join) when the inputs are 100× bigger. */
+class PlanAuditSf01Spec extends PlanAuditBase {
+  protected val dir = "/root/testdata/sf0.1"
 }
