@@ -83,8 +83,17 @@ object Bench {
     val p95 = jmap((_, ts) => pct(ts, 0.95))
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = stats.collect { case (_, ts) if ts.nonEmpty => pct(ts, 0.5) }.sum
+    // embed the latest scaling-exponent run ([[Scaling]], target/scaling.json)
+    // so the per-round bench artifact carries the growth story without the
+    // driver's bench run itself paying the 3-scale ladder
+    val scalingPath = Paths.get("target/scaling.json")
+    val scaling =
+      if (Files.exists(scalingPath))
+        new String(Files.readAllBytes(scalingPath), StandardCharsets.UTF_8)
+      else "null"
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,""" +
-      s""""p05":$p05,"p95":$p95,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}"""
+      s""""p05":$p05,"p95":$p95,"reps":$reps,"errors":$errJson,"sf":"$sfDir",""" +
+      s""""scaling":$scaling}"""
     val detailPath = Paths.get("target/bench_detail.json")
     Files.createDirectories(detailPath.getParent)
     Files.write(detailPath, detail.getBytes(StandardCharsets.UTF_8))

@@ -60,4 +60,21 @@ object DerivedCache {
       spark.read.parquet(path)
     })
   }
+
+  /** Incremental maintenance: APPEND derived rows to an existing at-rest
+    * table. This is the ingest path at scale — a daily document append
+    * derives index rows for the delta only and adds parquet files next to
+    * the base; nothing existing is rewritten (per-document derivations make
+    * the result exactly equal to a full rebuild — see IncrementalIndexSpec).
+    * The memoized reader for the table is dropped so the next access
+    * re-lists the files; the base must already be built (an append is a
+    * delta against something). */
+  def append(spark: SparkSession, dir: String, name: String, version: Int)
+      (rows: DataFrame): Unit = synchronized {
+    val path = s"${baseDir(spark)}/${dirKey(dir)}/${name}_v$version"
+    require(Files.exists(Paths.get(s"$path/_GRAFT_DONE")),
+      s"append target $name (v$version) is not built for $dir — build the base index first")
+    rows.write.mode("append").parquet(path)
+    memo.keys.filter(_._2 == path).foreach(memo.remove)
+  }
 }

@@ -57,48 +57,94 @@ object DedupQueries {
   private def tokens(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
 
-  /** Distinct word-3-gram shingles per doc (1-based positions, mirroring the
-    * oracle's list indexing) — an at-rest index table ([[DerivedCache]]):
-    * shingle sets are derived once at ingest and every near-dup query starts
-    * from the index scan instead of re-tokenizing the corpus. */
+  // ------------------------------------------------- per-document derivations --
+  // Each of the three index derivations below is PER-DOCUMENT — no
+  // cross-document state (shingle distinct, minhash min, band hash all
+  // group on doc_id). That property is what makes incremental maintenance
+  // exact: deriving the same function over an appended batch and appending
+  // the rows IS a full rebuild ([[appendDocuments]], IncrementalIndexSpec).
+
+  /** Distinct word-3-gram shingles (doc_id, sg) for a documents frame —
+    * 1-based positions, mirroring the oracle's list indexing. */
+  private[operators] def shingleRowsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .repartition($"doc_id")
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id",
+        explode(when(size($"w") >= 3,
+          transform(sequence(lit(1), size($"w") - 2), i =>
+            concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2))))
+          .otherwise(array().cast("array<string>"))).as("sg"))
+      .distinct()
+  }
+
+  /** Per-hash MinHash signatures (doc_id, i, mh) from shingle rows. */
+  private[operators] def minhashRowsOf(shingleRows: DataFrame): DataFrame = {
+    val s = shingleRows.sparkSession
+    import s.implicits._
+    shingleRows
+      .select($"doc_id", $"sg", explode(sequence(lit(0), lit(K - 1))).as("i"))
+      .withColumn("h", md5(concat($"sg", lit("#"), $"i".cast("string")).cast("binary")))
+      .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
+  }
+
+  /** LSH band rows (doc_id, band, bh), K hashes in B bands, from per-hash
+    * signatures. */
+  private[operators] def bandRowsOf(minhashRows: DataFrame): DataFrame = {
+    val s = minhashRows.sparkSession
+    import s.implicits._
+    minhashRows
+      .withColumn("band", expr(s"i div $BandWidth"))
+      .groupBy($"doc_id", $"band")
+      .agg(md5(concat_ws("|",
+        sort_array(collect_list(concat(lpad($"i".cast("string"), 2, "0"), lit(":"), $"mh"))))
+        .cast("binary")).as("bh"))
+  }
+
+  /** Incremental index maintenance — the 100-TB ingest path: derive
+    * shingle / per-hash MinHash / LSH band rows for a batch of NEW
+    * documents and append them to the at-rest index tables, leaving the
+    * existing files untouched (a daily append must never re-shingle the
+    * corpus). Because every derivation is per-document, the appended state
+    * is EXACTLY what a full rebuild over base ∪ delta would produce
+    * (IncrementalIndexSpec proves set equality). Caller contract: `newDocs`
+    * doc_ids must not already be indexed — doc_id is the index key, and an
+    * existence anti-join per append is precisely the corpus-sized work this
+    * path exists to avoid. The cross-document indexes (dd7's df-ranked
+    * prefix index, dd6's verified pair graph) are NOT append-maintainable —
+    * their global rankings drift — and stay on periodic rebuild (SCALING.md). */
+  def appendDocuments(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
+    val sh = shingleRowsOf(newDocs)
+    DerivedCache.append(s, d, "doc_shingles", 1)(sh)
+    val mh = minhashRowsOf(sh)
+    DerivedCache.append(s, d, "doc_minhash", 1)(mh)
+    DerivedCache.append(s, d, "doc_mh_bands", 1)(bandRowsOf(mh))
+  }
+
+  /** Shingle index, at rest ([[DerivedCache]]): derived once at ingest;
+    * every near-dup query starts from the index scan instead of
+    * re-tokenizing the corpus. */
   private[operators] def shingles(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, "doc_shingles", 1) {
-      import s.implicits._
-      Tables.documents(s, d)
-        .repartition($"doc_id")
-        .select($"doc_id", tokens($"text").as("w"))
-        .select($"doc_id",
-          explode(when(size($"w") >= 3,
-            transform(sequence(lit(1), size($"w") - 2), i =>
-              concat_ws(" ", element_at($"w", i), element_at($"w", i + 1), element_at($"w", i + 2))))
-            .otherwise(array().cast("array<string>"))).as("sg"))
-        .distinct()
+      shingleRowsOf(Tables.documents(s, d))
     }
 
   /** At-rest per-hash MinHash signatures (doc_id, i, mh) — the sketch the
     * band index derives from, kept queryable for estimate audits (dd8). */
   private def docMinhash(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, "doc_minhash", 1) {
-      import s.implicits._
-      shingles(s, d)
-        .select($"doc_id", $"sg", explode(sequence(lit(0), lit(K - 1))).as("i"))
-        .withColumn("h", md5(concat($"sg", lit("#"), $"i".cast("string")).cast("binary")))
-        .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
+      minhashRowsOf(shingles(s, d))
     }
 
-  /** At-rest MinHash band index (doc_id, band, bh), K hashes in B bands —
-    * the LSH bucket table a 100-TB dedup pipeline would persist next to the
-    * corpus. Identical output to the pre-round-5 single-step build (the
-    * per-hash table is materialized on the way, so no version bump). */
+  /** At-rest MinHash band index (doc_id, band, bh) — the LSH bucket table a
+    * 100-TB dedup pipeline would persist next to the corpus. Identical
+    * output to the pre-round-5 single-step build (the per-hash table is
+    * materialized on the way, so no version bump). */
   private def minhashBands(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, "doc_mh_bands", 1) {
-      import s.implicits._
-      docMinhash(s, d)
-        .withColumn("band", expr(s"i div $BandWidth"))
-        .groupBy($"doc_id", $"band")
-        .agg(md5(concat_ws("|",
-          sort_array(collect_list(concat(lpad($"i".cast("string"), 2, "0"), lit(":"), $"mh"))))
-          .cast("binary")).as("bh"))
+      bandRowsOf(docMinhash(s, d))
     }
 
   /** dd1: exact duplicate detection — md5 over normalized text, canonical id

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.build.DerivedCache
+import graft.sources.Tables
+
+/** Incremental index maintenance: appending the per-document derivations of
+  * a document delta to the at-rest shingle / minhash / band tables must
+  * equal a full rebuild over base ∪ delta — the property that lets a 100-TB
+  * pipeline ingest a daily append without re-shingling the corpus. */
+class IncrementalIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // unique fake corpus key per run: the at-rest tables live under
+  // target/graft-cache/<key>/ and a reused key would double-append
+  private val d = s"/incremental-spec-corpus/${java.util.UUID.randomUUID()}"
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("appendDocuments == full rebuild for shingle/minhash/band indexes") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    assert(base.count() > 0 && delta.count() > 0, "split must be non-trivial")
+
+    // ingest day 0: build the at-rest indexes over the BASE corpus only
+    val sh0 = DerivedCache.table(spark, d, "doc_shingles", 1)(
+      DedupQueries.shingleRowsOf(base))
+    val mh0 = DerivedCache.table(spark, d, "doc_minhash", 1)(
+      DedupQueries.minhashRowsOf(sh0))
+    DerivedCache.table(spark, d, "doc_mh_bands", 1)(
+      DedupQueries.bandRowsOf(mh0))
+
+    // ingest day 1: the delta appends — derivation over delta docs ONLY
+    DedupQueries.appendDocuments(spark, d, delta)
+
+    // read back through the cache with a poisoned build closure: the tables
+    // must be served from the appended files, never rebuilt
+    def readBack(name: String): DataFrame =
+      DerivedCache.table(spark, d, name, 1)(
+        sys.error(s"$name must come from the at-rest files, not a rebuild"))
+
+    val fullSh = DedupQueries.shingleRowsOf(docs)
+    val fullMh = DedupQueries.minhashRowsOf(fullSh)
+    assert(rows(readBack("doc_shingles")) == rows(fullSh),
+      "appended shingle index must equal the full rebuild")
+    assert(rows(readBack("doc_minhash")) == rows(fullMh),
+      "appended minhash index must equal the full rebuild")
+    assert(rows(readBack("doc_mh_bands")) == rows(DedupQueries.bandRowsOf(fullMh)),
+      "appended band index must equal the full rebuild")
+  }
+
+  test("append refuses a table whose base was never built") {
+    val e = intercept[IllegalArgumentException] {
+      DerivedCache.append(spark, s"$d-unbuilt", "doc_shingles", 1)(
+        Seq((1L, "a b c")).toDF("doc_id", "sg"))
+    }
+    assert(e.getMessage.contains("not built"))
+  }
+}

@@ -40,6 +40,32 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("measured: salting bounds the hot-key shuffle partition row count") {
+    import spark.implicits._
+    // synthetic 90%-hot-key distribution: 45k rows on key 7, a 100-key
+    // uniform tail of 5k — the shape AQE's skew split can't fix when the
+    // join feeds a same-key groupBy
+    val P = 32 // reducers
+    val S = 8  // q15's salt factor
+    val probe = spark.range(45000).select(lit(7L).as("k"), $"id".as("line"))
+      .unionAll(spark.range(5000).select(($"id" % 100 + 100).as("k"), $"id".as("line")))
+    // partition assignment is computed with Spark's own formula —
+    // HashPartitioning.partitionIdExpression IS Pmod(Murmur3Hash(keys), n),
+    // and functions.hash IS Murmur3Hash — so these row counts are exactly
+    // what each shuffle reducer of the join would receive (plain join
+    // shuffles on k; salted join shuffles on (k, graft_salt))
+    def maxPartRows(partId: org.apache.spark.sql.Column): Long =
+      probe.groupBy(partId.as("p")).count().agg(max($"count")).head.getLong(0)
+    val plainMax = maxPartRows(pmod(hash($"k"), lit(P)))
+    val saltBucket = pmod(hash(hash($"k", $"line")), lit(S))
+    val saltedMax = maxPartRows(pmod(hash($"k", saltBucket), lit(P)))
+    info(s"max shuffle-partition rows: plain=$plainMax salted=$saltedMax " +
+      f"(${plainMax.toDouble / saltedMax}%.1fx reduction, theoretical bound ${S}x)")
+    assert(plainMax >= 45000, "the hot key must land in one plain partition")
+    assert(plainMax > 3L * saltedMax,
+      s"salt=$S must cut the hottest partition by >3x: plain=$plainMax salted=$saltedMax")
+  }
+
   test("salting actually spreads a hot key across buckets") {
     import spark.implicits._
     // one key, many rows with distinct discriminators
