@@ -198,9 +198,11 @@ object DedupQueries {
   }
 
   /** dd2: n-gram Jaccard near-dup — exhaustive shared-shingle join
-    * (correctness baseline; see class doc for why dd3 replaces it at scale). */
+    * (correctness baseline; see class doc for why dd3 replaces it at scale).
+    * Size-gated ([[Controls]]): the control throws above the configured
+    * input size instead of launching a quadratic job on a real corpus. */
   private def dd2(s: SparkSession, d: String): DataFrame =
-    jaccardPairs(s, shingles(s, d), None)
+    jaccardPairs(s, Controls.gate(shingles(s, d), "dd2_ngram_jaccard"), None)
 
   /** dd3: MinHash+LSH near-dup — banded min-hash signatures generate
     * candidates, then exact Jaccard verifies. Same output contract as dd2

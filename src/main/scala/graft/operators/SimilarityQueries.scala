@@ -100,12 +100,15 @@ object SimilarityQueries {
   }
 
   /** ss1: brute-force cosine top-k for the probe vector (min vec_id) — the
-    * exactness baseline over the raw table, one codegen'd cosine per row. */
+    * exactness baseline over the raw table, one codegen'd cosine per row.
+    * Size-gated ([[Controls]]): the recall floor for ss2–ss8 throws above
+    * the configured input size instead of full-scanning a real corpus. */
   private def ss1(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val probe = Tables.embeddings(s, d).orderBy($"vec_id").limit(1)
+    val emb = Controls.gate(Tables.embeddings(s, d), "ss1_cosine_topk")
+    val probe = emb.orderBy($"vec_id").limit(1)
       .select($"vec_id".as("pid"), $"embedding".as("pemb"))
-    Tables.embeddings(s, d)
+    emb
       .crossJoin(broadcast(probe))
       .filter($"vec_id" =!= $"pid")
       .select($"vec_id", cosineExact($"embedding", $"pemb").as("cosine"))
