@@ -42,7 +42,8 @@ object DedupQueries {
     "dd5_contamination" -> dd5,
     "dd6_dup_clusters" -> dd6,
     "dd7_prefix_containment" -> dd7,
-    "dd8_minhash_estimate" -> dd8)
+    "dd8_minhash_estimate" -> dd8,
+    "dd9_online_dedup" -> dd9)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -203,6 +204,28 @@ object DedupQueries {
     * input size instead of launching a quadratic job on a real corpus. */
   private def dd2(s: SparkSession, d: String): DataFrame =
     jaccardPairs(s, Controls.gate(shingles(s, d), "dd2_ngram_jaccard"), None)
+
+  /** dd9: ONLINE dedup — match an ingest batch against the ALREADY-INDEXED
+    * corpus: the query the incremental append path ([[appendDocuments]])
+    * exists to serve. A daily batch appends its per-document index rows,
+    * then probes the band index for batch×corpus candidates ONLY
+    * (corpus×corpus pairs were resolved when THEIR day was ingested), and
+    * verifies candidate-driven. Per-ingest-day cost is |batch bands| keyed
+    * bucket lookups + Σ_cand |S(batch doc)| — proportional to the DAY, not
+    * the corpus, which is the whole point of maintaining the index
+    * incrementally. The batch here is the deterministic synthetic "today"
+    * (doc_id % 10 = 0) so the declared query is reproducible against the
+    * static test corpus. */
+  private def dd9(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = minhashBands(s, d)
+    val candidates = bands.filter($"doc_id" % 10 === 0)
+      .select($"doc_id".as("d1"), $"band", $"bh")
+      .join(bands.filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
+      .select($"d1", $"d2")
+    jaccardPairs(s, shingles(s, d), Some(candidates))
+  }
 
   /** dd3: MinHash+LSH near-dup — banded min-hash signatures generate
     * candidates, then exact Jaccard verifies. Same output contract as dd2
@@ -439,11 +462,12 @@ object DedupQueries {
       |          FROM documents))
       |)""".stripMargin
 
-  private def jaccardSql(pairsFrom: String): String =
+  private def jaccardSql(pairsFrom: String,
+      pairPred: String = "a.doc_id < b.doc_id"): String =
     s"""sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |shared AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
-       |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.sg = b.sg AND $pairPred
        |  $pairsFrom
        |  GROUP BY 1, 2
        |)
@@ -456,8 +480,9 @@ object DedupQueries {
        |ORDER BY s.d1, s.d2""".stripMargin
 
   /** The shared MinHash CTE chain (shingles → per-hash signatures → band
-    * hashes → candidate pairs) — prefix of dd3's oracle, reused by dd8. */
-  private lazy val mhCandSql: String =
+    * hashes → candidate pairs under `pairPred`) — prefix of dd3's oracle,
+    * reused by dd8 (canonical `d1 < d2` pairs) and dd9 (batch × corpus). */
+  private def mhCandSqlFor(pairPred: String): String =
     s"""$shSql,
        |idx AS (SELECT unnest(generate_series(0, ${K - 1})) AS i),
        |mh AS (
@@ -472,12 +497,20 @@ object DedupQueries {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |    ON a.band = b.band AND a.bh = b.bh AND $pairPred
        |)""".stripMargin
+
+  private lazy val mhCandSql: String = mhCandSqlFor("a.doc_id < b.doc_id")
 
   private lazy val dd3Sql: String =
     s"""WITH $mhCandSql,
        |${jaccardSql("JOIN cand c ON a.doc_id = c.d1 AND b.doc_id = c.d2")}""".stripMargin
+
+  /** dd9's oracle: identical chain, candidates restricted to batch×corpus
+    * (the `% 10` split), verify join freed of the canonical d1<d2 order. */
+  private lazy val dd9Sql: String =
+    s"""WITH ${mhCandSqlFor("a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")},
+       |${jaccardSql("JOIN cand c ON a.doc_id = c.d1 AND b.doc_id = c.d2", "1 = 1")}""".stripMargin
 
   /** dd8's oracle: the estimate joins the per-hash signature slices, the
     * exact side is dd3's candidate-driven Jaccard without the threshold. */
@@ -548,6 +581,7 @@ object DedupQueries {
          |${jaccardSql("")}""".stripMargin,
     "dd3_minhash_lsh" -> dd3Sql,
     "dd8_minhash_estimate" -> dd8Sql,
+    "dd9_online_dedup" -> dd9Sql,
     // SimHash64 reconstruction: bit b of a token's hash = bit (b mod 4) of
     // the hex nibble at 1-based position 16 - b/4 of md5(token)'s first 16
     // chars (big-endian 8-byte prefix, exactly graft.functions.SimHash.hash64).

@@ -36,6 +36,10 @@ object SessionQueries {
   val A03BroadcastMaxRowsKey = "spark.graft.a03.broadcastMaxRows"
   private val A03BroadcastMaxRowsDefault = 4000000L
 
+  /** Exploded-grid row count per (session, corpus) — see a03's size probe. */
+  private val gridRowsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a02_sessionize" -> a02,
     "a03_session_copresence" -> a03,
@@ -123,8 +127,11 @@ object SessionQueries {
       .select($"f0", $"f1", explode(sequence($"f0", $"f1")).as("frame_id"))
     val maxRows = s.conf.getOption(A03BroadcastMaxRowsKey)
       .map(_.toLong).getOrElse(A03BroadcastMaxRowsDefault)
-    val nGridRows = distinctRanges
-      .agg(coalesce(sum($"f1" - $"f0" + 1L), lit(0L))).head.getLong(0)
+    // memoized per (session, corpus): the at-rest session table is
+    // immutable, so the size probe is a data property — one scalar job per
+    // corpus, not one per query construction
+    val nGridRows = gridRowsMemo.getOrElseUpdate((s, d),
+      distinctRanges.agg(coalesce(sum($"f1" - $"f0" + 1L), lit(0L))).head.getLong(0))
     val joined =
       if (nGridRows <= maxRows) fa.join(broadcast(grid), "frame_id")
       else fa.join(grid, "frame_id")
