@@ -61,6 +61,13 @@ object DerivedCache {
     })
   }
 
+  /** Read an existing at-rest table WITHOUT a build closure — the
+    * append-path read: fails loudly if the base was never built instead of
+    * silently re-deriving it from a source that may not exist. */
+  def existing(spark: SparkSession, dir: String, name: String, version: Int): DataFrame =
+    table(spark, dir, name, version)(
+      sys.error(s"$name (v$version) is not built for $dir — build the base first"))
+
   /** Incremental maintenance: APPEND derived rows to an existing at-rest
     * table. This is the ingest path at scale — a daily document append
     * derives index rows for the delta only and adds parquet files next to

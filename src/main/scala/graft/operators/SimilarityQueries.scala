@@ -62,7 +62,7 @@ object SimilarityQueries {
     * poisoned by a stray setting. The cell count is part of the at-rest
     * index path ([[ivfIndex]]), so different settings never read each
     * other's layouts. */
-  private val DefaultCells = 16
+  private[operators] val DefaultCells = 16
   private val DefaultNProbe = 4
   private def cells(s: SparkSession): Int =
     s.conf.get("spark.graft.ivf.cells", DefaultCells.toString).toInt
@@ -122,13 +122,22 @@ object SimilarityQueries {
     * scan partition). */
   private def index(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, "emb_index", 1) {
-      import s.implicits._
-      Tables.embeddings(s, d)
-        .repartition($"vec_id")
-        .select($"vec_id", $"embedding",
-          normSqExact($"embedding").as("nsq"),
-          hyperSig($"embedding", Planes).as("sig"))
+      indexRowsOf(Tables.embeddings(s, d))
     }
+
+  /** Per-vector LSH index rows (vec_id, embedding, nsq, sig) — pure per-row
+    * derivation, shared by the full build and [[appendEmbeddings]]. The
+    * repartition spreads the build across cores (the test corpus is a
+    * single scan partition). */
+  private[operators] def indexRowsOf(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    vecs
+      .repartition($"vec_id")
+      .select($"vec_id", $"embedding",
+        normSqExact($"embedding").as("nsq"),
+        hyperSig($"embedding", Planes).as("sig"))
+  }
 
   /** (vec_id, band, bkey): fixed-width band substrings of the signature. */
   private def bandKeys(sig: DataFrame): DataFrame =
@@ -206,22 +215,31 @@ object SimilarityQueries {
     * re-materializes under the new quantizer. Nothing else (probe-cell
     * ranking, semi-join shape, oracle contract for the default build)
     * changes. */
-  private val IvfVersion = 1
+  private[operators] val IvfVersion = 1
   private def ivfIndex(s: SparkSession, d: String, nc: Int): DataFrame = {
     DerivedCache.table(s, d, s"emb_ivf_c$nc", IvfVersion) {
       import s.implicits._
       val e = Tables.embeddings(s, d)
       val cents = e.orderBy($"vec_id").limit(nc)
         .select($"vec_id".as("cid"), $"embedding".as("cemb"))
-      e.repartition($"vec_id")
-        .crossJoin(broadcast(cents))
-        .select($"vec_id", $"cid", cosineExact($"embedding", $"cemb").as("ccos"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy($"vec_id").orderBy(desc("ccos"), $"cid")))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"cid")
+      ivfAssignRowsOf(e, cents)
     }
+  }
+
+  /** Per-vector hard assignment (vec_id, cid) against a FIXED centroid
+    * frame (cid, cemb) — pure per-row given the quantizer, shared by the
+    * full build and [[appendEmbeddings]]. */
+  private[operators] def ivfAssignRowsOf(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    vecs
+      .repartition($"vec_id")
+      .crossJoin(broadcast(cents))
+      .select($"vec_id", $"cid", cosineExact($"embedding", $"cemb").as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy(desc("ccos"), $"cid")))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"cid")
   }
 
   // ------------------------------------------- scalar quantization (ss6) --
@@ -239,17 +257,52 @@ object SimilarityQueries {
     * pool. */
   private def sqIndex(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, "emb_sq", 1) {
-      import s.implicits._
-      Tables.embeddings(s, d)
-        .repartition($"vec_id")
-        .withColumn("scale",
-          array_max(transform($"embedding", x => abs(x.cast("double")))))
-        .select($"vec_id", $"scale",
-          when($"scale" > 0.0,
-            transform($"embedding", x =>
-              floor(x.cast("double") * lit(127.0) / $"scale" + lit(0.5))))
-            .otherwise(transform($"embedding", _ => lit(0L))).as("q"))
+      sqRowsOf(Tables.embeddings(s, d))
     }
+
+  /** Per-vector int8 quantization rows (vec_id, scale, q) — pure per-row,
+    * shared by the full build and [[appendEmbeddings]]. */
+  private[operators] def sqRowsOf(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    vecs
+      .repartition($"vec_id")
+      .withColumn("scale",
+        array_max(transform($"embedding", x => abs(x.cast("double")))))
+      .select($"vec_id", $"scale",
+        when($"scale" > 0.0,
+          transform($"embedding", x =>
+            floor(x.cast("double") * lit(127.0) / $"scale" + lit(0.5))))
+          .otherwise(transform($"embedding", _ => lit(0L))).as("q"))
+  }
+
+  /** Incremental embedding-index maintenance — the vector-side analog of
+    * `DedupQueries.appendDocuments`: derive the per-vector LSH index rows,
+    * int8 SQ codes, and IVF cell assignments for a batch of NEW vectors and
+    * append them to the at-rest tables ([[graft.build.DerivedCache.append]]).
+    * LSH/SQ rows are per-vector, so incremental == full rebuild
+    * unconditionally; the IVF assignment is per-vector AGAINST THE FROZEN
+    * coarse quantizer (read back from the at-rest index before the append),
+    * the standard IVF ingest practice — it equals a full rebuild whenever
+    * appended vec_ids stay above the centroid id range (monotone ingest
+    * ids), and the quantizer retrains on its own cadence otherwise
+    * (IncrementalEmbeddingSpec). Caller contract: vec_ids must not already
+    * be indexed. The trained-kmeans (ss5) and PQ tables are
+    * centroid/codebook-frozen the same way and would follow the identical
+    * pattern; they stay on rebuild because their versioned at-rest paths
+    * already make retraining cheap to trigger. */
+  def appendEmbeddings(s: SparkSession, d: String, newVecs: DataFrame): Unit = {
+    import s.implicits._
+    // freeze the quantizer BEFORE touching the index: the centroids are the
+    // base corpus's `cells` lowest-id vectors, not the appended batch's
+    val cents = DerivedCache.existing(s, d, "emb_index", 1)
+      .orderBy($"vec_id").limit(DefaultCells)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    DerivedCache.append(s, d, "emb_index", 1)(indexRowsOf(newVecs))
+    DerivedCache.append(s, d, "emb_sq", 1)(sqRowsOf(newVecs))
+    DerivedCache.append(s, d, s"emb_ivf_c$DefaultCells", IvfVersion)(
+      ivfAssignRowsOf(newVecs, cents))
+  }
 
   /** ss6: quantized-scan ANN — rank the WHOLE corpus by the int8
     * approximate cosine (exact integer dot of the codes, rescaled by the

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.build.DerivedCache
+import graft.sources.Tables
+
+/** Vector-side incremental maintenance: appending the per-vector
+  * derivations of an embedding delta to the at-rest LSH / SQ / IVF tables
+  * must equal a full rebuild — for IVF, against the frozen coarse
+  * quantizer, whose centroid ids the monotone-append contract keeps inside
+  * the base corpus. */
+class IncrementalEmbeddingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = s"/incremental-emb-spec/${java.util.UUID.randomUUID()}"
+  private val nc = SimilarityQueries.DefaultCells
+  private val ivfName = s"emb_ivf_c$nc"
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def centsOf(vecs: DataFrame): DataFrame =
+    vecs.orderBy($"vec_id").limit(nc)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+
+  test("appendEmbeddings == full rebuild for LSH/SQ/IVF index tables") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding")
+    val ids = emb.select($"vec_id").orderBy($"vec_id").collect().map(_.getLong(0))
+    assert(ids.length > nc * 2, "corpus too small for a meaningful split")
+    // delta ids sit strictly above every centroid id (monotone ingest ids)
+    val cut = ids(ids.length * 2 / 3)
+    val base = emb.filter($"vec_id" <= cut)
+    val delta = emb.filter($"vec_id" > cut)
+    assert(delta.count() > 0)
+
+    // ingest day 0: at-rest builds over the BASE corpus
+    val idx0 = DerivedCache.table(spark, d, "emb_index", 1)(
+      SimilarityQueries.indexRowsOf(base))
+    DerivedCache.table(spark, d, "emb_sq", 1)(
+      SimilarityQueries.sqRowsOf(base))
+    DerivedCache.table(spark, d, ivfName, SimilarityQueries.IvfVersion)(
+      SimilarityQueries.ivfAssignRowsOf(base, centsOf(idx0)))
+
+    // ingest day 1: the delta appends
+    SimilarityQueries.appendEmbeddings(spark, d, delta)
+
+    def readBack(name: String, v: Int = 1) = DerivedCache.existing(spark, d, name, v)
+    assert(rows(readBack("emb_index")) == rows(SimilarityQueries.indexRowsOf(emb)),
+      "appended LSH index must equal the full rebuild")
+    assert(rows(readBack("emb_sq")) == rows(SimilarityQueries.sqRowsOf(emb)),
+      "appended SQ codes must equal the full rebuild")
+    assert(rows(readBack(ivfName, SimilarityQueries.IvfVersion)) ==
+      rows(SimilarityQueries.ivfAssignRowsOf(emb, centsOf(emb))),
+      "appended IVF assignments must equal a full rebuild under the same quantizer")
+  }
+}
