@@ -110,7 +110,7 @@ object ParityQueries {
     import s.implicits._
     val g = GraphCache(s, d)
     atFrame(g.frameActors, g, g.probes.pf)
-      .join(broadcast(g.actors), "actor_id")
+      .join(g.actors, "actor_id")
       .select($"name")
       .orderBy($"name")
   }
@@ -130,7 +130,7 @@ object ParityQueries {
     import s.implicits._
     val g = GraphCache(s, d)
     g.frameActors.groupBy($"actor_id").agg(count(lit(1)).as("freq"))
-      .join(broadcast(g.actors), "actor_id")
+      .join(g.actors, "actor_id")
       .select($"actor_id", $"name", $"freq")
       .orderBy($"actor_id")
   }
@@ -141,7 +141,7 @@ object ParityQueries {
     val g = GraphCache(s, d)
     g.frameActors.groupBy($"actor_id").agg(count(lit(1)).as("freq"))
       .filter($"freq" > 50)
-      .join(broadcast(g.actors), "actor_id")
+      .join(g.actors, "actor_id")
       .select($"actor_id", $"name", $"freq")
       .orderBy(desc("freq"), $"actor_id")
   }
@@ -151,7 +151,7 @@ object ParityQueries {
   private def c05b(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val g = GraphCache(s, d)
-    g.frameActors.join(broadcast(g.actors), "actor_id")
+    g.frameActors.join(g.actors, "actor_id")
       .groupBy($"actor_id", $"name").agg(count(lit(1)).as("freq"))
       .filter($"freq" > 50)
       .select($"actor_id", $"name", $"freq")
@@ -185,7 +185,7 @@ object ParityQueries {
     import s.implicits._
     val g = GraphCache(s, d)
     incidentOther(g.interactions, g.probes.pa1)
-      .join(broadcast(g.actors), "actor_id")
+      .join(g.actors, "actor_id")
       .select($"actor_id", $"name")
       .orderBy($"name")
   }
@@ -198,7 +198,7 @@ object ParityQueries {
     val active = g.frameInteractions.filter($"day" === g.probes.pd)
       .select($"actor1", $"actor2")
     incidentOther(active, g.probes.pa1)
-      .join(broadcast(g.actors), "actor_id")
+      .join(g.actors, "actor_id")
       .select($"actor_id", $"name")
       .orderBy($"name")
   }
@@ -209,7 +209,7 @@ object ParityQueries {
     val g = GraphCache(s, d)
     incidentOther(g.interactions, g.probes.pa1)
       .intersect(incidentOther(g.interactions, g.probes.pa2))
-      .join(broadcast(g.actors), "actor_id")
+      .join(g.actors, "actor_id")
       .select($"actor_id", $"name")
       .orderBy($"actor_id")
   }
@@ -222,7 +222,7 @@ object ParityQueries {
     val n1 = incidentOther(g.interactions, g.probes.pa1)
     val n2 = incidentOther(g.interactions, g.probes.pa2)
     n1.join(n2, "actor_id")
-      .join(broadcast(g.actors), "actor_id")
+      .join(g.actors, "actor_id")
       .select($"actor_id", $"name")
       .orderBy($"actor_id")
   }
@@ -234,7 +234,7 @@ object ParityQueries {
     val endpoints = g.interactions.select($"actor1".as("actor_id"))
       .unionAll(g.interactions.select($"actor2".as("actor_id")))
     endpoints.groupBy($"actor_id").agg(count(lit(1)).as("degree"))
-      .join(broadcast(g.actors), "actor_id")
+      .join(g.actors, "actor_id")
       .select($"actor_id", $"name", $"degree")
       .orderBy(desc("degree"), $"actor_id")
   }

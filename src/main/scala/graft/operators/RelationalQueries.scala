@@ -86,10 +86,11 @@ object RelationalQueries {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  /** Customers by revenue: broadcast dim join + agg + HAVING + total-order sort. */
+  /** Customers by revenue: dim join (size-based broadcast) + agg + HAVING +
+    * total-order sort. */
   private def q02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val c = broadcast(Tables.customer(s, d))
+    val c = Tables.customer(s, d)
     Tables.orders(s, d)
       .join(c, $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")
@@ -99,15 +100,18 @@ object RelationalQueries {
       .limit(50)
   }
 
-  /** Multi-way star join lineitem⋈orders⋈customer⋈nation⋈region: the dims are
-    * broadcast; only the fact-fact lineitem⋈orders edge shuffles. */
+  /** Multi-way star join lineitem⋈orders⋈customer⋈nation⋈region: the dims
+    * broadcast SIZE-BASED (no forced hint — nation/region are constant-size,
+    * but TPC-H customer/part grow with SF and must flip to a shuffled join
+    * at 100 TB instead of failing a forced broadcast); only the fact-fact
+    * lineitem⋈orders edge always shuffles. */
   private def q03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d).filter(year($"o_orderdate") === 1996)
-    val cu = broadcast(Tables.customer(s, d))
-    val na = broadcast(Tables.nation(s, d))
-    val re = broadcast(Tables.region(s, d))
+    val cu = Tables.customer(s, d)
+    val na = Tables.nation(s, d)
+    val re = Tables.region(s, d)
     li.join(o, $"l_orderkey" === $"o_orderkey")
       .join(cu, $"o_custkey" === $"c_custkey")
       .join(na, $"c_nationkey" === $"n_nationkey")
@@ -165,7 +169,7 @@ object RelationalQueries {
   private def q13(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(
         percentile($"o_totalprice", lit(0.5)).as("p50"),
@@ -190,7 +194,7 @@ object RelationalQueries {
   private def q08(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(
         dsum(when($"o_orderstatus" === "F", $"o_totalprice").otherwise(lit(0.0))).as("rev_f"),
@@ -206,7 +210,7 @@ object RelationalQueries {
   private def q09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
       .filter($"p_type".like("%LARGE%") || $"p_type".like("%PROMO%"))
       .groupBy(
         upper(substring($"p_brand", 1, 7)).as("brand"),
@@ -266,7 +270,7 @@ object RelationalQueries {
     import s.implicits._
     val big = Tables.lineitem(s, d).filter($"l_quantity" > 45.0)
       .groupBy($"l_partkey").agg(max($"l_quantity").as("max_qty"), count(lit(1)).as("n_big"))
-    broadcast(Tables.part(s, d))
+    Tables.part(s, d)
       .join(big, $"p_partkey" === $"l_partkey")
       .select($"p_partkey", $"p_brand", $"max_qty", $"n_big")
       .orderBy($"p_partkey")
