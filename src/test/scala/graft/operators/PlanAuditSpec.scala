@@ -76,6 +76,16 @@ abstract class PlanAuditBase extends SparkSpec {
         "(if this fails the pattern no longer matches plan syntax)")
   }
 
+  test("dd9 online dedup is candidate-driven — band-keyed probe, no shingle self-join") {
+    // same contract as dd3: the batch probes the band index on (band, bh)
+    // and the verify stage keys on candidate doc ids — never Σ df² pairs
+    val sgOnlyJoin = """Join \[sg#\d+\], \[sg#\d+\]""".r
+    val p = plan(DedupQueries.queries("dd9_online_dedup")(spark, dir))
+    assert(sgOnlyJoin.findFirstIn(p).isEmpty,
+      s"dd9 must not contain a shingle-only self-join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("a03 interval join is grid-bucketed — equi-join, never a nested-loop range join") {
     val p = plan(SessionQueries.queries("a03_session_copresence")(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
