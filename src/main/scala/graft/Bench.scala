@@ -85,12 +85,17 @@ object Bench {
     val total = stats.collect { case (_, ts) if ts.nonEmpty => pct(ts, 0.5) }.sum
     // embed the latest scaling-exponent run ([[Scaling]], target/scaling.json)
     // so the per-round bench artifact carries the growth story without the
-    // driver's bench run itself paying the 3-scale ladder
+    // driver's bench run itself paying the 3-scale ladder. The file is
+    // validated before splicing: a truncated write (or any non-JSON bytes)
+    // must degrade to null, never corrupt the driver-parsed artifact.
     val scalingPath = Paths.get("target/scaling.json")
-    val scaling =
-      if (Files.exists(scalingPath))
-        new String(Files.readAllBytes(scalingPath), StandardCharsets.UTF_8)
-      else "null"
+    val scaling = (if (Files.exists(scalingPath))
+      scala.util.Try {
+        val raw = new String(Files.readAllBytes(scalingPath), StandardCharsets.UTF_8)
+        org.json4s.jackson.JsonMethods.parse(raw) // syntax check only
+        require(raw.contains("\"queries\""))
+        raw
+      }.toOption else None).getOrElse("null")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,""" +
       s""""p05":$p05,"p95":$p95,"reps":$reps,"errors":$errJson,"sf":"$sfDir",""" +
       s""""scaling":$scaling}"""

@@ -92,9 +92,11 @@ object Scaling {
     def t(q: String, sf: Double): Option[Double] =
       medians.get(q).flatMap(_.get(sf)).map(math.max(_, 1e-3))
     val sfs = dirs.map(sfOf)
-    def expTail(q: String): Option[Double] = for {
-      a <- t(q, sfs(sfs.size - 2)); b <- t(q, sfs.last)
-    } yield math.log(b / a) / math.log(sfs.last / sfs(sfs.size - 2))
+    def expTail(q: String): Option[Double] =
+      if (sfs.size < 2) None
+      else for {
+        a <- t(q, sfs(sfs.size - 2)); b <- t(q, sfs.last)
+      } yield math.log(b / a) / math.log(sfs.last / sfs(sfs.size - 2))
     def expFit(q: String): Option[Double] = {
       val pts = sfs.flatMap(sf => t(q, sf).map(v => (math.log(sf), math.log(v))))
       if (pts.size < 2) None else {

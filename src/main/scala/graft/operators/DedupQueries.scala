@@ -117,11 +117,19 @@ object DedupQueries {
     * prefix index, dd6's verified pair graph) are NOT append-maintainable —
     * their global rankings drift — and stay on periodic rebuild (SCALING.md). */
   def appendDocuments(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
-    val sh = shingleRowsOf(newDocs)
-    DerivedCache.append(s, d, "doc_shingles", 1)(sh)
-    val mh = minhashRowsOf(sh)
-    DerivedCache.append(s, d, "doc_minhash", 1)(mh)
-    DerivedCache.append(s, d, "doc_mh_bands", 1)(bandRowsOf(mh))
+    // persist the two intermediate stages for the duration of the call:
+    // the band append's lineage otherwise re-shingles and re-minhashes the
+    // batch (the most expensive derivations), tripling the ingest cost
+    val sh = shingleRowsOf(newDocs).persist()
+    val mh = minhashRowsOf(sh).persist()
+    try {
+      DerivedCache.append(s, d, "doc_shingles", 1)(sh)
+      DerivedCache.append(s, d, "doc_minhash", 1)(mh)
+      DerivedCache.append(s, d, "doc_mh_bands", 1)(bandRowsOf(mh))
+    } finally {
+      mh.unpersist()
+      sh.unpersist()
+    }
   }
 
   /** Shingle index, at rest ([[DerivedCache]]): derived once at ingest;
@@ -203,7 +211,7 @@ object DedupQueries {
     * Size-gated ([[Controls]]): the control throws above the configured
     * input size instead of launching a quadratic job on a real corpus. */
   private def dd2(s: SparkSession, d: String): DataFrame =
-    jaccardPairs(s, Controls.gate(shingles(s, d), "dd2_ngram_jaccard"), None)
+    jaccardPairs(s, Controls.gate(shingles(s, d), "dd2_ngram_jaccard", d), None)
 
   /** dd9: ONLINE dedup — match an ingest batch against the ALREADY-INDEXED
     * corpus: the query the incremental append path ([[appendDocuments]])

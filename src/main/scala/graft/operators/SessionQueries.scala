@@ -130,6 +130,7 @@ object SessionQueries {
     // memoized per (session, corpus): the at-rest session table is
     // immutable, so the size probe is a data property — one scalar job per
     // corpus, not one per query construction
+    gridRowsMemo.keys.filter(_._1.sparkContext.isStopped).foreach(gridRowsMemo.remove)
     val nGridRows = gridRowsMemo.getOrElseUpdate((s, d),
       distinctRanges.agg(coalesce(sum($"f1" - $"f0" + 1L), lit(0L))).head.getLong(0))
     val joined =

@@ -105,7 +105,7 @@ object SimilarityQueries {
     * the configured input size instead of full-scanning a real corpus. */
   private def ss1(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Controls.gate(Tables.embeddings(s, d), "ss1_cosine_topk")
+    val emb = Controls.gate(Tables.embeddings(s, d), "ss1_cosine_topk", d)
     val probe = emb.orderBy($"vec_id").limit(1)
       .select($"vec_id".as("pid"), $"embedding".as("pemb"))
     emb
@@ -293,14 +293,18 @@ object SimilarityQueries {
     * already make retraining cheap to trigger. */
   def appendEmbeddings(s: SparkSession, d: String, newVecs: DataFrame): Unit = {
     import s.implicits._
+    // the SESSION's configured cell count picks which at-rest IVF table is
+    // maintained — hardcoding the default here would leave a conf-driven
+    // ivfTopK reading a table that silently misses every appended vector
+    val nc = cells(s)
     // freeze the quantizer BEFORE touching the index: the centroids are the
     // base corpus's `cells` lowest-id vectors, not the appended batch's
     val cents = DerivedCache.existing(s, d, "emb_index", 1)
-      .orderBy($"vec_id").limit(DefaultCells)
+      .orderBy($"vec_id").limit(nc)
       .select($"vec_id".as("cid"), $"embedding".as("cemb"))
     DerivedCache.append(s, d, "emb_index", 1)(indexRowsOf(newVecs))
     DerivedCache.append(s, d, "emb_sq", 1)(sqRowsOf(newVecs))
-    DerivedCache.append(s, d, s"emb_ivf_c$DefaultCells", IvfVersion)(
+    DerivedCache.append(s, d, s"emb_ivf_c$nc", IvfVersion)(
       ivfAssignRowsOf(newVecs, cents))
   }
 

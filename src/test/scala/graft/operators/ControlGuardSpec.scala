@@ -20,6 +20,6 @@ class ControlGuardSpec extends SparkSpec {
   test("default guard admits the test corpora (dd2/ss1 stay runnable)") {
     val sh = DedupQueries.shingleRowsOf(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"))
-    assert(Controls.gate(sh, "dd2_ngram_jaccard").count() > 0)
+    assert(Controls.gate(sh, "dd2_ngram_jaccard", "/root/testdata/sf0.001").count() > 0)
   }
 }
