@@ -90,13 +90,22 @@ object StreamingAsOf {
     val keptRights = fresh ++ (if (old.isEmpty) Array.empty[(Long, Long)]
       else Array(old.maxBy(r => (r._1, r._2))))
 
-    state.update(AsOfBuffer(pending.map(_._1), pending.map(_._2),
-      keptRights.map(_._1), keptRights.map(_._2)))
-    if (pending.nonEmpty || fresh.nonEmpty) {
-      // wake when the earliest pending work can mature (engine requires a
-      // strictly-future event-time timeout)
-      val next = (pending.map(_._1) ++ fresh.map(_._1)).min + 1
-      state.setTimeoutTimestamp(math.max(next, wm + 1))
+    if (pending.isEmpty && keptRights.isEmpty) {
+      // a key whose lefts all matured and that never saw a right has no
+      // standing state to keep: retaining an all-empty buffer with no
+      // timeout would leak it until query end (the quiet-key rule)
+      state.remove()
+    } else {
+      state.update(AsOfBuffer(pending.map(_._1), pending.map(_._2),
+        keptRights.map(_._1), keptRights.map(_._2)))
+      if (pending.nonEmpty || fresh.nonEmpty) {
+        // wake when the earliest pending work can mature (engine requires a
+        // strictly-future event-time timeout); with ONLY the retained
+        // latest right left behind, no timeout is set on purpose — that
+        // row is the standing state future lefts match (class doc)
+        val next = (pending.map(_._1) ++ fresh.map(_._1)).min + 1
+        state.setTimeoutTimestamp(math.max(next, wm + 1))
+      }
     }
     out.iterator
   }

@@ -44,6 +44,31 @@ class StreamingAsOfSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a key with no rights is evicted once its lefts mature (no leak)") {
+    implicit val sqlCtx = spark.sqlContext
+    val leftIn = MemoryStream[(Long, Timestamp, Long)]
+    val rightIn = MemoryStream[(Long, Timestamp, Long)]
+    val cols = Seq("user_id", "ts", "event_id")
+    val out = StreamingAsOf.joinBackward(
+      leftIn.toDF().toDF(cols: _*), rightIn.toDF().toDF(cols: _*), "30 seconds")
+    val q = out.writeStream.format("memory").queryName("asof_leak")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 has a left event and never any right: after the left
+      // matures there is NOTHING to keep — the regression retained an
+      // all-empty buffer with no timeout, leaking the key until query end
+      leftIn.addData((1L, ts(100), 1L))
+      q.processAllAvailable()
+      Seq(10000L, 20000L, 30000L).foreach { s =>
+        leftIn.addData((90L + s / 10000, ts(s), 1000L + s))
+        q.processAllAvailable()
+      }
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 1,
+        s"only the last unmatured runner may remain in state, got $stateRows rows")
+    } finally q.stop()
+  }
+
   test("pending lefts and standing rights survive a checkpointed restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-asof-ckpt").toString
