@@ -84,7 +84,8 @@ object SimilarityQueries {
     "ss5_ivf_kmeans" -> ((s, d) => kmeansTopK(s, d, DefaultCells, DefaultNProbe)),
     "ss6_sq_rerank" -> ss6,
     "ss7_pq_topk" -> ss7,
-    "ss8_mips" -> ss8)
+    "ss8_mips" -> ss8,
+    "ss9_knn_join" -> ss9)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -185,6 +186,41 @@ object SimilarityQueries {
   /** ss3: near-duplicate pairs — LSH-banded candidates + exact cosine, all
     * from the at-rest index: norms once per vector, one dot per candidate
     * pair, same double-op order as the oracle (dot / (sqrt(n1)·sqrt(n2))). */
+  /** Neighbors returned per query vector in the ss9 kNN join. */
+  private val KnnK = 3
+
+  /** ss9: kNN JOIN — top-k ANN for a whole QUERY BATCH at once (the
+    * deterministic synthetic batch vec_id % 10 = 0) against the corpus
+    * side, via the at-rest band index. Every ss1–ss8 query scores ONE
+    * probe; the shape a training pipeline actually runs is millions of
+    * queries at a time, and the scale-correct plan is exactly this:
+    * candidates from a (band, bkey)-keyed equi-join of batch bands against
+    * corpus bands (bucket-sized shuffle, never batch × corpus), one exact
+    * cosine per candidate, then a per-query window top-k over candidates —
+    * never a global sort, never a per-row driver loop. Ties break on
+    * neighbor id; scores are decimal-exact dots over double norms, so the
+    * ranking is bit-reproducible in the DuckDB oracle. */
+  private def ss9(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = index(s, d)
+    val bd = bandKeys(idx.select($"vec_id", $"sig"))
+    val cand = bd.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"band", $"bkey")
+      .join(bd.filter($"vec_id" % 10 =!= 0)
+        .select($"vec_id".as("nid"), $"band", $"bkey"), Seq("band", "bkey"))
+      .select($"qid", $"nid").distinct()
+    cand
+      .join(idx.select($"vec_id".as("qid"), $"embedding".as("qe"), $"nsq".as("qn")), "qid")
+      .join(idx.select($"vec_id".as("nid"), $"embedding".as("ne"), $"nsq".as("nn")), "nid")
+      .select($"qid", $"nid",
+        (dotExact($"qe", $"ne") / (sqrt($"qn") * sqrt($"nn"))).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy(desc("cosine"), $"nid")).cast("long"))
+      .filter($"rank" <= KnnK)
+      .select($"qid", $"rank", $"nid", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
   private def ss3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val idx = index(s, d)
@@ -903,5 +939,40 @@ object SimilarityQueries {
          |)
          |SELECT v1, v2, dot / (n1 * n2) AS cosine FROM agg
          |WHERE dot / (n1 * n2) >= $Tau
-         |ORDER BY v1, v2""".stripMargin)
+         |ORDER BY v1, v2""".stripMargin,
+    // ss9's oracle: identical signature/candidate chain, batch × corpus
+    // pair predicate, per-query row_number top-k — the same double values
+    // as the engine (decimal-exact dot, double sqrt norms), so the ranking
+    // hash-matches
+    "ss9_knn_join" ->
+      s"""WITH $evSql,
+         |$sigSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |   AND a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+         |),
+         |pairs AS (
+         |  SELECT c.qid, c.nid, a.pos, a.e AS e1, b.e AS e2
+         |  FROM cand c
+         |  JOIN ev a ON a.vec_id = c.qid
+         |  JOIN ev b ON b.vec_id = c.nid AND b.pos = a.pos
+         |),
+         |agg AS (
+         |  SELECT qid, nid,
+         |         ${sqlSum("e1 * e2")} AS dot,
+         |         sqrt(${sqlSum("e1 * e1")}) AS n1,
+         |         sqrt(${sqlSum("e2 * e2")}) AS n2
+         |  FROM pairs GROUP BY qid, nid
+         |),
+         |ranked AS (
+         |  SELECT qid, nid, dot / (n1 * n2) AS cosine,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY dot / (n1 * n2) DESC, nid) AS rank
+         |  FROM agg
+         |)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cosine
+         |FROM ranked WHERE rank <= $KnnK
+         |ORDER BY qid, rank""".stripMargin)
 }

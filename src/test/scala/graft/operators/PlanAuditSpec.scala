@@ -86,6 +86,13 @@ abstract class PlanAuditBase extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("ss9 kNN join keys candidates on the band bucket and top-ks per query") {
+    val p = plan(SimilarityQueries.queries("ss9_knn_join")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch ANN must equi-join on (band, bkey), never batch×corpus:\n${p.take(1500)}")
+    assert(p.contains("Window"), "per-query top-k must be a window, not a global sort")
+  }
+
   test("a03 interval join is grid-bucketed — equi-join, never a nested-loop range join") {
     val p = plan(SessionQueries.queries("a03_session_copresence")(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
