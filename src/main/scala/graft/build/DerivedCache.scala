@@ -3,6 +3,7 @@ package graft.build
 import java.nio.file.{Files, Paths}
 
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -83,5 +84,68 @@ object DerivedCache {
       s"append target $name (v$version) is not built for $dir — build the base index first")
     rows.write.mode("append").parquet(path)
     memo.keys.filter(_._2 == path).foreach(memo.remove)
+  }
+
+  /** REPLACE an existing at-rest table's contents with `rows` — the
+    * maintenance primitive for state tables whose update touches existing
+    * rows (e.g. the dup-cluster label table, where a merge relabels old
+    * members), which `append` by definition cannot express. `rows` may read
+    * FROM the current table: it is fully materialized into a staging
+    * directory first, and only then swapped over the old files (delete +
+    * same-filesystem rename), so the input files are never deleted under a
+    * running plan and a crash mid-write leaves the old table intact. */
+  def replace(spark: SparkSession, dir: String, name: String, version: Int)
+      (rows: DataFrame): Unit = synchronized {
+    val path = s"${baseDir(spark)}/${dirKey(dir)}/${name}_v$version"
+    require(Files.exists(Paths.get(s"$path/_GRAFT_DONE")),
+      s"replace target $name (v$version) is not built for $dir — build the base index first")
+    val staging = s"${path}__staging"
+    deleteRecursively(staging) // stale staging from a crashed earlier run
+    rows.write.mode("overwrite").parquet(staging)
+    deleteRecursively(path)
+    Files.move(Paths.get(staging), Paths.get(path))
+    Files.createFile(Paths.get(s"$path/_GRAFT_DONE"))
+    memo.keys.filter(_._2 == path).foreach(memo.remove)
+  }
+
+  /** COMPACT an appended at-rest table: rewrite its many small files (one
+    * parquet file group per daily append — the classic small-files
+    * pathology of any long-lived append path) into size-targeted files.
+    * Content-neutral by construction (a [[replace]] with a coalesced scan
+    * of the table itself); width = total bytes / `spark.graft.compact.
+    * targetBytes` (default 128 MB), so a compacted 100-TB index reads at
+    * full scan parallelism while a small one collapses to a single file.
+    * `coalesce`, never `repartition` — compaction must not pay a shuffle. */
+  def compact(spark: SparkSession, dir: String, name: String, version: Int): Unit = {
+    val path = s"${baseDir(spark)}/${dirKey(dir)}/${name}_v$version"
+    val target = spark.conf.getOption("spark.graft.compact.targetBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val bytes = parquetBytes(path)
+    val parts = math.max(1L, (bytes + target - 1) / target).toInt
+    replace(spark, dir, name, version)(
+      spark.read.parquet(path).coalesce(parts))
+  }
+
+  /** Data-file count of an at-rest table (compaction's observable). */
+  private[graft] def parquetFileCount(spark: SparkSession, dir: String,
+      name: String, version: Int): Int =
+    listParquet(s"${baseDir(spark)}/${dirKey(dir)}/${name}_v$version").size
+
+  private def listParquet(path: String): Seq[java.nio.file.Path] = {
+    val s = Files.walk(Paths.get(path))
+    try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+    finally s.close()
+  }
+
+  private def parquetBytes(path: String): Long =
+    listParquet(path).map(Files.size).sum
+
+  private def deleteRecursively(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toList.reverse.foreach(Files.delete)
+      finally s.close()
+    }
   }
 }

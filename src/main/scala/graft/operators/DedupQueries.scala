@@ -50,6 +50,7 @@ object DedupQueries {
     shingles(s, d)
     docMinhash(s, d)
     minhashBands(s, d)
+    docFp(s, d)
     dupPairs(s, d)
     containPrefix(s, d)
     ()
@@ -91,6 +92,18 @@ object DedupQueries {
       .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
   }
 
+  /** Exact-duplicate fingerprints (doc_id, fp) — md5 over normalized text,
+    * dd1's identity key. Per-document like the shingle/minhash/band
+    * derivations, so the at-rest table is append-exact; it exists so the
+    * incremental cluster path ([[appendDupClusters]]) can find batch-vs-
+    * corpus exact duplicates without re-reading corpus TEXT (the fp table is
+    * two narrow columns; the text column is the 100-TB one). */
+  private[operators] def fpRowsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id", fingerprintMd5($"text").as("fp"))
+  }
+
   /** LSH band rows (doc_id, band, bh), K hashes in B bands, from per-hash
     * signatures. */
   private[operators] def bandRowsOf(minhashRows: DataFrame): DataFrame = {
@@ -126,6 +139,7 @@ object DedupQueries {
       DerivedCache.append(s, d, "doc_shingles", 1)(sh)
       DerivedCache.append(s, d, "doc_minhash", 1)(mh)
       DerivedCache.append(s, d, "doc_mh_bands", 1)(bandRowsOf(mh))
+      DerivedCache.append(s, d, "doc_fp", 1)(fpRowsOf(newDocs))
     } finally {
       mh.unpersist()
       sh.unpersist()
@@ -154,6 +168,12 @@ object DedupQueries {
   private def minhashBands(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, "doc_mh_bands", 1) {
       bandRowsOf(docMinhash(s, d))
+    }
+
+  /** At-rest fingerprint index (doc_id, fp) — see [[fpRowsOf]]. */
+  private def docFp(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "doc_fp", 1) {
+      fpRowsOf(Tables.documents(s, d))
     }
 
   /** dd1: exact duplicate detection — md5 over normalized text, canonical id
@@ -421,32 +441,54 @@ object DedupQueries {
     * broadcast and the state never shuffles except for its own merge
     * groupBy. Exact pairs are the per-fingerprint stars (doc → group min),
     * which also covers sub-3-token docs that have no shingles for dd3. */
+  /** Verified duplicate-pair rows for a (docs, shingle index, band index)
+    * triple — dd3's LSH-candidate + exact-Jaccard verify ∪ the exact-
+    * fingerprint stars (doc → per-fp group min, which also covers sub-3-
+    * token docs that have no shingles). Frame-parameterized so the full
+    * build ([[dupPairs]]) and the incremental-cluster spec derive pairs
+    * from the same code over any corpus slice. */
+  private[operators] def dupPairRowsOf(sh: DataFrame, bands: DataFrame,
+      fps: DataFrame): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    val candidates = bands.select($"doc_id".as("d1"), $"band", $"bh")
+      .join(bands.select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2")
+    val near = jaccardPairs(s, sh, Some(candidates)).select($"d1", $"d2")
+    val exactPairs = fps
+      .withColumn("m", min($"doc_id").over(Window.partitionBy($"fp")))
+      .filter($"doc_id" =!= $"m")
+      .select($"m".as("d1"), $"doc_id".as("d2"))
+    near.unionAll(exactPairs).distinct()
+  }
+
   /** At-rest verified duplicate-pair table — "the dup graph": a pipeline
     * persists the (expensive) LSH-verify output once and every downstream
     * consumer (clustering, removal lists, audits) starts from the scan,
     * exactly like the shingle/band indexes it derives from. */
   private[operators] def dupPairs(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, "dup_pairs", 1) {
-      import s.implicits._
-      val near = dd3(s, d).select($"d1", $"d2")
-      val exactPairs = Tables.documents(s, d)
-        .select($"doc_id", fingerprintMd5($"text").as("fp"))
-        .withColumn("m", min($"doc_id").over(Window.partitionBy($"fp")))
-        .filter($"doc_id" =!= $"m")
-        .select($"m".as("d1"), $"doc_id".as("d2"))
-      near.unionAll(exactPairs).distinct()
+      dupPairRowsOf(shingles(s, d), minhashBands(s, d), docFp(s, d))
     }
 
-  private def dd6(s: SparkSession, d: String): DataFrame = {
+  /** Min-label propagation over an undirected pair graph: (doc_id, label)
+    * with label = the component's smallest doc id — dd6's core, shared with
+    * the at-rest cluster build and the contracted loop in
+    * [[appendDupClusters]]. The pair side broadcasts (g03's loop with the
+    * broadcast side INVERTED — the edge list is the tiny table here, the
+    * label state is corpus-sized and never shuffles except its own merge
+    * groupBy); labels only decrease, so (count, Σ label) is monotone until
+    * the fixpoint. */
+  private[operators] def clusterRowsOf(nodes: DataFrame, pairs: DataFrame,
+      what: String = "dup-cluster labeling"): DataFrame = {
+    val s = nodes.sparkSession
     import s.implicits._
-    val pairs = dupPairs(s, d)
     val und = pairs.select($"d1".as("a"), $"d2".as("b"))
       .unionAll(pairs.select($"d2".as("a"), $"d1".as("b")))
       .localCheckpoint(eager = false)
-    val init = Tables.documents(s, d)
-      .select($"doc_id", $"doc_id".as("label"))
-    // labels only decrease: (count, Σ label) monotone until the fixpoint
-    val state = Fixpoint.iterate(init, MaxClusterRounds, "dup-cluster labeling") { df =>
+    val init = nodes.select($"doc_id", $"doc_id".as("label"))
+    Fixpoint.iterate(init, MaxClusterRounds, what) { df =>
       val r = df.agg(count(lit(1)), sum($"label")).collect()(0)
       Seq(r.getLong(0), r.getLong(1))
     } { (state, _) =>
@@ -455,9 +497,103 @@ object DedupQueries {
       state.unionAll(cand)
         .groupBy($"doc_id").agg(min($"label").as("label"))
     }
+  }
+
+  private def dd6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val state = clusterRowsOf(
+      Tables.documents(s, d).select($"doc_id"), dupPairs(s, d))
     state.select($"doc_id", $"label".as("cluster_id"),
         ($"doc_id" =!= $"label").as("is_dup"))
       .orderBy($"doc_id")
+  }
+
+  /** At-rest duplicate-cluster table (doc_id, cluster_id) — the curation
+    * product dd6 computes, persisted at ingest so downstream consumers
+    * (removal lists, leak-free splits, audits) read labels instead of
+    * re-running label propagation, and so ingest can maintain it
+    * INCREMENTALLY ([[appendDupClusters]]). cluster_id = the component's
+    * smallest doc id, exactly dd6's labeling. */
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "dup_clusters", 1) {
+      import s.implicits._
+      clusterRowsOf(Tables.documents(s, d).select($"doc_id"), dupPairs(s, d))
+        .withColumnRenamed("label", "cluster_id")
+    }
+
+  /** Incremental CLUSTER maintenance — the cross-document index the
+    * round-6 append path deliberately left on periodic rebuild, now
+    * maintained exactly under appends via graph CONTRACTION. On a batch
+    * ingest (call AFTER [[appendDocuments]], so the per-document indexes
+    * include the batch; the cluster table must not yet):
+    *
+    *  1. verified pairs touching the batch only: batch bands probe the full
+    *     band index (batch×corpus ∪ batch×batch candidates — corpus×corpus
+    *     pairs were resolved when THEIR day was ingested, dd9's argument),
+    *     candidate-driven exact-Jaccard verify, plus exact-fingerprint hits
+    *     against the at-rest fp table — never a corpus text re-read;
+    *  2. each pair endpoint CONTRACTS onto its existing cluster label
+    *     (batch docs onto themselves). Components of the contracted graph
+    *     = exactly the merges the batch causes, over a node set bounded by
+    *     batch-touched clusters — the min-label fixpoint runs on a graph
+    *     ∝ the DAY, never the corpus;
+    *  3. because an existing cluster_id IS its component's min doc id,
+    *     min-label over contracted nodes yields the true min doc id of
+    *     every merged component, so the result is EXACTLY the full rebuild
+    *     (IncrementalClusterSpec proves equality);
+    *  4. one linear broadcast-remap pass rewrites the state table
+    *     ([[graft.build.DerivedCache.replace]]) — at 100 TB that is a scan
+    *     of two long columns, not a corpus-sized fixpoint.
+    *
+    * The broadcasts are bounded by construction: the contracted edge list
+    * and the remap are both ∝ the batch's verified pairs, the same bound
+    * dd6's pair broadcast carries. */
+  def appendDupClusters(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
+    import s.implicits._
+    val batchIds = newDocs.select($"doc_id").distinct()
+    val sh = DerivedCache.existing(s, d, "doc_shingles", 1)
+    val bands = DerivedCache.existing(s, d, "doc_mh_bands", 1)
+    val fps = DerivedCache.existing(s, d, "doc_fp", 1)
+    val clusters = DerivedCache.existing(s, d, "dup_clusters", 1)
+
+    val batchBands = bands.join(batchIds, "doc_id")
+    val candidates = batchBands.select($"doc_id".as("x"), $"band", $"bh")
+      .join(bands.select($"doc_id".as("y"), $"band", $"bh"), Seq("band", "bh"))
+      .filter($"x" =!= $"y")
+      .select(least($"x", $"y").as("d1"), greatest($"x", $"y").as("d2"))
+    val near = jaccardPairs(s, sh, Some(candidates)).select($"d1", $"d2")
+    val batchFp = fps.join(batchIds, "doc_id")
+    val exactPairs = batchFp.select($"doc_id".as("x"), $"fp")
+      .join(fps.select($"doc_id".as("y"), $"fp"), "fp")
+      .filter($"x" =!= $"y")
+      .select(least($"x", $"y").as("d1"), greatest($"x", $"y").as("d2"))
+    val newPairs = near.unionAll(exactPairs).distinct()
+
+    // contract endpoints onto existing labels (batch docs onto themselves)
+    val contracted = newPairs
+      .join(clusters.select($"doc_id".as("d1"), $"cluster_id".as("c1")), Seq("d1"), "left")
+      .join(clusters.select($"doc_id".as("d2"), $"cluster_id".as("c2")), Seq("d2"), "left")
+      .select(coalesce($"c1", $"d1").as("d1"), coalesce($"c2", $"d2").as("d2"))
+      .filter($"d1" =!= $"d2").distinct()
+      .persist() // read twice (node set + loop edges); tiny (∝ batch pairs)
+    try {
+      val nodes = contracted.select($"d1".as("doc_id"))
+        .unionAll(contracted.select($"d2".as("doc_id")))
+        .unionAll(batchIds) // isolated batch docs become singleton clusters
+        .distinct()
+      val labeled = clusterRowsOf(nodes, contracted, "contracted dup-cluster labeling")
+
+      val remap = labeled.filter($"doc_id" =!= $"label")
+        .select($"doc_id".as("cluster_id"), $"label")
+      val updated = clusters.join(broadcast(remap), Seq("cluster_id"), "left")
+        .select($"doc_id", coalesce($"label", $"cluster_id").as("cluster_id"))
+      val batchRows = batchIds
+        .join(broadcast(labeled), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
+      DerivedCache.replace(s, d, "dup_clusters", 1)(updated.unionAll(batchRows))
+    } finally {
+      contracted.unpersist()
+    }
   }
 
   private val shSql =

@@ -34,6 +34,8 @@ class IncrementalIndexSpec extends SparkSpec {
       DedupQueries.minhashRowsOf(sh0))
     DerivedCache.table(spark, d, "doc_mh_bands", 1)(
       DedupQueries.bandRowsOf(mh0))
+    DerivedCache.table(spark, d, "doc_fp", 1)(
+      DedupQueries.fpRowsOf(base))
 
     // ingest day 1: the delta appends — derivation over delta docs ONLY
     DedupQueries.appendDocuments(spark, d, delta)
@@ -52,6 +54,8 @@ class IncrementalIndexSpec extends SparkSpec {
       "appended minhash index must equal the full rebuild")
     assert(rows(readBack("doc_mh_bands")) == rows(DedupQueries.bandRowsOf(fullMh)),
       "appended band index must equal the full rebuild")
+    assert(rows(readBack("doc_fp")) == rows(DedupQueries.fpRowsOf(docs)),
+      "appended fingerprint index must equal the full rebuild")
   }
 
   test("append refuses a table whose base was never built") {
