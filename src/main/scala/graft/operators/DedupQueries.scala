@@ -43,7 +43,8 @@ object DedupQueries {
     "dd6_dup_clusters" -> dd6,
     "dd7_prefix_containment" -> dd7,
     "dd8_minhash_estimate" -> dd8,
-    "dd9_online_dedup" -> dd9)
+    "dd9_online_dedup" -> dd9,
+    "dd10_online_containment" -> dd10)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -394,7 +395,12 @@ object DedupQueries {
         .select($"doc_id".as("d1"), $"sg")
     }
 
-  private def dd7(s: SparkSession, d: String): DataFrame = {
+  /** The shared containment pipeline behind dd7 (whole corpus) and dd10
+    * (ingest batch vs corpus): prefix-index candidates under `d1Pred` (on
+    * the prefix table's d1) and `d2Pred` (on the probed shingle index's
+    * doc_id), PPJoin size filter, candidate-driven verify. */
+  private def containmentPairs(s: SparkSession, d: String,
+      d1Pred: Column, d2Pred: Column): DataFrame = {
     import s.implicits._
     val sh = shingles(s, d)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -403,7 +409,8 @@ object DedupQueries {
     // prunes the verify's Σ|S(d1)| work ~2× (measured at sf0.1) without
     // changing semantics (the oracle needs no mirror: the bound is implied)
     val candidates = containPrefix(s, d)
-      .join(sh.select($"doc_id".as("d2"), $"sg"), "sg")
+      .filter(d1Pred)
+      .join(sh.filter(d2Pred).select($"doc_id".as("d2"), $"sg"), "sg")
       .filter($"d1" =!= $"d2")
       .select($"d1", $"d2").distinct()
       .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
@@ -423,6 +430,25 @@ object DedupQueries {
       .select($"d1", $"d2", $"n1", $"shared",
         ($"shared".cast("double") / $"n1".cast("double")).as("containment"))
       .orderBy($"d1", $"d2")
+  }
+
+  private def dd7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    containmentPairs(s, d, lit(true), lit(true))
+  }
+
+  /** dd10: ONLINE containment — dd9's ingest-day analog for the ASYMMETRIC
+    * near-dup class: which corpus documents already contain ≥ 9/10 of a
+    * batch document's shingles (boilerplate wrapping, quote inclusion —
+    * what Jaccard-based online dedup misses by construction). The batch's
+    * rows of the at-rest prefix index (the rarest ~10% of each batch doc's
+    * shingles) probe the corpus-side shingle index, so per-ingest-day cost
+    * is ∝ batch prefix rows + candidate-driven verify — proportional to
+    * the DAY, never corpus². Same deterministic synthetic "today"
+    * (doc_id % 10 = 0) as dd9. */
+  private def dd10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    containmentPairs(s, d, $"d1" % 10 === 0, $"doc_id" % 10 =!= 0)
   }
 
   // ---------------------------------------------------------------- oracle --
@@ -684,6 +710,41 @@ object DedupQueries {
        |JOIN sizes s2 ON e.d2 = s2.doc_id
        |ORDER BY e.d1, e.d2""".stripMargin
 
+  /** The shared containment oracle (dd7 / dd10): `prefPred` restricts the
+    * prefix side (an `AND` clause on the ranked prefix rows), `bPred` the
+    * probed side (an `AND` clause on `b` in the candidate join) — "" and ""
+    * reproduce dd7's whole-corpus text byte-for-byte. */
+  private def containSqlFor(prefPred: String, bPred: String): String =
+    s"""WITH $shSql,
+       |df AS (SELECT sg, COUNT(*) AS df FROM sh GROUP BY sg),
+       |ranked AS (
+       |  SELECT doc_id, sg,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, sg) AS rn,
+       |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM sh JOIN df USING (sg)
+       |),
+       |pref AS (
+       |  SELECT doc_id AS d1, sg FROM ranked
+       |  WHERE rn <= (n * ${ContainDen - ContainNum}) // $ContainDen + 1$prefPred
+       |),
+       |cand AS (
+       |  SELECT DISTINCT p.d1, b.doc_id AS d2
+       |  FROM pref p JOIN sh b ON p.sg = b.sg AND p.d1 <> b.doc_id$bPred
+       |),
+       |shared AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS shared
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.d1
+       |  JOIN sh b ON b.doc_id = c.d2 AND b.sg = a.sg
+       |  GROUP BY c.d1, c.d2
+       |),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT s.d1, s.d2, z.n AS n1, s.shared,
+       |       CAST(s.shared AS DOUBLE) / CAST(z.n AS DOUBLE) AS containment
+       |FROM shared s JOIN sizes z ON s.d1 = z.doc_id
+       |WHERE s.shared * $ContainDen >= z.n * $ContainNum
+       |ORDER BY s.d1, s.d2""".stripMargin
+
   /** dd6's full clustering SQL — shared with the p04 leak-free-split oracle
     * (PipelineQueries), which consumes clusters as a CTE. */
   private[operators] lazy val dd6Sql: String =
@@ -767,36 +828,9 @@ object DedupQueries {
          |SELECT d1, d2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamdist
          |FROM cand WHERE bit_count(xor(sh1, sh2)) <= $HammingTau
          |ORDER BY d1, d2""".stripMargin,
-    "dd7_prefix_containment" ->
-      s"""WITH $shSql,
-         |df AS (SELECT sg, COUNT(*) AS df FROM sh GROUP BY sg),
-         |ranked AS (
-         |  SELECT doc_id, sg,
-         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, sg) AS rn,
-         |         COUNT(*) OVER (PARTITION BY doc_id) AS n
-         |  FROM sh JOIN df USING (sg)
-         |),
-         |pref AS (
-         |  SELECT doc_id AS d1, sg FROM ranked
-         |  WHERE rn <= (n * ${ContainDen - ContainNum}) // $ContainDen + 1
-         |),
-         |cand AS (
-         |  SELECT DISTINCT p.d1, b.doc_id AS d2
-         |  FROM pref p JOIN sh b ON p.sg = b.sg AND p.d1 <> b.doc_id
-         |),
-         |shared AS (
-         |  SELECT c.d1, c.d2, COUNT(*) AS shared
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.d1
-         |  JOIN sh b ON b.doc_id = c.d2 AND b.sg = a.sg
-         |  GROUP BY c.d1, c.d2
-         |),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
-         |SELECT s.d1, s.d2, z.n AS n1, s.shared,
-         |       CAST(s.shared AS DOUBLE) / CAST(z.n AS DOUBLE) AS containment
-         |FROM shared s JOIN sizes z ON s.d1 = z.doc_id
-         |WHERE s.shared * $ContainDen >= z.n * $ContainNum
-         |ORDER BY s.d1, s.d2""".stripMargin,
+    "dd7_prefix_containment" -> containSqlFor("", ""),
+    "dd10_online_containment" ->
+      containSqlFor(" AND doc_id % 10 = 0", " AND b.doc_id % 10 <> 0"),
     // same first-md5-byte split expression as tx5_stratified_sample
     "dd5_contamination" ->
       s"""WITH $shSql,

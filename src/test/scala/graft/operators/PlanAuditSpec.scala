@@ -86,6 +86,23 @@ abstract class PlanAuditBase extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("dd10 online containment probes the prefix index — one prefix-side sg join only") {
+    // the PPJoin shape: exactly ONE sg-keyed join — the (batch-restricted)
+    // prefix rows probing the shingle index — reading the at-rest
+    // sh_prefix table; the verify stage keys on candidate doc ids. A
+    // second sg-keyed join (or one not fed by the prefix scan) would be
+    // the quadratic full self-join creeping back.
+    val sgOnlyJoin = """Join \[sg#\d+\], \[sg#\d+\]""".r
+    val p = plan(DedupQueries.queries("dd10_online_containment")(spark, dir))
+    assert(sgOnlyJoin.findAllIn(p).size == 1,
+      s"dd10 must have exactly one sg-keyed join (the prefix probe):\n${p.take(2000)}")
+    // the prefix index is the only at-rest table whose scan has a d1 column;
+    // the batch restriction must be pushed INTO that scan, not filtered later
+    assert("""FileScan parquet \[d1#\d+L,sg#\d+\][^\n]*% 10\) = 0""".r.findFirstIn(p).isDefined,
+      "dd10's candidates must read the at-rest prefix index with the batch filter pushed down")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("ss9 kNN join keys candidates on the band bucket and top-ks per query") {
     val p = plan(SimilarityQueries.queries("ss9_knn_join")(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
