@@ -60,27 +60,69 @@ object ReachabilityQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_temporal_reach" -> g01)
 
+  /** Directed adjacency rows (src, dst, fs = sorted distinct active frame
+    * ids) for a frame-interactions slice — shared by the full build and the
+    * incremental merge ([[appendInteractions]]). */
+  private[operators] def adjacencyRowsOf(fi: DataFrame): DataFrame = {
+    val s = fi.sparkSession
+    import s.implicits._
+    val e = fi.select($"frame_id", $"actor1", $"actor2")
+    e.select($"actor1".as("src"), $"actor2".as("dst"), $"frame_id")
+      .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst"), $"frame_id"))
+      .groupBy($"src", $"dst")
+      .agg(sort_array(collect_set($"frame_id")).as("fs"))
+  }
+
+  /** CSR discipline: range-partitioned and sorted by src, so parquet
+    * row-group stats (and the in-memory cache's per-batch min/max) are
+    * TIGHT on src — the literal-frontier rounds' isin predicate then skips
+    * nearly the whole index instead of scanning it (v1 wrote groupBy output
+    * order: every batch spanned the full src range and stat pruning skipped
+    * nothing). */
+  private def csrLayout(adj: DataFrame): DataFrame = {
+    val s = adj.sparkSession
+    import s.implicits._
+    adj.repartitionByRange($"src").sortWithinPartitions($"src", $"dst")
+  }
+
   /** At-rest directed temporal adjacency (src, dst, fs = sorted distinct
     * active frame ids) — an ingest-time index table like the LSH/shingle
     * indexes: built once per corpus, read by every reachability run. */
   private def adjacency(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, "temporal_adj", 2) {
-      import s.implicits._
-      val e = GraphCache(s, d).frameInteractions
-        .select($"frame_id", $"actor1", $"actor2")
-      e.select($"actor1".as("src"), $"actor2".as("dst"), $"frame_id")
-        .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst"), $"frame_id"))
-        .groupBy($"src", $"dst")
-        .agg(sort_array(collect_set($"frame_id")).as("fs"))
-        // CSR discipline: range-partitioned and sorted by src, so parquet
-        // row-group stats (and the in-memory cache's per-batch min/max)
-        // are TIGHT on src — the literal-frontier rounds' isin predicate
-        // then skips nearly the whole index instead of scanning it
-        // (v1 wrote groupBy output order: every batch spanned the full
-        // src range and stat pruning skipped nothing)
-        .repartitionByRange($"src")
-        .sortWithinPartitions($"src", $"dst")
+      csrLayout(adjacencyRowsOf(GraphCache(s, d).frameInteractions))
     }
+
+  /** Incremental maintenance for the adjacency index — the engine-side
+    * analog of the reference's incremental timeline insert
+    * (`BaseTimeline.java:172-279` accepts per-node appends; here a new
+    * day's frame interactions fold into the at-rest CSR index without
+    * re-reading historical events). The delta aggregates to batch-keyed
+    * (src, dst, fs) rows, a full-outer merge unions frame sets for the
+    * touched keys, and the result is rewritten in CSR layout
+    * ([[graft.build.DerivedCache.replace]]). The rewrite is a linear pass
+    * over the NARROW index (two longs + a frame list per active pair —
+    * the compressed artifact, not the 100-TB event log); both inputs are
+    * already distinct-sorted, so `array_union` + `sort_array` reproduces
+    * the full rebuild exactly (IncrementalAdjacencySpec). `newFi` must be
+    * frames not yet folded in — frame_id is the set element, so a replayed
+    * frame is idempotent per pair but the caller should not rely on it. */
+  def appendInteractions(s: SparkSession, d: String, newFi: DataFrame): Unit = {
+    import s.implicits._
+    val existing = DerivedCache.existing(s, d, "temporal_adj", 2)
+    val delta = adjacencyRowsOf(newFi)
+    val merged = existing.as("e")
+      .join(delta.as("n"), Seq("src", "dst"), "full")
+      .select($"src", $"dst",
+        sort_array(array_union(
+          coalesce($"e.fs", array().cast("array<long>")),
+          coalesce($"n.fs", array().cast("array<long>")))).as("fs"))
+    DerivedCache.replace(s, d, "temporal_adj", 2)(csrLayout(merged))
+    // the pre-replace files are gone: release the executor-pinned copy so
+    // the next warm() pins the merged index instead
+    existing.unpersist()
+    ()
+  }
 
   /** Force at-rest adjacency materialization (untimed in Bench), and pin the
     * index in executor memory: every relaxation round scans it once, so the

@@ -156,6 +156,19 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Posting rows (t, doc_id, tf) for a documents frame — PER-DOCUMENT
+    * (the groupBy keys include doc_id), so the at-rest index is
+    * append-exact under document batches like the shingle/minhash/band
+    * family (IncrementalIndexSpec). */
+  private[operators] def postingRowsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .repartition($"doc_id")
+      .select($"doc_id", explode(wsTokens($"text")).as("t"))
+      .groupBy($"t", $"doc_id").agg(count(lit(1)).as("tf"))
+  }
+
   /** At-rest inverted index (token, doc_id, tf) — the fulltext analog of the
     * reference's Lucene `actors_<run>` index (`load_gexf_to_neo4j.py:148`,
     * dropped by SURVEY §1.3 because nothing queried it; tx6 gives the
@@ -164,12 +177,16 @@ object TextQueries {
     * standard token-bucketed layout search engines shard on. */
   private def postings(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, "doc_postings", 1) {
-      import s.implicits._
-      Tables.documents(s, d)
-        .repartition($"doc_id")
-        .select($"doc_id", explode(wsTokens($"text")).as("t"))
-        .groupBy($"t", $"doc_id").agg(count(lit(1)).as("tf"))
+      postingRowsOf(Tables.documents(s, d))
     }
+
+  /** Incremental maintenance for the inverted index — `DedupQueries.
+    * appendDocuments`'s fulltext sibling: derive posting rows for a NEW
+    * document batch only and file-append them (same caller contract: batch
+    * doc_ids must not already be indexed). The daily ingest never
+    * re-tokenizes the corpus. */
+  def appendDocuments(s: SparkSession, d: String, newDocs: DataFrame): Unit =
+    DerivedCache.append(s, d, "doc_postings", 1)(postingRowsOf(newDocs))
 
   /** tx6: fulltext AND-search over the inverted index. The probe is
     * data-derived like every graph probe: the two highest-document-frequency

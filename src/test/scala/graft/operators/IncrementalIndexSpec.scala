@@ -58,6 +58,22 @@ class IncrementalIndexSpec extends SparkSpec {
       "appended fingerprint index must equal the full rebuild")
   }
 
+  test("TextQueries.appendDocuments == full rebuild for the posting index") {
+    val dd = s"/incremental-postings/${java.util.UUID.randomUUID()}"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 3 =!= 0)
+    val delta = docs.filter($"doc_id" % 3 === 0)
+
+    DerivedCache.table(spark, dd, "doc_postings", 1)(
+      TextQueries.postingRowsOf(base))
+    TextQueries.appendDocuments(spark, dd, delta)
+
+    assert(rows(DerivedCache.existing(spark, dd, "doc_postings", 1))
+        == rows(TextQueries.postingRowsOf(docs)),
+      "appended posting index must equal the full rebuild")
+  }
+
   test("append refuses a table whose base was never built") {
     val e = intercept[IllegalArgumentException] {
       DerivedCache.append(spark, s"$d-unbuilt", "doc_shingles", 1)(
