@@ -52,6 +52,7 @@ object DedupQueries {
     docMinhash(s, d)
     minhashBands(s, d)
     docFp(s, d)
+    docSizes(s, d)
     dupPairs(s, d)
     containPrefix(s, d)
     ()
@@ -69,7 +70,7 @@ object DedupQueries {
 
   /** Distinct word-3-gram shingles (doc_id, sg) for a documents frame —
     * 1-based positions, mirroring the oracle's list indexing. */
-  private[operators] def shingleRowsOf(docs: DataFrame): DataFrame = {
+  private[graft] def shingleRowsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs
@@ -84,7 +85,7 @@ object DedupQueries {
   }
 
   /** Per-hash MinHash signatures (doc_id, i, mh) from shingle rows. */
-  private[operators] def minhashRowsOf(shingleRows: DataFrame): DataFrame = {
+  private[graft] def minhashRowsOf(shingleRows: DataFrame): DataFrame = {
     val s = shingleRows.sparkSession
     import s.implicits._
     shingleRows
@@ -99,15 +100,26 @@ object DedupQueries {
     * incremental cluster path ([[appendDupClusters]]) can find batch-vs-
     * corpus exact duplicates without re-reading corpus TEXT (the fp table is
     * two narrow columns; the text column is the 100-TB one). */
-  private[operators] def fpRowsOf(docs: DataFrame): DataFrame = {
+  private[graft] def fpRowsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs.select($"doc_id", fingerprintMd5($"text").as("fp"))
   }
 
+  /** Per-document shingle counts (doc_id, n) — |S(d)|, the denominator of
+    * every Jaccard/containment verify. Per-document, so append-exact; kept
+    * at rest because the online paths (dd9/dd10, the incremental cluster
+    * append) otherwise pay a corpus-wide groupBy over the shingle index on
+    * every daily batch just to rebuild these counts. */
+  private[graft] def sizeRowsOf(shingleRows: DataFrame): DataFrame = {
+    val s = shingleRows.sparkSession
+    import s.implicits._
+    shingleRows.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+  }
+
   /** LSH band rows (doc_id, band, bh), K hashes in B bands, from per-hash
     * signatures. */
-  private[operators] def bandRowsOf(minhashRows: DataFrame): DataFrame = {
+  private[graft] def bandRowsOf(minhashRows: DataFrame): DataFrame = {
     val s = minhashRows.sparkSession
     import s.implicits._
     minhashRows
@@ -141,6 +153,7 @@ object DedupQueries {
       DerivedCache.append(s, d, "doc_minhash", 1)(mh)
       DerivedCache.append(s, d, "doc_mh_bands", 1)(bandRowsOf(mh))
       DerivedCache.append(s, d, "doc_fp", 1)(fpRowsOf(newDocs))
+      DerivedCache.append(s, d, "doc_sizes", 1)(sizeRowsOf(sh))
     } finally {
       mh.unpersist()
       sh.unpersist()
@@ -177,6 +190,12 @@ object DedupQueries {
       fpRowsOf(Tables.documents(s, d))
     }
 
+  /** At-rest shingle-count table (doc_id, n) — see [[sizeRowsOf]]. */
+  private def docSizes(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "doc_sizes", 1) {
+      sizeRowsOf(shingles(s, d))
+    }
+
   /** dd1: exact duplicate detection — md5 over normalized text, canonical id
     * per cluster via window min. */
   private def dd1(s: SparkSession, d: String): DataFrame = {
@@ -202,7 +221,8 @@ object DedupQueries {
     * millions makes the verify stage quadratic at 100 TB. dd2 keeps the
     * exhaustive shape as the declared baseline.) */
   private def jaccardPairs(s: SparkSession, sh: DataFrame,
-      candidates: Option[DataFrame], minJac: Option[Double] = Some(Tau)): DataFrame = {
+      candidates: Option[DataFrame], minJac: Option[Double] = Some(Tau),
+      sizesOpt: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val shared = candidates.fold {
       val a = sh.select($"doc_id".as("d1"), $"sg")
@@ -217,7 +237,7 @@ object DedupQueries {
         .join(sh.select($"doc_id".as("d2"), $"sg"), Seq("d2", "sg"))
     }
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("shared"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = sizesOpt.getOrElse(sizeRowsOf(sh))
     shared
       .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
       .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
@@ -253,7 +273,7 @@ object DedupQueries {
       .join(bands.filter($"doc_id" % 10 =!= 0)
         .select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
       .select($"d1", $"d2")
-    jaccardPairs(s, shingles(s, d), Some(candidates))
+    jaccardPairs(s, shingles(s, d), Some(candidates), sizesOpt = Some(docSizes(s, d)))
   }
 
   /** dd3: MinHash+LSH near-dup — banded min-hash signatures generate
@@ -266,7 +286,7 @@ object DedupQueries {
       .join(bands.select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
       .filter($"d1" < $"d2")
       .select($"d1", $"d2")
-    jaccardPairs(s, shingles(s, d), Some(candidates))
+    jaccardPairs(s, shingles(s, d), Some(candidates), sizesOpt = Some(docSizes(s, d)))
   }
 
   /** dd8: sketch-accuracy audit — for every LSH candidate pair, the
@@ -292,7 +312,8 @@ object DedupQueries {
         .as("est_jaccard"))
     // a band collision implies >= 1 shared shingle, so the exact side has a
     // row for every candidate — the inner join loses nothing
-    val exact = jaccardPairs(s, shingles(s, d), Some(candidates), None)
+    val exact = jaccardPairs(s, shingles(s, d), Some(candidates), None,
+      sizesOpt = Some(docSizes(s, d)))
     est.join(exact.select($"d1", $"d2", $"jac".as("jaccard")), Seq("d1", "d2"))
       .orderBy($"d1", $"d2")
   }
@@ -403,7 +424,7 @@ object DedupQueries {
       d1Pred: Column, d2Pred: Column): DataFrame = {
     import s.implicits._
     val sh = shingles(s, d)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = docSizes(s, d)
     // PPJoin size filter BEFORE the expensive expansion: shared ≤ |S2|, so
     // C(d1→d2) ≥ t already implies 10·n2 ≥ 9·n1 — applying it to candidates
     // prunes the verify's Σ|S(d1)| work ~2× (measured at sf0.1) without
@@ -473,7 +494,7 @@ object DedupQueries {
     * token docs that have no shingles). Frame-parameterized so the full
     * build ([[dupPairs]]) and the incremental-cluster spec derive pairs
     * from the same code over any corpus slice. */
-  private[operators] def dupPairRowsOf(sh: DataFrame, bands: DataFrame,
+  private[graft] def dupPairRowsOf(sh: DataFrame, bands: DataFrame,
       fps: DataFrame): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
@@ -506,7 +527,7 @@ object DedupQueries {
     * label state is corpus-sized and never shuffles except its own merge
     * groupBy); labels only decrease, so (count, Σ label) is monotone until
     * the fixpoint. */
-  private[operators] def clusterRowsOf(nodes: DataFrame, pairs: DataFrame,
+  private[graft] def clusterRowsOf(nodes: DataFrame, pairs: DataFrame,
       what: String = "dup-cluster labeling"): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._
@@ -587,7 +608,9 @@ object DedupQueries {
       .join(bands.select($"doc_id".as("y"), $"band", $"bh"), Seq("band", "bh"))
       .filter($"x" =!= $"y")
       .select(least($"x", $"y").as("d1"), greatest($"x", $"y").as("d2"))
-    val near = jaccardPairs(s, sh, Some(candidates)).select($"d1", $"d2")
+    val near = jaccardPairs(s, sh, Some(candidates),
+      sizesOpt = Some(DerivedCache.existing(s, d, "doc_sizes", 1)))
+      .select($"d1", $"d2")
     val batchFp = fps.join(batchIds, "doc_id")
     val exactPairs = batchFp.select($"doc_id".as("x"), $"fp")
       .join(fps.select($"doc_id".as("y"), $"fp"), "fp")

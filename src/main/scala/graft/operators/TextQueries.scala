@@ -160,7 +160,7 @@ object TextQueries {
     * (the groupBy keys include doc_id), so the at-rest index is
     * append-exact under document batches like the shingle/minhash/band
     * family (IncrementalIndexSpec). */
-  private[operators] def postingRowsOf(docs: DataFrame): DataFrame = {
+  private[graft] def postingRowsOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs

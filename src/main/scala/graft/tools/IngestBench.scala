@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.build.DerivedCache
+import graft.operators.{DedupQueries, TextQueries}
+import graft.sources.Tables
+
+/** Measures the incremental-ingest claim instead of asserting it: fold a
+  * FIXED-SIZE daily batch into the at-rest document indexes
+  * (`appendDocuments` ×2 + `appendDupClusters`) at each scale factor, next
+  * to the cost of rebuilding every index from scratch over the same final
+  * corpus. The correctness side is proven (IncrementalIndexSpec /
+  * IncrementalClusterSpec — append == full rebuild); this reports the
+  * GROWTH: as the corpus scales 100× under a constant batch, the full
+  * rebuild must track the corpus while the append path tracks the day
+  * (plus a linear pass over the narrow cluster state — the documented
+  * non-constant term). Batch = the 50 documents with doc_id % 10 = 0 and
+  * doc_id < 500 — present at every sf, so the batch is IDENTICAL in size
+  * across the ladder.
+  *
+  * Per (sf, path): median of 3 runs, fresh throwaway cache keys per run
+  * (cleaned up after), one warm-up full build first so JIT warms against
+  * the baseline, not the append path. Prints one JSON line:
+  * `{"metric":"ingest","ladder":{"<sf>":{"full_s":…,"append_s":…}},…}`.
+  */
+object IngestBench {
+
+  private def time[A](body: => A): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  private def batchOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.filter($"doc_id" % 10 === 0 && $"doc_id" < 500)
+  }
+
+  /** Every at-rest document index the batch ingest maintains, over `docs`. */
+  private def build(s: SparkSession, key: String, docs: DataFrame): Unit = {
+    import s.implicits._
+    val sh = DerivedCache.table(s, key, "doc_shingles", 1)(
+      DedupQueries.shingleRowsOf(docs))
+    val mh = DerivedCache.table(s, key, "doc_minhash", 1)(
+      DedupQueries.minhashRowsOf(sh))
+    val bd = DerivedCache.table(s, key, "doc_mh_bands", 1)(
+      DedupQueries.bandRowsOf(mh))
+    val fp = DerivedCache.table(s, key, "doc_fp", 1)(
+      DedupQueries.fpRowsOf(docs))
+    DerivedCache.table(s, key, "doc_sizes", 1)(
+      DedupQueries.sizeRowsOf(sh))
+    DerivedCache.table(s, key, "doc_postings", 1)(
+      TextQueries.postingRowsOf(docs))
+    DerivedCache.table(s, key, "dup_clusters", 1)(
+      DedupQueries.clusterRowsOf(docs.select($"doc_id"),
+          DedupQueries.dupPairRowsOf(sh, bd, fp))
+        .withColumnRenamed("label", "cluster_id"))
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_INGEST_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val runId = java.util.UUID.randomUUID().toString
+    var seq = 0
+    def key(): String = { seq += 1; s"/ingest-bench-$seq/$runId" }
+
+    // JIT/stage warm-up, discarded
+    build(spark, key(), Tables.documents(spark, sfDirs.head).select($"doc_id", $"text"))
+
+    val ladder = sfDirs.map { dir =>
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val batch = batchOf(docs)
+      val base = docs.exceptAll(batch)
+      val fullS = median(Seq.fill(reps)(time(build(spark, key(), docs))))
+      val appendS = median(Seq.fill(reps) {
+        val k = key()
+        build(spark, k, base) // day-0 base, untimed
+        time {
+          DedupQueries.appendDocuments(spark, k, batch)
+          TextQueries.appendDocuments(spark, k, batch)
+          DedupQueries.appendDupClusters(spark, k, batch)
+        }
+      })
+      val sf = dir.split('/').last
+      (sf, fullS, appendS)
+    }
+
+    // throwaway cache keys: remove so repeated runs don't accumulate
+    val cacheBase = java.nio.file.Paths.get(DerivedCache.baseDir(spark))
+    if (java.nio.file.Files.exists(cacheBase)) {
+      val st = java.nio.file.Files.list(cacheBase)
+      try {
+        st.iterator().forEachRemaining { p =>
+          // dirKey sanitizes "/ingest-bench-…" to "ingest_bench_…"
+          if (p.getFileName.toString.startsWith("ingest_bench_")) {
+            val w = java.nio.file.Files.walk(p)
+            try {
+              w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                .forEach(java.nio.file.Files.delete(_))
+            } finally w.close()
+          }
+        }
+      } finally st.close()
+    }
+
+    val body = ladder.map { case (sf, f, a) =>
+      f""""$sf":{"full_s":$f%.3f,"append_s":$a%.3f}"""
+    }.mkString(",")
+    println(s"""{"metric":"ingest","n_batch":50,"reps":$reps,"ladder":{$body}}""")
+    spark.stop()
+  }
+}

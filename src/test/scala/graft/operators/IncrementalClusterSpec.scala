@@ -35,6 +35,8 @@ class IncrementalClusterSpec extends SparkSpec {
       DedupQueries.bandRowsOf(mh))
     val fp = DerivedCache.table(spark, d, "doc_fp", 1)(
       DedupQueries.fpRowsOf(base))
+    DerivedCache.table(spark, d, "doc_sizes", 1)(
+      DedupQueries.sizeRowsOf(sh))
     DerivedCache.table(spark, d, "dup_clusters", 1)(
       DedupQueries.clusterRowsOf(base.select($"doc_id"),
           DedupQueries.dupPairRowsOf(sh, bd, fp))

@@ -36,6 +36,8 @@ class IncrementalIndexSpec extends SparkSpec {
       DedupQueries.bandRowsOf(mh0))
     DerivedCache.table(spark, d, "doc_fp", 1)(
       DedupQueries.fpRowsOf(base))
+    DerivedCache.table(spark, d, "doc_sizes", 1)(
+      DedupQueries.sizeRowsOf(sh0))
 
     // ingest day 1: the delta appends — derivation over delta docs ONLY
     DedupQueries.appendDocuments(spark, d, delta)
@@ -56,6 +58,8 @@ class IncrementalIndexSpec extends SparkSpec {
       "appended band index must equal the full rebuild")
     assert(rows(readBack("doc_fp")) == rows(DedupQueries.fpRowsOf(docs)),
       "appended fingerprint index must equal the full rebuild")
+    assert(rows(readBack("doc_sizes")) == rows(DedupQueries.sizeRowsOf(fullSh)),
+      "appended size table must equal the full rebuild")
   }
 
   test("TextQueries.appendDocuments == full rebuild for the posting index") {
