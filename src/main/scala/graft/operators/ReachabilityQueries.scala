@@ -63,7 +63,7 @@ object ReachabilityQueries {
   /** Directed adjacency rows (src, dst, fs = sorted distinct active frame
     * ids) for a frame-interactions slice — shared by the full build and the
     * incremental merge ([[appendInteractions]]). */
-  private[operators] def adjacencyRowsOf(fi: DataFrame): DataFrame = {
+  private[graft] def adjacencyRowsOf(fi: DataFrame): DataFrame = {
     val s = fi.sparkSession
     import s.implicits._
     val e = fi.select($"frame_id", $"actor1", $"actor2")
