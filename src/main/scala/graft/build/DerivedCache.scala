@@ -91,20 +91,26 @@ object DerivedCache {
     * rows (e.g. the dup-cluster label table, where a merge relabels old
     * members), which `append` by definition cannot express. `rows` may read
     * FROM the current table: it is fully materialized into a staging
-    * directory first, and only then swapped over the old files (delete +
-    * same-filesystem rename), so the input files are never deleted under a
-    * running plan and a crash mid-write leaves the old table intact. */
+    * directory (marker included) before the old table moves aside, so the
+    * input files are never deleted under a running plan, a crash while
+    * writing leaves the old table untouched, and the vulnerable window
+    * shrinks to the two directory renames (a crash there leaves the
+    * complete old table under `__retired`, recoverable by hand — never a
+    * half-written mixture). */
   def replace(spark: SparkSession, dir: String, name: String, version: Int)
       (rows: DataFrame): Unit = synchronized {
     val path = s"${baseDir(spark)}/${dirKey(dir)}/${name}_v$version"
     require(Files.exists(Paths.get(s"$path/_GRAFT_DONE")),
       s"replace target $name (v$version) is not built for $dir — build the base index first")
     val staging = s"${path}__staging"
-    deleteRecursively(staging) // stale staging from a crashed earlier run
+    val retired = s"${path}__retired"
+    deleteRecursively(staging) // leftovers from a crashed earlier run
+    deleteRecursively(retired)
     rows.write.mode("overwrite").parquet(staging)
-    deleteRecursively(path)
+    Files.createFile(Paths.get(s"$staging/_GRAFT_DONE"))
+    Files.move(Paths.get(path), Paths.get(retired))
     Files.move(Paths.get(staging), Paths.get(path))
-    Files.createFile(Paths.get(s"$path/_GRAFT_DONE"))
+    deleteRecursively(retired)
     memo.keys.filter(_._2 == path).foreach(memo.remove)
   }
 
@@ -118,6 +124,8 @@ object DerivedCache {
     * `coalesce`, never `repartition` — compaction must not pay a shuffle. */
   def compact(spark: SparkSession, dir: String, name: String, version: Int): Unit = {
     val path = s"${baseDir(spark)}/${dirKey(dir)}/${name}_v$version"
+    require(Files.exists(Paths.get(s"$path/_GRAFT_DONE")),
+      s"compact target $name (v$version) is not built for $dir — build the base index first")
     val target = spark.conf.getOption("spark.graft.compact.targetBytes")
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     val bytes = parquetBytes(path)

@@ -139,9 +139,10 @@ object DedupQueries {
     * (IncrementalIndexSpec proves set equality). Caller contract: `newDocs`
     * doc_ids must not already be indexed — doc_id is the index key, and an
     * existence anti-join per append is precisely the corpus-sized work this
-    * path exists to avoid. The cross-document indexes (dd7's df-ranked
-    * prefix index, dd6's verified pair graph) are NOT append-maintainable —
-    * their global rankings drift — and stay on periodic rebuild (SCALING.md). */
+    * path exists to avoid. The pair graph and cluster table are maintained
+    * by [[appendDupClusters]]; dd7's df-ranked prefix index is NOT
+    * append-maintainable (df ranks drift corpus-wide) and stays on
+    * periodic rebuild (SCALING.md). */
   def appendDocuments(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
     // persist the two intermediate stages for the duration of the call:
     // the band append's lineage otherwise re-shingles and re-minhashes the
@@ -588,16 +589,26 @@ object DedupQueries {
     *     min-label over contracted nodes yields the true min doc id of
     *     every merged component, so the result is EXACTLY the full rebuild
     *     (IncrementalClusterSpec proves equality);
-    *  4. one linear broadcast-remap pass rewrites the state table
-    *     ([[graft.build.DerivedCache.replace]]) — at 100 TB that is a scan
-    *     of two long columns, not a corpus-sized fixpoint.
+    *  4. the batch's verified pairs also APPEND to the at-rest `dup_pairs`
+    *     graph, keeping it consistent with the cluster table for every
+    *     downstream consumer (dd6, p04's leak-free split). The appended
+    *     pairs are component-equivalent to a full rebuild's, not
+    *     row-identical — the rebuild writes per-fingerprint STARS while the
+    *     batch writes its actual fp hits — so the CLUSTER table is the
+    *     canonical artifact and the pair graph is a certificate of it;
+    *  5. when the batch merges nothing (empty remap — the common day), the
+    *     state table only APPENDS the batch rows; the linear
+    *     broadcast-remap rewrite ([[graft.build.DerivedCache.replace]], a
+    *     scan of two long columns, never a corpus-sized fixpoint) runs
+    *     only when a merge actually relabels existing members.
     *
     * The broadcasts are bounded by construction: the contracted edge list
     * and the remap are both ∝ the batch's verified pairs, the same bound
-    * dd6's pair broadcast carries. */
+    * dd6's pair broadcast carries. An empty batch is a no-op. */
   def appendDupClusters(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
     import s.implicits._
     val batchIds = newDocs.select($"doc_id").distinct()
+    if (batchIds.isEmpty) return
     val sh = DerivedCache.existing(s, d, "doc_shingles", 1)
     val bands = DerivedCache.existing(s, d, "doc_mh_bands", 1)
     val fps = DerivedCache.existing(s, d, "doc_fp", 1)
@@ -616,7 +627,8 @@ object DedupQueries {
       .join(fps.select($"doc_id".as("y"), $"fp"), "fp")
       .filter($"x" =!= $"y")
       .select(least($"x", $"y").as("d1"), greatest($"x", $"y").as("d2"))
-    val newPairs = near.unionAll(exactPairs).distinct()
+    // persisted: read three times (pair-graph append, node set, loop edges)
+    val newPairs = near.unionAll(exactPairs).distinct().persist()
 
     // contract endpoints onto existing labels (batch docs onto themselves)
     val contracted = newPairs
@@ -624,24 +636,35 @@ object DedupQueries {
       .join(clusters.select($"doc_id".as("d2"), $"cluster_id".as("c2")), Seq("d2"), "left")
       .select(coalesce($"c1", $"d1").as("d1"), coalesce($"c2", $"d2").as("d2"))
       .filter($"d1" =!= $"d2").distinct()
-      .persist() // read twice (node set + loop edges); tiny (∝ batch pairs)
+      .persist()
     try {
+      DerivedCache.append(s, d, "dup_pairs", 1)(newPairs)
       val nodes = contracted.select($"d1".as("doc_id"))
         .unionAll(contracted.select($"d2".as("doc_id")))
         .unionAll(batchIds) // isolated batch docs become singleton clusters
         .distinct()
       val labeled = clusterRowsOf(nodes, contracted, "contracted dup-cluster labeling")
 
+      // only existing-cluster reps belong in the remap: a batch node's
+      // label never matches an existing row's cluster_id, and keeping them
+      // out makes `remap is empty` mean exactly "no merge touched history"
       val remap = labeled.filter($"doc_id" =!= $"label")
+        .join(batchIds, Seq("doc_id"), "left_anti")
         .select($"doc_id".as("cluster_id"), $"label")
-      val updated = clusters.join(broadcast(remap), Seq("cluster_id"), "left")
-        .select($"doc_id", coalesce($"label", $"cluster_id").as("cluster_id"))
       val batchRows = batchIds
         .join(broadcast(labeled), Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
-      DerivedCache.replace(s, d, "dup_clusters", 1)(updated.unionAll(batchRows))
+      if (remap.isEmpty) {
+        DerivedCache.append(s, d, "dup_clusters", 1)(batchRows)
+      } else {
+        val updated = clusters.join(broadcast(remap), Seq("cluster_id"), "left")
+          .select($"doc_id", coalesce($"label", $"cluster_id").as("cluster_id"))
+        DerivedCache.replace(s, d, "dup_clusters", 1)(updated.unionAll(batchRows))
+      }
     } finally {
       contracted.unpersist()
+      newPairs.unpersist()
+      ()
     }
   }
 

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.build.DerivedCache
+
+/** The document-ingest entry points — ONE list of the at-rest document
+  * index tables, so the bench, the specs, and a library user can't drift
+  * on which tables a batch ingest maintains.
+  *
+  *  - [[buildDocumentIndexes]]: day-0 (or periodic-rebuild) materialization
+  *    of every per-document index plus the pair graph and cluster table,
+  *    over an explicit documents frame under an explicit corpus key.
+  *  - [[appendDocumentBatch]]: the daily path — per-document index appends
+  *    (`DedupQueries.appendDocuments`, `TextQueries.appendDocuments`)
+  *    followed by the incremental pair-graph/cluster fold
+  *    (`DedupQueries.appendDupClusters`).
+  */
+object Ingest {
+
+  /** Build every at-rest document index over `docs` under corpus key `d`.
+    * Idempotent per table ([[DerivedCache.table]] markers). */
+  def buildDocumentIndexes(s: SparkSession, d: String, docs: DataFrame): Unit = {
+    import s.implicits._
+    val sh = DerivedCache.table(s, d, "doc_shingles", 1)(
+      DedupQueries.shingleRowsOf(docs))
+    val mh = DerivedCache.table(s, d, "doc_minhash", 1)(
+      DedupQueries.minhashRowsOf(sh))
+    val bd = DerivedCache.table(s, d, "doc_mh_bands", 1)(
+      DedupQueries.bandRowsOf(mh))
+    val fp = DerivedCache.table(s, d, "doc_fp", 1)(
+      DedupQueries.fpRowsOf(docs))
+    DerivedCache.table(s, d, "doc_sizes", 1)(
+      DedupQueries.sizeRowsOf(sh))
+    DerivedCache.table(s, d, "doc_postings", 1)(
+      TextQueries.postingRowsOf(docs))
+    val pairs = DerivedCache.table(s, d, "dup_pairs", 1)(
+      DedupQueries.dupPairRowsOf(sh, bd, fp))
+    DerivedCache.table(s, d, "dup_clusters", 1)(
+      DedupQueries.clusterRowsOf(docs.select($"doc_id"), pairs)
+        .withColumnRenamed("label", "cluster_id"))
+    ()
+  }
+
+  /** Fold a NEW document batch into every at-rest index — the daily ingest.
+    * Caller contract: batch doc_ids must not already be indexed. */
+  def appendDocumentBatch(s: SparkSession, d: String, batch: DataFrame): Unit = {
+    DedupQueries.appendDocuments(s, d, batch)
+    TextQueries.appendDocuments(s, d, batch)
+    DedupQueries.appendDupClusters(s, d, batch)
+  }
+}

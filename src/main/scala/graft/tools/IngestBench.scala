@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.build.DerivedCache
-import graft.operators.{DedupQueries, TextQueries}
+import graft.operators.Ingest
 import graft.sources.Tables
 
 /** Measures the incremental-ingest claim instead of asserting it: fold a
@@ -40,27 +40,10 @@ object IngestBench {
     docs.filter($"doc_id" % 10 === 0 && $"doc_id" < 500)
   }
 
-  /** Every at-rest document index the batch ingest maintains, over `docs`. */
-  private def build(s: SparkSession, key: String, docs: DataFrame): Unit = {
-    import s.implicits._
-    val sh = DerivedCache.table(s, key, "doc_shingles", 1)(
-      DedupQueries.shingleRowsOf(docs))
-    val mh = DerivedCache.table(s, key, "doc_minhash", 1)(
-      DedupQueries.minhashRowsOf(sh))
-    val bd = DerivedCache.table(s, key, "doc_mh_bands", 1)(
-      DedupQueries.bandRowsOf(mh))
-    val fp = DerivedCache.table(s, key, "doc_fp", 1)(
-      DedupQueries.fpRowsOf(docs))
-    DerivedCache.table(s, key, "doc_sizes", 1)(
-      DedupQueries.sizeRowsOf(sh))
-    DerivedCache.table(s, key, "doc_postings", 1)(
-      TextQueries.postingRowsOf(docs))
-    DerivedCache.table(s, key, "dup_clusters", 1)(
-      DedupQueries.clusterRowsOf(docs.select($"doc_id"),
-          DedupQueries.dupPairRowsOf(sh, bd, fp))
-        .withColumnRenamed("label", "cluster_id"))
-    ()
-  }
+  /** Every at-rest document index the batch ingest maintains, over `docs` —
+    * the one table list, shared with the specs ([[graft.operators.Ingest]]). */
+  private def build(s: SparkSession, key: String, docs: DataFrame): Unit =
+    Ingest.buildDocumentIndexes(s, key, docs)
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
@@ -92,11 +75,7 @@ object IngestBench {
       val appendS = median(Seq.fill(reps) {
         val k = key()
         build(spark, k, base) // day-0 base, untimed
-        time {
-          DedupQueries.appendDocuments(spark, k, batch)
-          TextQueries.appendDocuments(spark, k, batch)
-          DedupQueries.appendDupClusters(spark, k, batch)
-        }
+        time(Ingest.appendDocumentBatch(spark, k, batch))
       })
       val sf = dir.split('/').last
       (sf, fullS, appendS)

@@ -57,4 +57,11 @@ class DerivedCacheSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not built"))
   }
+
+  test("compact refuses a table whose base was never built") {
+    val e = intercept[IllegalArgumentException] {
+      DerivedCache.compact(spark, freshDir("unbuilt"), "t", 1)
+    }
+    assert(e.getMessage.contains("not built"))
+  }
 }

@@ -24,25 +24,10 @@ class IncrementalClusterSpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  /** Ingest day 0: per-document indexes + pair graph + cluster table over
-    * the BASE corpus only. */
-  private def buildBase(d: String, base: DataFrame): Unit = {
-    val sh = DerivedCache.table(spark, d, "doc_shingles", 1)(
-      DedupQueries.shingleRowsOf(base))
-    val mh = DerivedCache.table(spark, d, "doc_minhash", 1)(
-      DedupQueries.minhashRowsOf(sh))
-    val bd = DerivedCache.table(spark, d, "doc_mh_bands", 1)(
-      DedupQueries.bandRowsOf(mh))
-    val fp = DerivedCache.table(spark, d, "doc_fp", 1)(
-      DedupQueries.fpRowsOf(base))
-    DerivedCache.table(spark, d, "doc_sizes", 1)(
-      DedupQueries.sizeRowsOf(sh))
-    DerivedCache.table(spark, d, "dup_clusters", 1)(
-      DedupQueries.clusterRowsOf(base.select($"doc_id"),
-          DedupQueries.dupPairRowsOf(sh, bd, fp))
-        .withColumnRenamed("label", "cluster_id"))
-    ()
-  }
+  /** Ingest day 0: every at-rest document index over the BASE corpus only
+    * — the same single table list the bench and a library user go through. */
+  private def buildBase(d: String, base: DataFrame): Unit =
+    Ingest.buildDocumentIndexes(spark, d, base)
 
   /** The ground truth: one whole-corpus pair derivation + labeling. */
   private def fullRebuild(docs: DataFrame): DataFrame = {
@@ -63,8 +48,7 @@ class IncrementalClusterSpec extends SparkSpec {
     assert(base.count() > 0 && delta.count() > 0, "split must be non-trivial")
 
     buildBase(d, base)
-    DedupQueries.appendDocuments(spark, d, delta)
-    DedupQueries.appendDupClusters(spark, d, delta)
+    Ingest.appendDocumentBatch(spark, d, delta)
 
     assert(rows(DerivedCache.existing(spark, d, "dup_clusters", 1))
         == rows(fullRebuild(docs)),
@@ -90,8 +74,7 @@ class IncrementalClusterSpec extends SparkSpec {
     assert(before == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L),
       s"base must start as two distinct clusters, got $before")
 
-    DedupQueries.appendDocuments(spark, d, delta)
-    DedupQueries.appendDupClusters(spark, d, delta)
+    Ingest.appendDocumentBatch(spark, d, delta)
 
     assert(rows(DerivedCache.existing(spark, d, "dup_clusters", 1))
         == rows(fullRebuild(base.unionAll(delta))),
@@ -100,6 +83,25 @@ class IncrementalClusterSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 20L -> 1L),
       s"the bridge doc must merge both clusters onto min id 1, got $after")
+    // the appended pair graph must stay component-consistent with the
+    // cluster table: re-deriving components from at-rest dup_pairs yields
+    // the same labels (p04's leak-free split reads the pair graph)
+    val fromPairs = DedupQueries.clusterRowsOf(
+        base.unionAll(delta).select($"doc_id"),
+        DerivedCache.existing(spark, d, "dup_pairs", 1))
+      .withColumnRenamed("label", "cluster_id")
+    assert(rows(fromPairs) == rows(DerivedCache.existing(spark, d, "dup_clusters", 1)),
+      "components of the appended pair graph must equal the cluster table")
+  }
+
+  test("an empty batch is a no-op") {
+    val d = freshDir("empty")
+    val base = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    buildBase(d, base)
+    val before = rows(DerivedCache.existing(spark, d, "dup_clusters", 1))
+    DedupQueries.appendDupClusters(spark, d,
+      base.filter($"doc_id" < 0)) // empty ingest day
+    assert(rows(DerivedCache.existing(spark, d, "dup_clusters", 1)) == before)
   }
 
   test("an isolated batch doc becomes a singleton cluster") {
@@ -107,8 +109,7 @@ class IncrementalClusterSpec extends SparkSpec {
     val base = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val delta = Seq((2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
     buildBase(d, base)
-    DedupQueries.appendDocuments(spark, d, delta)
-    DedupQueries.appendDupClusters(spark, d, delta)
+    Ingest.appendDocumentBatch(spark, d, delta)
     val after = DerivedCache.existing(spark, d, "dup_clusters", 1)
       .as[(Long, Long)].collect().toMap
     assert(after == Map(1L -> 1L, 2L -> 2L),
