@@ -94,6 +94,51 @@ class IncrementalClusterSpec extends SparkSpec {
       "components of the appended pair graph must equal the cluster table")
   }
 
+  test("two consecutive ingest days equal the full rebuild") {
+    val d = freshDir("twodays")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val base = docs.filter($"doc_id" % 3 === 1)
+    val day1 = docs.filter($"doc_id" % 3 === 2)
+    val day2 = docs.filter($"doc_id" % 3 === 0)
+
+    buildBase(d, base)
+    Ingest.appendDocumentBatch(spark, d, day1)
+    Ingest.appendDocumentBatch(spark, d, day2) // append-after-replace path
+
+    assert(rows(DerivedCache.existing(spark, d, "dup_clusters", 1))
+        == rows(fullRebuild(docs)),
+      "two maintained ingest days must equal the one-shot full rebuild")
+  }
+
+  test("append == full rebuild across randomized corpora and splits") {
+    // deterministic pseudo-random corpora over a tiny vocabulary: short
+    // texts collide heavily, so exact dups, LSH near-dups, batch-internal
+    // pairs, and merges all arise naturally across the seeds
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "theta")
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val texts = (0 until 24).map { _ =>
+        Seq.fill(4 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val corpus = (0 until 24).map { i =>
+        // every fourth doc verbatim-copies an earlier one: exact-dup stars
+        val t = if (i % 4 == 3) texts(rnd.nextInt(i)) else texts(i)
+        (i.toLong, t)
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val batch = df.filter($"doc_id" % 3 === seed % 3)
+      val base = df.filter($"doc_id" % 3 =!= seed % 3)
+
+      val d = freshDir(s"prop$seed")
+      buildBase(d, base)
+      Ingest.appendDocumentBatch(spark, d, batch)
+      assert(rows(DerivedCache.existing(spark, d, "dup_clusters", 1))
+          == rows(fullRebuild(df)),
+        s"seed $seed: maintained clusters must equal the full rebuild")
+    }
+  }
+
   test("an empty batch is a no-op") {
     val d = freshDir("empty")
     val base = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
