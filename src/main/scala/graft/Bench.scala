@@ -87,13 +87,21 @@ object Bench {
     // so the per-round bench artifact carries the growth story without the
     // driver's bench run itself paying the 3-scale ladder. The file is
     // validated before splicing: a truncated write (or any non-JSON bytes)
-    // must degrade to null, never corrupt the driver-parsed artifact.
+    // must degrade to null, never corrupt the driver-parsed artifact — and
+    // so must a STALE ladder: exponents measured for a different query set
+    // than the current surface would masquerade as describing this code,
+    // so the file's query keys must equal SparkEntry.queries exactly.
     val scalingPath = Paths.get("target/scaling.json")
     val scaling = (if (Files.exists(scalingPath))
       scala.util.Try {
         val raw = new String(Files.readAllBytes(scalingPath), StandardCharsets.UTF_8)
-        org.json4s.jackson.JsonMethods.parse(raw) // syntax check only
-        require(raw.contains("\"queries\""))
+        val parsed = org.json4s.jackson.JsonMethods.parse(raw)
+        val ladderKeys = parsed \ "queries" match {
+          case o: org.json4s.JObject => o.obj.map(_._1).toSet
+          case _ => Set.empty[String]
+        }
+        require(ladderKeys == SparkEntry.queries.keySet,
+          "stale scaling.json: ladder query set differs from the current surface")
         raw
       }.toOption else None).getOrElse("null")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,""" +

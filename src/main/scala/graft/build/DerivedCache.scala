@@ -18,6 +18,18 @@ object DerivedCache {
 
   private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Monotone per-corpus mutation counter, bumped by every [[append]] /
+    * [[replace]]: lets consumers key their own memoized data properties
+    * (e.g. the control-gate row counts) so a table mutation invalidates
+    * them — "the at-rest tables are immutable" stopped being true the day
+    * the append paths landed. */
+  private val epochs = TrieMap.empty[String, Long]
+
+  def mutationEpoch(dir: String): Long = epochs.getOrElse(dir, 0L)
+
+  private def bumpEpoch(dir: String): Unit =
+    epochs.updateWith(dir) { v => Some(v.getOrElse(0L) + 1L) }
+
   /** Base directory for every at-rest graft cache (graph tables, probes,
     * index tables): `spark.graft.cache.dir` session conf, else the
     * `GRAFT_CACHE_DIR` environment variable, else `target/graft-cache`
@@ -45,6 +57,21 @@ object DerivedCache {
     * with session churn don't pin dead sessions and their plans. */
   private[build] def evictStopped[V](m: TrieMap[(SparkSession, String), V]): Unit =
     m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove)
+
+  // (name, version) tuple overloads: maintained tables keep their identity
+  // in ONE constant (e.g. [[DocTables]]) shared by build, append, replace,
+  // and specs — a version bump in one literal can't silently split the
+  // read and write paths any more
+  def table(spark: SparkSession, dir: String, t: (String, Int))
+      (build: => DataFrame): DataFrame = table(spark, dir, t._1, t._2)(build)
+  def existing(spark: SparkSession, dir: String, t: (String, Int)): DataFrame =
+    existing(spark, dir, t._1, t._2)
+  def append(spark: SparkSession, dir: String, t: (String, Int))
+      (rows: DataFrame): Unit = append(spark, dir, t._1, t._2)(rows)
+  def replace(spark: SparkSession, dir: String, t: (String, Int))
+      (rows: DataFrame): Unit = replace(spark, dir, t._1, t._2)(rows)
+  def compact(spark: SparkSession, dir: String, t: (String, Int)): Unit =
+    compact(spark, dir, t._1, t._2)
 
   /** Memoized at-rest materialization of `build`, keyed by (session, source
     * dir, table name, layout version). */
@@ -84,6 +111,7 @@ object DerivedCache {
       s"append target $name (v$version) is not built for $dir — build the base index first")
     rows.write.mode("append").parquet(path)
     memo.keys.filter(_._2 == path).foreach(memo.remove)
+    bumpEpoch(dir)
   }
 
   /** REPLACE an existing at-rest table's contents with `rows` — the
@@ -112,6 +140,7 @@ object DerivedCache {
     Files.move(Paths.get(staging), Paths.get(path))
     deleteRecursively(retired)
     memo.keys.filter(_._2 == path).foreach(memo.remove)
+    bumpEpoch(dir)
   }
 
   /** COMPACT an appended at-rest table: rewrite its many small files (one

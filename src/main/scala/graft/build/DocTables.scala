@@ -1,0 +1,26 @@
+package graft.build
+
+/** The (name, layout-version) identity of every INCREMENTALLY-MAINTAINED
+  * at-rest table — one constant per table, shared by the builder, the
+  * append/replace path, the batch entry points, the bench, and the specs.
+  * Before this object each site carried its own literal pair, so a version
+  * bump in the read path (the documented procedure for layout changes)
+  * could leave the write path appending to the retired directory: the
+  * `_GRAFT_DONE` marker of the OLD version still satisfies `append`'s
+  * guard, and ingested rows silently vanish from every query. Bump a
+  * version HERE and both paths move together.
+  *
+  * (Query-only derived tables whose name encodes their own parameters —
+  * the IVF/PQ/k-means families, dd7's threshold-named prefix index — stay
+  * at their call sites; they are rebuilt, never appended.) */
+object DocTables {
+  val Shingles = ("doc_shingles", 1)
+  val Minhash = ("doc_minhash", 1)
+  val Bands = ("doc_mh_bands", 1)
+  val Fingerprints = ("doc_fp", 1)
+  val Sizes = ("doc_sizes", 1)
+  val Postings = ("doc_postings", 1)
+  val DupPairs = ("dup_pairs", 1)
+  val DupClusters = ("dup_clusters", 1)
+  val TemporalAdj = ("temporal_adj", 2)
+}

@@ -4,31 +4,37 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.build.DerivedCache
+
 /** Hard size gate for the DECLARED non-scale control queries — dd2's
   * exhaustive shared-shingle self-join and ss1's brute-force cosine scan.
   * Both exist as correctness/recall baselines for the indexed variants
   * (dd3, ss2–ss8) and must never be pointed at a production corpus: dd2 is
   * quadratic in shingle document frequency, ss1 reads every vector. The
   * gate is one count over the at-rest input, MEMOIZED per (session, query,
-  * corpus) — the inputs are immutable at-rest tables, so the count is a
-  * data property and must not inflate every timed rep of the very control
-  * queries the scaling harness measures. Running a bigger control is a
-  * deliberate act (`spark.graft.control.maxRows`), never an accident. */
+  * corpus, mutation epoch) — the count is a data property that must not
+  * inflate every timed rep of the very control queries the scaling harness
+  * measures, but the at-rest inputs are NOT immutable (the incremental
+  * append paths grow them), so the corpus's [[DerivedCache.mutationEpoch]]
+  * keys the memo and any append/replace forces a recount. Running a bigger
+  * control is a deliberate act (`spark.graft.control.maxRows`), never an
+  * accident. */
 private[operators] object Controls {
 
   val MaxRowsKey = "spark.graft.control.maxRows"
   val MaxRowsDefault = 10000000L
 
-  private val countMemo = TrieMap.empty[(SparkSession, String, String), Long]
+  private val countMemo = TrieMap.empty[(SparkSession, String, String, Long), Long]
 
   /** Returns `df` unchanged when its row count is within the configured
-    * guard; throws otherwise. `corpus` keys the memoized count (the input
-    * is an immutable at-rest table of that corpus). */
+    * guard; throws otherwise. `corpus` + its mutation epoch key the
+    * memoized count. */
   def gate(df: DataFrame, what: String, corpus: String): DataFrame = {
     val max = df.sparkSession.conf.getOption(MaxRowsKey)
       .map(_.toLong).getOrElse(MaxRowsDefault)
     countMemo.keys.filter(_._1.sparkContext.isStopped).foreach(countMemo.remove)
-    val n = countMemo.getOrElseUpdate((df.sparkSession, what, corpus), df.count())
+    val epoch = DerivedCache.mutationEpoch(corpus)
+    val n = countMemo.getOrElseUpdate((df.sparkSession, what, corpus, epoch), df.count())
     check(n, what, max)
     df
   }

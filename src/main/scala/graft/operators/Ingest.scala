@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.build.DerivedCache
+import graft.build.{DerivedCache, DocTables}
 
 /** The document-ingest entry points — ONE list of the at-rest document
   * index tables, so the bench, the specs, and a library user can't drift
@@ -22,21 +22,21 @@ object Ingest {
     * Idempotent per table ([[DerivedCache.table]] markers). */
   def buildDocumentIndexes(s: SparkSession, d: String, docs: DataFrame): Unit = {
     import s.implicits._
-    val sh = DerivedCache.table(s, d, "doc_shingles", 1)(
+    val sh = DerivedCache.table(s, d, DocTables.Shingles)(
       DedupQueries.shingleRowsOf(docs))
-    val mh = DerivedCache.table(s, d, "doc_minhash", 1)(
+    val mh = DerivedCache.table(s, d, DocTables.Minhash)(
       DedupQueries.minhashRowsOf(sh))
-    val bd = DerivedCache.table(s, d, "doc_mh_bands", 1)(
+    val bd = DerivedCache.table(s, d, DocTables.Bands)(
       DedupQueries.bandRowsOf(mh))
-    val fp = DerivedCache.table(s, d, "doc_fp", 1)(
+    val fp = DerivedCache.table(s, d, DocTables.Fingerprints)(
       DedupQueries.fpRowsOf(docs))
-    DerivedCache.table(s, d, "doc_sizes", 1)(
+    val sizes = DerivedCache.table(s, d, DocTables.Sizes)(
       DedupQueries.sizeRowsOf(sh))
-    DerivedCache.table(s, d, "doc_postings", 1)(
+    DerivedCache.table(s, d, DocTables.Postings)(
       TextQueries.postingRowsOf(docs))
-    val pairs = DerivedCache.table(s, d, "dup_pairs", 1)(
-      DedupQueries.dupPairRowsOf(sh, bd, fp))
-    DerivedCache.table(s, d, "dup_clusters", 1)(
+    val pairs = DerivedCache.table(s, d, DocTables.DupPairs)(
+      DedupQueries.dupPairRowsOf(sh, bd, fp, Some(sizes)))
+    DerivedCache.table(s, d, DocTables.DupClusters)(
       DedupQueries.clusterRowsOf(docs.select($"doc_id"), pairs)
         .withColumnRenamed("label", "cluster_id"))
     ()

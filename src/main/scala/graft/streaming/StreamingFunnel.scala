@@ -77,17 +77,7 @@ object StreamingFunnel {
     Array.empty, Array.empty, Array.empty, Array.empty, Array.empty,
     Array.empty, Array.empty)
 
-  /** Timestamp → microseconds since epoch (exact — Timestamp carries nanos;
-    * `getTime` alone would floor sub-ms events onto the same millisecond). */
-  private def usOf(t: Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-
-  /** Microseconds since epoch → Timestamp (exact inverse of [[usOf]]). */
-  private def tsOf(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000L))
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
+  import EventTimeUs.{usOf, tsOf}
 
   /** Earliest candidate in `[from, from + win]`: (us, id) or None. */
   private def earliest(cands: Array[(Long, Long)], from: Long,
@@ -172,8 +162,7 @@ object StreamingFunnel {
       val wakeUs =
         if (wakesUs.nonEmpty) wakesUs.min
         else (clicks ++ purchases).map(_._1 + winUs).max
-      state.setTimeoutTimestamp(
-        math.max(Math.floorDiv(wakeUs, 1000L) + 1L, wm + 1L))
+      state.setTimeoutTimestamp(EventTimeUs.timeoutMs(wakeUs, wm))
     }
     out.result().iterator
   }

@@ -64,40 +64,45 @@ object IngestBench {
     var seq = 0
     def key(): String = { seq += 1; s"/ingest-bench-$seq/$runId" }
 
-    // JIT/stage warm-up, discarded
-    build(spark, key(), Tables.documents(spark, sfDirs.head).select($"doc_id", $"text"))
-
-    val ladder = sfDirs.map { dir =>
-      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-      val batch = batchOf(docs)
-      val base = docs.exceptAll(batch)
-      val fullS = median(Seq.fill(reps)(time(build(spark, key(), docs))))
-      val appendS = median(Seq.fill(reps) {
-        val k = key()
-        build(spark, k, base) // day-0 base, untimed
-        time(Ingest.appendDocumentBatch(spark, k, batch))
-      })
-      val sf = dir.split('/').last
-      (sf, fullS, appendS)
-    }
-
-    // throwaway cache keys: remove so repeated runs don't accumulate
-    val cacheBase = java.nio.file.Paths.get(DerivedCache.baseDir(spark))
-    if (java.nio.file.Files.exists(cacheBase)) {
-      val st = java.nio.file.Files.list(cacheBase)
-      try {
-        st.iterator().forEachRemaining { p =>
-          // dirKey sanitizes "/ingest-bench-…" to "ingest_bench_…"
-          if (p.getFileName.toString.startsWith("ingest_bench_")) {
-            val w = java.nio.file.Files.walk(p)
-            try {
-              w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                .forEach(java.nio.file.Files.delete(_))
-            } finally w.close()
+    // throwaway cache keys: remove (even on failure — a crashed ladder must
+    // not leave multi-GB index trees accumulating under target/graft-cache)
+    def cleanup(): Unit = {
+      val cacheBase = java.nio.file.Paths.get(DerivedCache.baseDir(spark))
+      if (java.nio.file.Files.exists(cacheBase)) {
+        val st = java.nio.file.Files.list(cacheBase)
+        try {
+          st.iterator().forEachRemaining { p =>
+            // dirKey sanitizes "/ingest-bench-…" to "ingest_bench_…"
+            if (p.getFileName.toString.startsWith("ingest_bench_")) {
+              val w = java.nio.file.Files.walk(p)
+              try {
+                w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .forEach(java.nio.file.Files.delete(_))
+              } finally w.close()
+            }
           }
-        }
-      } finally st.close()
+        } finally st.close()
+      }
     }
+
+    val ladder =
+      try {
+        // JIT/stage warm-up, discarded
+        build(spark, key(), Tables.documents(spark, sfDirs.head).select($"doc_id", $"text"))
+        sfDirs.map { dir =>
+          val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+          val batch = batchOf(docs)
+          val base = docs.exceptAll(batch)
+          val fullS = median(Seq.fill(reps)(time(build(spark, key(), docs))))
+          val appendS = median(Seq.fill(reps) {
+            val k = key()
+            build(spark, k, base) // day-0 base, untimed
+            time(Ingest.appendDocumentBatch(spark, k, batch))
+          })
+          val sf = dir.split('/').last
+          (sf, fullS, appendS)
+        }
+      } finally cleanup()
 
     val body = ladder.map { case (sf, f, a) =>
       f""""$sf":{"full_s":$f%.3f,"append_s":$a%.3f}"""

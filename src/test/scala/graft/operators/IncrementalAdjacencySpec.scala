@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 
 import graft.SparkSpec
-import graft.build.{DerivedCache, GraphCache}
+import graft.build.{DerivedCache, DocTables, GraphCache}
 
 /** Incremental adjacency maintenance: folding a frame-interaction delta
   * into the at-rest temporal adjacency index (keyed full-outer merge +
@@ -31,11 +31,11 @@ class IncrementalAdjacencySpec extends SparkSpec {
       .count()
     assert(overlap > 0, "split must leave at least one pair present in both halves")
 
-    DerivedCache.table(spark, d, "temporal_adj", 2)(
+    DerivedCache.table(spark, d, DocTables.TemporalAdj)(
       ReachabilityQueries.adjacencyRowsOf(base))
     ReachabilityQueries.appendInteractions(spark, d, delta)
 
-    assert(rows(DerivedCache.existing(spark, d, "temporal_adj", 2))
+    assert(rows(DerivedCache.existing(spark, d, DocTables.TemporalAdj))
         == rows(ReachabilityQueries.adjacencyRowsOf(fi)),
       "merged adjacency index must equal the full rebuild")
   }

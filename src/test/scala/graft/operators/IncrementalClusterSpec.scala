@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 
 import graft.SparkSpec
-import graft.build.DerivedCache
+import graft.build.{DerivedCache, DocTables}
 import graft.sources.Tables
 
 /** Incremental CLUSTER maintenance: appending a document batch and running
@@ -50,7 +50,7 @@ class IncrementalClusterSpec extends SparkSpec {
     buildBase(d, base)
     Ingest.appendDocumentBatch(spark, d, delta)
 
-    assert(rows(DerivedCache.existing(spark, d, "dup_clusters", 1))
+    assert(rows(DerivedCache.existing(spark, d, DocTables.DupClusters))
         == rows(fullRebuild(docs)),
       "incrementally maintained cluster table must equal the full rebuild")
   }
@@ -69,17 +69,17 @@ class IncrementalClusterSpec extends SparkSpec {
     val delta = Seq((20L, run)).toDF("doc_id", "text")
 
     buildBase(d, base)
-    val before = DerivedCache.existing(spark, d, "dup_clusters", 1)
+    val before = DerivedCache.existing(spark, d, DocTables.DupClusters)
       .as[(Long, Long)].collect().toMap
     assert(before == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L),
       s"base must start as two distinct clusters, got $before")
 
     Ingest.appendDocumentBatch(spark, d, delta)
 
-    assert(rows(DerivedCache.existing(spark, d, "dup_clusters", 1))
+    assert(rows(DerivedCache.existing(spark, d, DocTables.DupClusters))
         == rows(fullRebuild(base.unionAll(delta))),
       "merged cluster table must equal the full rebuild")
-    val after = DerivedCache.existing(spark, d, "dup_clusters", 1)
+    val after = DerivedCache.existing(spark, d, DocTables.DupClusters)
       .as[(Long, Long)].collect().toMap
     assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 20L -> 1L),
       s"the bridge doc must merge both clusters onto min id 1, got $after")
@@ -88,9 +88,9 @@ class IncrementalClusterSpec extends SparkSpec {
     // the same labels (p04's leak-free split reads the pair graph)
     val fromPairs = DedupQueries.clusterRowsOf(
         base.unionAll(delta).select($"doc_id"),
-        DerivedCache.existing(spark, d, "dup_pairs", 1))
+        DerivedCache.existing(spark, d, DocTables.DupPairs))
       .withColumnRenamed("label", "cluster_id")
-    assert(rows(fromPairs) == rows(DerivedCache.existing(spark, d, "dup_clusters", 1)),
+    assert(rows(fromPairs) == rows(DerivedCache.existing(spark, d, DocTables.DupClusters)),
       "components of the appended pair graph must equal the cluster table")
   }
 
@@ -106,7 +106,7 @@ class IncrementalClusterSpec extends SparkSpec {
     Ingest.appendDocumentBatch(spark, d, day1)
     Ingest.appendDocumentBatch(spark, d, day2) // append-after-replace path
 
-    assert(rows(DerivedCache.existing(spark, d, "dup_clusters", 1))
+    assert(rows(DerivedCache.existing(spark, d, DocTables.DupClusters))
         == rows(fullRebuild(docs)),
       "two maintained ingest days must equal the one-shot full rebuild")
   }
@@ -133,7 +133,7 @@ class IncrementalClusterSpec extends SparkSpec {
       val d = freshDir(s"prop$seed")
       buildBase(d, base)
       Ingest.appendDocumentBatch(spark, d, batch)
-      assert(rows(DerivedCache.existing(spark, d, "dup_clusters", 1))
+      assert(rows(DerivedCache.existing(spark, d, DocTables.DupClusters))
           == rows(fullRebuild(df)),
         s"seed $seed: maintained clusters must equal the full rebuild")
     }
@@ -143,10 +143,10 @@ class IncrementalClusterSpec extends SparkSpec {
     val d = freshDir("empty")
     val base = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     buildBase(d, base)
-    val before = rows(DerivedCache.existing(spark, d, "dup_clusters", 1))
+    val before = rows(DerivedCache.existing(spark, d, DocTables.DupClusters))
     DedupQueries.appendDupClusters(spark, d,
       base.filter($"doc_id" < 0)) // empty ingest day
-    assert(rows(DerivedCache.existing(spark, d, "dup_clusters", 1)) == before)
+    assert(rows(DerivedCache.existing(spark, d, DocTables.DupClusters)) == before)
   }
 
   test("an isolated batch doc becomes a singleton cluster") {
@@ -155,7 +155,7 @@ class IncrementalClusterSpec extends SparkSpec {
     val delta = Seq((2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
     buildBase(d, base)
     Ingest.appendDocumentBatch(spark, d, delta)
-    val after = DerivedCache.existing(spark, d, "dup_clusters", 1)
+    val after = DerivedCache.existing(spark, d, DocTables.DupClusters)
       .as[(Long, Long)].collect().toMap
     assert(after == Map(1L -> 1L, 2L -> 2L),
       s"unrelated batch doc must form its own singleton, got $after")

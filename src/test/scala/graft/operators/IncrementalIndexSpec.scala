@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 
 import graft.SparkSpec
-import graft.build.DerivedCache
+import graft.build.{DerivedCache, DocTables}
 import graft.sources.Tables
 
 /** Incremental index maintenance: appending the per-document derivations of
@@ -28,15 +28,15 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(base.count() > 0 && delta.count() > 0, "split must be non-trivial")
 
     // ingest day 0: build the at-rest indexes over the BASE corpus only
-    val sh0 = DerivedCache.table(spark, d, "doc_shingles", 1)(
+    val sh0 = DerivedCache.table(spark, d, DocTables.Shingles)(
       DedupQueries.shingleRowsOf(base))
-    val mh0 = DerivedCache.table(spark, d, "doc_minhash", 1)(
+    val mh0 = DerivedCache.table(spark, d, DocTables.Minhash)(
       DedupQueries.minhashRowsOf(sh0))
-    DerivedCache.table(spark, d, "doc_mh_bands", 1)(
+    DerivedCache.table(spark, d, DocTables.Bands)(
       DedupQueries.bandRowsOf(mh0))
-    DerivedCache.table(spark, d, "doc_fp", 1)(
+    DerivedCache.table(spark, d, DocTables.Fingerprints)(
       DedupQueries.fpRowsOf(base))
-    DerivedCache.table(spark, d, "doc_sizes", 1)(
+    DerivedCache.table(spark, d, DocTables.Sizes)(
       DedupQueries.sizeRowsOf(sh0))
 
     // ingest day 1: the delta appends — derivation over delta docs ONLY
@@ -69,18 +69,18 @@ class IncrementalIndexSpec extends SparkSpec {
     val base = docs.filter($"doc_id" % 3 =!= 0)
     val delta = docs.filter($"doc_id" % 3 === 0)
 
-    DerivedCache.table(spark, dd, "doc_postings", 1)(
+    DerivedCache.table(spark, dd, DocTables.Postings)(
       TextQueries.postingRowsOf(base))
     TextQueries.appendDocuments(spark, dd, delta)
 
-    assert(rows(DerivedCache.existing(spark, dd, "doc_postings", 1))
+    assert(rows(DerivedCache.existing(spark, dd, DocTables.Postings))
         == rows(TextQueries.postingRowsOf(docs)),
       "appended posting index must equal the full rebuild")
   }
 
   test("append refuses a table whose base was never built") {
     val e = intercept[IllegalArgumentException] {
-      DerivedCache.append(spark, s"$d-unbuilt", "doc_shingles", 1)(
+      DerivedCache.append(spark, s"$d-unbuilt", DocTables.Shingles)(
         Seq((1L, "a b c")).toDF("doc_id", "sg"))
     }
     assert(e.getMessage.contains("not built"))

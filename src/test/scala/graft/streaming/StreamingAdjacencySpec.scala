@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
-import graft.build.DerivedCache
+import graft.build.{DerivedCache, DocTables}
 import graft.operators.ReachabilityQueries
 
 /** The reference's addNode-then-query loop for the REACHABILITY index:
@@ -32,7 +32,7 @@ class StreamingAdjacencySpec extends SparkSpec {
 
     // day 0 (historical batch ingest): pair (1,2) active in frame 99
     val baseFi = Seq((99L, 1L, 2L)).toDF("frame_id", "actor1", "actor2")
-    DerivedCache.table(spark, key, "temporal_adj", 2)(
+    DerivedCache.table(spark, key, DocTables.TemporalAdj)(
       ReachabilityQueries.adjacencyRowsOf(baseFi))
 
     val in = MemoryStream[(Timestamp, Long, String)]
@@ -70,7 +70,7 @@ class StreamingAdjacencySpec extends SparkSpec {
     val streamedFi = Seq(
       (0L, 1L, 2L),
       (1L, 1L, 2L), (1L, 1L, 3L), (1L, 2L, 3L)).toDF("frame_id", "actor1", "actor2")
-    assert(rows(DerivedCache.existing(spark, key, "temporal_adj", 2))
+    assert(rows(DerivedCache.existing(spark, key, DocTables.TemporalAdj))
         == rows(ReachabilityQueries.adjacencyRowsOf(baseFi.unionAll(streamedFi))),
       "streamed adjacency must equal the batch build over base ∪ finalized frames")
   }
