@@ -24,17 +24,13 @@ private[operators] object Controls {
   val MaxRowsKey = "spark.graft.control.maxRows"
   val MaxRowsDefault = 10000000L
 
-  private val countMemo = TrieMap.empty[(SparkSession, String, String, Long), Long]
-
   /** Returns `df` unchanged when its row count is within the configured
     * guard; throws otherwise. `corpus` + its mutation epoch key the
     * memoized count. */
   def gate(df: DataFrame, what: String, corpus: String): DataFrame = {
     val max = df.sparkSession.conf.getOption(MaxRowsKey)
       .map(_.toLong).getOrElse(MaxRowsDefault)
-    countMemo.keys.filter(_._1.sparkContext.isStopped).foreach(countMemo.remove)
-    val epoch = DerivedCache.mutationEpoch(corpus)
-    val n = countMemo.getOrElseUpdate((df.sparkSession, what, corpus, epoch), df.count())
+    val n = EpochMemo.scalar(df.sparkSession, what, corpus)(df.count())
     check(n, what, max)
     df
   }
@@ -49,4 +45,27 @@ private[operators] object Controls {
       s"$what is a declared correctness/recall CONTROL, not a scale path: " +
         s"input has $n rows > $MaxRowsKey=$max. Use the indexed variant " +
         "(dd3 / ss2+) or raise the guard deliberately.")
+}
+
+/** Memoized scalar data properties keyed by (session, name, corpus,
+  * mutation epoch) — the shared machinery behind every size probe that
+  * plans a query (the control gates above, the a03-pattern broadcast
+  * guards). Probes are data properties, so they must not re-run on every
+  * timed rep; but the at-rest inputs are NOT immutable (the incremental
+  * append paths grow them), so the corpus's [[DerivedCache.mutationEpoch]]
+  * keys each entry and any append/replace forces a recompute. Entries for
+  * superseded epochs (and stopped sessions) are evicted on access, so a
+  * long-lived ingest session holds at most one entry per (name, corpus). */
+private[operators] object EpochMemo {
+
+  private val memo = TrieMap.empty[(SparkSession, String, String, Long), Long]
+
+  def scalar(s: SparkSession, name: String, corpus: String)(compute: => Long): Long = {
+    memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
+    val epoch = DerivedCache.mutationEpoch(corpus)
+    memo.keys
+      .filter(k => k._1 == s && k._2 == name && k._3 == corpus && k._4 != epoch)
+      .foreach(memo.remove)
+    memo.getOrElseUpdate((s, name, corpus, epoch), compute)
+  }
 }

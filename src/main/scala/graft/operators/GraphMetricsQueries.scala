@@ -115,6 +115,39 @@ object GraphMetricsQueries {
     ()
   }
 
+  /** Broadcast ceiling for the per-vertex state tables this module joins
+    * against the day-edge list (k-core members, component labels, ranks,
+    * degrees). Their size is the PROBE-DAY vertex count — data-dependent,
+    * so the broadcast that keeps the edge set un-shuffled on a normal day
+    * must degrade to a keyed shuffle join on a 100×-hotter day instead of
+    * failing the job (the a03 guard pattern; round 6 cured the forced dim
+    * broadcasts of the same defect). Sized like a03's grid guard: ~5 M
+    * narrow (actor_id, value) rows ≈ low-hundreds of MB built per
+    * partition, well under executor memory. */
+  val StateBroadcastMaxKey = "spark.graft.graph.broadcastMaxVertices"
+  private val StateBroadcastMaxDefault = 5000000L
+
+  /** One memoized vertex-count probe per (corpus, mutation epoch) decides
+    * every state-side join mode in this module — a scalar distinct-count
+    * over the at-rest day-edge table, cost ≪ any of the joins it plans. */
+  private def dayVertices(s: SparkSession, d: String): Long =
+    EpochMemo.scalar(s, "graph.dayVertices", d) {
+      val e = dayEdges(s, d)
+      e.select(col("actor1")).unionAll(e.select(col("actor2"))).distinct().count()
+    }
+
+  /** State-side join operand: broadcast under the vertex ceiling, shuffled
+    * hash join above it (the state side is still the hash build side — just
+    * keyed, not replicated, so the plan degrades by one exchange and never
+    * fails). A hint is needed in BOTH modes because loop state is a
+    * checkpointed LogicalRDD with unknown stats: unhinted, the planner
+    * assumes worst-case size and sort-merge-joins every round. */
+  private def guarded(s: SparkSession, d: String, state: DataFrame): DataFrame = {
+    val max = s.conf.getOption(StateBroadcastMaxKey)
+      .map(_.toLong).getOrElse(StateBroadcastMaxDefault)
+    if (dayVertices(s, d) <= max) broadcast(state) else state.hint("shuffle_hash")
+  }
+
   private def c12(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = dayEdges(s, d)
@@ -141,13 +174,12 @@ object GraphMetricsQueries {
     // snapshot once: every peel round scans the edge list twice
     val e = dayEdges(s, d).localCheckpoint(eager = false)
 
-    // loop state is a checkpointed LogicalRDD with unknown stats — broadcast
-    // it explicitly or the planner shuffles the edge set every peel round
-    // (same rationale as the g01 frontier broadcast)
+    // membership is vertex-bounded: broadcast under the guarded ceiling so
+    // the edge set never shuffles, keyed shuffle join above it
     def coreDegrees(members: DataFrame): DataFrame = {
       val em = e
-        .join(broadcast(members.select($"actor_id".as("actor1"))), "actor1")
-        .join(broadcast(members.select($"actor_id".as("actor2"))), "actor2")
+        .join(guarded(s, d, members.select($"actor_id".as("actor1"))), "actor1")
+        .join(guarded(s, d, members.select($"actor_id".as("actor2"))), "actor2")
       em.select($"actor1".as("actor_id")).unionAll(em.select($"actor2".as("actor_id")))
         .groupBy($"actor_id").agg(count(lit(1)).as("core_degree"))
     }
@@ -193,8 +225,8 @@ object GraphMetricsQueries {
       val r = df.agg(count(lit(1)), sum($"label")).collect()(0)
       Seq(r.getLong(0), r.getLong(1))
     } { (state, _) =>
-      // broadcast the label table for the same unknown-stats reason as g01
-      val cand = und.join(broadcast(state), und("src") === state("actor_id"))
+      // label table is vertex-bounded — same guarded join mode as g02
+      val cand = und.join(guarded(s, d, state), und("src") === state("actor_id"))
         .select($"dst".as("actor_id"), $"label")
       state.unionAll(cand)
         .groupBy($"actor_id").agg(min($"label").as("label"))
@@ -208,8 +240,10 @@ object GraphMetricsQueries {
     * day-edge set (no dangling mass: every vertex of an edge list has
     * degree ≥ 1, so Σ pr stays exactly 1 — asserted in GraphMetricsSpec).
     * Each iteration is one equi-join + one hash agg, the relational Pregel
-    * superstep: at 100 TB the edge list stays partitioned by `src`, the
-    * (small) rank table shuffles. The per-neighbor sum uses the library's
+    * superstep: at 100 TB the edge list stays partitioned by `src` and the
+    * rank table broadcasts while the day's vertex count is under the
+    * guarded ceiling, degrading to a keyed shuffle of the rank table above
+    * it. The per-neighbor sum uses the library's
     * decimal-exact double aggregation ([[graft.functions.Exact]]) so the
     * result is association-order independent — identical bits on any
     * cluster size AND on the DuckDB oracle's completely different join
@@ -230,8 +264,8 @@ object GraphMetricsQueries {
     var rank = deg.select($"src".as("actor_id"), (lit(1.0) / n).as("pr"))
     for (_ <- 1 to PrIters) {
       val contrib = und
-        .join(broadcast(deg), "src")
-        .join(broadcast(rank.withColumnRenamed("actor_id", "src")), "src")
+        .join(guarded(s, d, deg), "src")
+        .join(guarded(s, d, rank.withColumnRenamed("actor_id", "src")), "src")
         .select($"dst".as("actor_id"), ($"pr" / $"deg").as("c"))
       rank = contrib.groupBy($"actor_id")
         .agg((lit(0.15) / n + lit(0.85) * Exact.dsum($"c")).as("pr"))
@@ -254,7 +288,8 @@ object GraphMetricsQueries {
     * irreducible cost of CN-based link prediction; the day window is what
     * bounds it, same argument as c12), per-pair scores are one partial+final
     * hash agg, adjacency is removed with a LEFT ANTI join against the
-    * canonical edge list, and the degree table broadcasts. The RA sum uses
+    * canonical edge list, and the degree table joins in the guarded
+    * broadcast-or-shuffle mode. The RA sum uses
     * decimal-exact accumulation so the ranking is identical on any
     * partitioning and on the oracle. */
   private def g05(s: SparkSession, d: String): DataFrame = {
@@ -279,8 +314,8 @@ object GraphMetricsQueries {
     scored
       .join(dayEdges(s, d).select($"actor1".as("a"), $"actor2".as("b")),
         Seq("a", "b"), "left_anti")
-      .join(broadcast(deg.select($"src".as("a"), $"deg".as("da"))), "a")
-      .join(broadcast(deg.select($"src".as("b"), $"deg".as("db"))), "b")
+      .join(guarded(s, d, deg.select($"src".as("a"), $"deg".as("da"))), "a")
+      .join(guarded(s, d, deg.select($"src".as("b"), $"deg".as("db"))), "b")
       .select($"a".as("actor_a"), $"b".as("actor_b"), $"common_neighbors",
         ($"common_neighbors".cast("double") /
           ($"da" + $"db" - $"common_neighbors")).as("jaccard"),
@@ -331,7 +366,7 @@ object GraphMetricsQueries {
     val adj = dayAdj(s, d)
     val degO = adj.select($"z".as("o"), $"deg".as("y")).distinct()
     adj.select($"z", $"o", $"deg".as("x"))
-      .join(broadcast(degO), "o")
+      .join(guarded(s, d, degO), "o")
       .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
       .select($"n".as("n_dir_edges"),
