@@ -73,6 +73,13 @@ object DerivedCache {
   def compact(spark: SparkSession, dir: String, t: (String, Int)): Unit =
     compact(spark, dir, t._1, t._2)
 
+  /** Whether a table's at-rest build has completed (marker present) —
+    * the maintenance paths use this to decide if an optional index (e.g.
+    * the containment-prefix family) needs maintaining at all. */
+  def isBuilt(spark: SparkSession, dir: String, t: (String, Int)): Boolean =
+    Files.exists(Paths.get(
+      s"${baseDir(spark)}/${dirKey(dir)}/${t._1}_v${t._2}/_GRAFT_DONE"))
+
   /** Memoized at-rest materialization of `build`, keyed by (session, source
     * dir, table name, layout version). */
   def table(spark: SparkSession, dir: String, name: String, version: Int)

@@ -11,8 +11,9 @@ package graft.build
   * version HERE and both paths move together.
   *
   * (Query-only derived tables whose name encodes their own parameters —
-  * the IVF/PQ/k-means families, dd7's threshold-named prefix index — stay
-  * at their call sites; they are rebuilt, never appended.) */
+  * the IVF/PQ/k-means families, dd7's threshold-named prefix family
+  * (`DedupQueries.PrefixTable` + its df-snapshot/meta companions) — keep
+  * their identity constants at their call sites.) */
 object DocTables {
   val Shingles = ("doc_shingles", 1)
   val Minhash = ("doc_minhash", 1)

@@ -143,9 +143,10 @@ object DedupQueries {
     * doc_ids must not already be indexed — doc_id is the index key, and an
     * existence anti-join per append is precisely the corpus-sized work this
     * path exists to avoid. The pair graph and cluster table are maintained
-    * by [[appendDupClusters]]; dd7's df-ranked prefix index is NOT
-    * append-maintainable (df ranks drift corpus-wide) and stays on
-    * periodic rebuild (SCALING.md). */
+    * by [[appendDupClusters]]; dd7's df-ranked prefix index is maintained
+    * against its FROZEN df snapshot ([[appendPrefix]] — complete under
+    * stale ranks, re-ranked once corpus growth passes the configured
+    * threshold). */
   def appendDocuments(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
     // persist the two intermediate stages for the duration of the call:
     // the band append's lineage otherwise re-shingles and re-minhashes the
@@ -158,6 +159,7 @@ object DedupQueries {
       DerivedCache.append(s, d, DocTables.Bands)(bandRowsOf(mh))
       DerivedCache.append(s, d, DocTables.Fingerprints)(fpRowsOf(newDocs))
       DerivedCache.append(s, d, DocTables.Sizes)(sizeRowsOf(sh))
+      appendPrefix(s, d, sh)
     } finally {
       mh.unpersist()
       sh.unpersist()
@@ -401,30 +403,120 @@ object DedupQueries {
     * n1 div 10 + 1), so the DuckDB oracle matches bit-for-bit; the final
     * `containment` column is one bigint/bigint IEEE division, identical on
     * both engines. */
-  /** At-rest containment-prefix index (d1, sg): each document's first
-    * ⌊(1−t)·n⌋+1 shingles in global (document-frequency, shingle) order —
-    * the PPJoin prefix. An INDEX structure like shingles/minhashBands: the
-    * df ranking and per-doc windows run once at ingest; every containment
-    * query starts from this ≈(1−t) fraction of the index (and the RAREST
-    * fraction — prefix shingles have df ≈ 1, near-minimal join fan-out). */
+  /** (name, version) identities of the containment-prefix family — the
+    * prefix rows, the FROZEN df-rank snapshot they were ranked under, and
+    * the snapshot's corpus size (the re-rank trigger's reference point).
+    * One constant per table, shared by build, append, and re-rank, per the
+    * [[graft.build.DocTables]] discipline; threshold-named because the
+    * prefix width is a function of the containment threshold. */
+  private[operators] val PrefixTable = (s"sh_prefix_c${ContainNum}_$ContainDen", 2)
+  private[operators] val PrefixDfTable = ("sh_df", 1)
+  private[operators] val PrefixMetaTable = ("sh_df_meta", 1)
+
+  /** Corpus growth fraction past the df snapshot that triggers a full
+    * re-rank on the next batch append ([[rerankPrefix]]). */
+  val PrefixRerankGrowthKey = "spark.graft.prefix.rerankGrowth"
+  private val PrefixRerankGrowthDefault = 0.5
+
+  /** Shingle document frequency (sg, df) for a shingle frame — the global
+    * rarity ranking the prefix index orders by. */
+  private[graft] def dfRowsOf(shingleRows: DataFrame): DataFrame = {
+    val s = shingleRows.sparkSession
+    import s.implicits._
+    shingleRows.groupBy($"sg").agg(count(lit(1)).as("df"))
+  }
+
+  /** PPJoin prefix rows (d1, sg) for a shingle frame under a GIVEN df
+    * ranking: each document's first ⌊(1−t)·n⌋+1 shingles in (df, sg)
+    * order, rarest first. CORRECTNESS IS RANK-INDEPENDENT: if
+    * C(d1→d2) ≥ t then d1 misses at most ⌊(1−t)·n1⌋ of its own shingles
+    * in d2, so ANY ⌊(1−t)·n1⌋+1 distinct shingles of d1 must hit S2 —
+    * the ranking only minimizes candidate fan-out. That is what makes the
+    * index append-maintainable under a FROZEN snapshot: stale ranks can
+    * cost join width, never a missed pair (IncrementalPrefixSpec pins
+    * result equality under stale ranks). Shingles unseen at snapshot time
+    * rank with df 0 — "no corpus document contains this" is exactly
+    * maximal rarity. */
+  private[graft] def prefixRowsOf(shingleRows: DataFrame, dfFrozen: DataFrame): DataFrame = {
+    val s = shingleRows.sparkSession
+    import s.implicits._
+    shingleRows.join(dfFrozen, Seq("sg"), "left")
+      .withColumn("dfr", coalesce($"df", lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"dfr", $"sg")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .filter($"rn" <= expr(s"(n * ${ContainDen - ContainNum}) div $ContainDen") + 1)
+      .select($"doc_id".as("d1"), $"sg")
+  }
+
+  /** At-rest containment-prefix index (d1, sg) — an INDEX structure like
+    * shingles/minhashBands: the df ranking and per-doc windows run once at
+    * ingest; every containment query starts from this ≈(1−t) fraction of
+    * the index (and the RAREST fraction — prefix shingles have df ≈ 1,
+    * near-minimal join fan-out). The df snapshot and its corpus size are
+    * materialized FIRST, inside the same build, so the ranks a batch
+    * append extends against ([[appendPrefix]]) are an explicit at-rest
+    * artifact with a deterministic snapshot point — day 0 when built via
+    * [[Ingest.buildDocumentIndexes]], first-query time when built lazily. */
   private def containPrefix(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, s"sh_prefix_c${ContainNum}_$ContainDen", 1) {
+    DerivedCache.table(s, d, PrefixTable) {
       import s.implicits._
       val sh = shingles(s, d)
-      val df = sh.groupBy($"sg").agg(count(lit(1)).as("df"))
-      sh.join(df, "sg")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"df", $"sg")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-        .filter($"rn" <= expr(s"(n * ${ContainDen - ContainNum}) div $ContainDen") + 1)
-        .select($"doc_id".as("d1"), $"sg")
+      val df = DerivedCache.table(s, d, PrefixDfTable)(dfRowsOf(sh))
+      DerivedCache.table(s, d, PrefixMetaTable)(
+        docSizes(s, d).agg(count(lit(1)).as("n_docs")))
+      prefixRowsOf(sh, df)
     }
+
+  /** Eager prefix-family build — the [[Ingest.buildDocumentIndexes]] hook
+    * that makes the snapshot point ingest-time, not first-query-time. */
+  private[operators] def buildPrefixIndex(s: SparkSession, d: String): Unit = {
+    containPrefix(s, d)
+    ()
+  }
+
+  /** Maintain the prefix index under a batch append: rank the BATCH's
+    * shingles against the FROZEN df snapshot and append — per-batch cost
+    * ∝ batch, never corpus. Staleness bound: candidates stay COMPLETE
+    * unconditionally (see [[prefixRowsOf]]); what drifts is fan-out — a
+    * prefix shingle's true df exceeds its snapshot rank by at most the
+    * number of documents appended since the snapshot, so once the corpus
+    * grows past [[PrefixRerankGrowthKey]] (default 50%) the next append
+    * triggers [[rerankPrefix]] to restore rarity-minimal prefixes. No-op
+    * when the prefix family was never built: a later lazy build snapshots
+    * base ∪ batch wholesale, so query results are batch-inclusive either
+    * way (the pre-round-7 lazy build made them timing-dependent). */
+  private def appendPrefix(s: SparkSession, d: String, batchShingles: DataFrame): Unit = {
+    import s.implicits._
+    if (!DerivedCache.isBuilt(s, d, PrefixTable)) return
+    val dfFrozen = DerivedCache.existing(s, d, PrefixDfTable)
+    DerivedCache.append(s, d, PrefixTable)(prefixRowsOf(batchShingles, dfFrozen))
+    val atRank = DerivedCache.existing(s, d, PrefixMetaTable).head.getLong(0)
+    val now = docSizes(s, d).count()
+    val growth = s.conf.getOption(PrefixRerankGrowthKey).map(_.toDouble)
+      .getOrElse(PrefixRerankGrowthDefault)
+    if (now > atRank * (1.0 + growth)) rerankPrefix(s, d)
+  }
+
+  /** Full re-rank of the prefix family from the CURRENT shingle index —
+    * the periodic rebuild that restores fan-out minimality after df drift.
+    * Each table goes through [[DerivedCache.replace]]'s staging discipline;
+    * IncrementalPrefixSpec proves append-then-rerank == fresh rebuild. */
+  def rerankPrefix(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    val sh = shingles(s, d)
+    DerivedCache.replace(s, d, PrefixDfTable)(dfRowsOf(sh))
+    DerivedCache.replace(s, d, PrefixMetaTable)(
+      docSizes(s, d).agg(count(lit(1)).as("n_docs")))
+    DerivedCache.replace(s, d, PrefixTable)(
+      prefixRowsOf(sh, DerivedCache.existing(s, d, PrefixDfTable)))
+  }
 
   /** The shared containment pipeline behind dd7 (whole corpus) and dd10
     * (ingest batch vs corpus): prefix-index candidates under `d1Pred` (on
     * the prefix table's d1) and `d2Pred` (on the probed shingle index's
     * doc_id), PPJoin size filter, candidate-driven verify. */
-  private def containmentPairs(s: SparkSession, d: String,
+  private[operators] def containmentPairs(s: SparkSession, d: String,
       d1Pred: Column, d2Pred: Column): DataFrame = {
     import s.implicits._
     val sh = shingles(s, d)

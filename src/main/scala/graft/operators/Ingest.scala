@@ -39,6 +39,10 @@ object Ingest {
     DerivedCache.table(s, d, DocTables.DupClusters)(
       DedupQueries.clusterRowsOf(docs.select($"doc_id"), pairs)
         .withColumnRenamed("label", "cluster_id"))
+    // the containment-prefix family last (it reads the shingle + size
+    // tables): building it HERE pins its df snapshot to ingest time, so an
+    // appended corpus can never see a timing-dependent prefix state
+    DedupQueries.buildPrefixIndex(s, d)
     ()
   }
 
