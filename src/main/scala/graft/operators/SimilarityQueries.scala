@@ -337,10 +337,16 @@ object SimilarityQueries {
     // ivfTopK reading a table that silently misses every appended vector
     val nc = cells(s)
     // freeze the quantizer BEFORE touching the index: the centroids are the
-    // base corpus's `cells` lowest-id vectors, not the appended batch's
-    val cents = DerivedCache.existing(s, d, "emb_index", 1)
+    // base corpus's `cells` lowest-id vectors, not the appended batch's.
+    // Materialize them to the driver NOW — a lazy plan would list the index
+    // files only when the assignment below executes, i.e. AFTER the append,
+    // leaving the freeze to the parquet reader's file-listing capture
+    // timing instead of this code
+    val centRows = DerivedCache.existing(s, d, "emb_index", 1)
       .orderBy($"vec_id").limit(nc)
       .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val cents = s.createDataFrame(
+      java.util.Arrays.asList(centRows.collect(): _*), centRows.schema)
     DerivedCache.append(s, d, "emb_index", 1)(indexRowsOf(newVecs))
     DerivedCache.append(s, d, "emb_sq", 1)(sqRowsOf(newVecs))
     DerivedCache.append(s, d, s"emb_ivf_c$nc", IvfVersion)(

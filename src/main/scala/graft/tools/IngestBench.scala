@@ -71,9 +71,13 @@ object IngestBench {
       if (java.nio.file.Files.exists(cacheBase)) {
         val st = java.nio.file.Files.list(cacheBase)
         try {
+          // dirKey sanitizes "/ingest-bench-<seq>/<uuid>" to
+          // "ingest_bench_<seq>_<uuid-with-underscores>_<md5>"; matching on
+          // THIS run's uuid keeps a concurrent IngestBench's trees intact
+          val mine = runId.replace('-', '_')
           st.iterator().forEachRemaining { p =>
-            // dirKey sanitizes "/ingest-bench-…" to "ingest_bench_…"
-            if (p.getFileName.toString.startsWith("ingest_bench_")) {
+            val name = p.getFileName.toString
+            if (name.startsWith("ingest_bench_") && name.contains(mine)) {
               val w = java.nio.file.Files.walk(p)
               try {
                 w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
