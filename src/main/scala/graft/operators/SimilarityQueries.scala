@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.expressions.Window
@@ -49,9 +49,15 @@ object SimilarityQueries {
   /** Near-dup cosine threshold; see class doc — exercises the operator on a
     * corpus with no planted embedding dups. */
   private val Tau = 0.35
-  private val Planes = 32
-  private val BandWidth = 8
-  private val NBands = Planes / BandWidth
+  // LSH geometry — private[graft] so the recall audit (graft.tools) can
+  // reproduce the exact banding it is measuring
+  private[graft] val Planes = 32
+  private[graft] val BandWidth = 8
+  private[graft] val NBands = Planes / BandWidth
+
+  /** Banded hyperplane signature under the module's LSH geometry —
+    * exposed for the recall audit's planted-near-dup measurement. */
+  private[graft] def hyperSigOf(v: Column): Column = hyperSig(v, Planes)
 
   /** IVF coarse cells / probed cells per query — session-configurable
     * (`spark.graft.ivf.cells` / `spark.graft.ivf.nprobe`) via the PUBLIC
