@@ -47,10 +47,49 @@ object Ingest {
   }
 
   /** Fold a NEW document batch into every at-rest index — the daily ingest.
-    * Caller contract: batch doc_ids must not already be indexed. */
+    * Caller contract: batch doc_ids must not already be indexed. Ends with
+    * the compaction sweep ([[compactIfNeeded]]) so file counts are bounded
+    * by policy, not by how long the append cadence has been running. */
   def appendDocumentBatch(s: SparkSession, d: String, batch: DataFrame): Unit = {
     DedupQueries.appendDocuments(s, d, batch)
     TextQueries.appendDocuments(s, d, batch)
     DedupQueries.appendDupClusters(s, d, batch)
+    compactIfNeeded(s, d)
+    ()
+  }
+
+  /** ONE list of every at-rest table the document-batch path maintains —
+    * the compaction sweep's worklist (replace-maintained tables are listed
+    * too: replace rewrites wholesale so they rarely trip the threshold,
+    * and listing them keeps the policy exhaustive by construction). */
+  private def maintainedDocTables: Seq[(String, Int)] = Seq(
+    DocTables.Shingles, DocTables.Minhash, DocTables.Bands,
+    DocTables.Fingerprints, DocTables.Sizes, DocTables.Postings,
+    DocTables.DupPairs, DocTables.DupClusters,
+    DedupQueries.PrefixTable, DedupQueries.PrefixDfTable,
+    DedupQueries.PrefixMetaTable)
+
+  /** Data-file ceiling per maintained table before the ingest path compacts
+    * it. Each daily append adds one parquet file group per index, so a year
+    * of dailies is ~365 small files — scan-task explosion and row-group
+    * inefficiency. The default (64 ≈ two months of dailies) bounds both;
+    * [[graft.build.DerivedCache.compact]] rewrites to size-targeted files
+    * (`spark.graft.compact.targetBytes`, 128 MB), so a compacted 100-TB
+    * index still reads at full scan parallelism while a small one collapses
+    * to a single row-group-efficient file. */
+  val CompactMaxFilesKey = "spark.graft.compact.maxFiles"
+  private val CompactMaxFilesDefault = 64
+
+  /** The cadence POLICY: compact every maintained table whose data-file
+    * count exceeds the configured ceiling. Content-neutral (compact is a
+    * staged replace of the table's own scan). Returns the names compacted
+    * — empty when nothing tripped the threshold. */
+  def compactIfNeeded(s: SparkSession, d: String): Seq[String] = {
+    val max = s.conf.getOption(CompactMaxFilesKey).map(_.toInt)
+      .getOrElse(CompactMaxFilesDefault)
+    maintainedDocTables
+      .filter(t => DerivedCache.isBuilt(s, d, t) &&
+        DerivedCache.parquetFileCount(s, d, t._1, t._2) > max)
+      .map { t => DerivedCache.compact(s, d, t); t._1 }
   }
 }
