@@ -9,10 +9,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main, mirroring the reference's timing protocol
   * (`cypher_query_timing.py:217-233`): N repetitions per query (default 5,
-  * `SPARK_GRAFT_BENCH_REPS`), full result materialization via the noop sink
-  * (a bare count() would let Catalyst delete sorts and unread projections),
-  * nearest-rank median / 5th / 95th percentiles. Failures are recorded per
-  * query — never silently mapped to a fake wall time.
+  * `SPARK_GRAFT_BENCH_REPS`), INTERLEAVED round-robin over the whole
+  * surface (see the protocol comment below), full result materialization
+  * via the noop sink (a bare count() would let Catalyst delete sorts and
+  * unread projections), nearest-rank median / 5th / 95th percentiles +
+  * per-query IQR. Failures are recorded per query — never silently mapped
+  * to a fake wall time.
   *
   * Output protocol: per-query medians/p05/p95/errors go to
   * `target/bench_detail.json`; stdout's LAST line is a COMPACT total-only
@@ -56,24 +58,31 @@ object Bench {
     // subset under otherwise-identical conditions (warm caches, shared
     // session). The driver never sets it, so the contract is unchanged.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
-    val stats = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            // strip quote/backslash and ALL control chars — the JSON
-            // contract must survive any exception text
-            errors(name) = e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
-            None
-        }
-      }.sorted
-      name -> times
+    // INTERLEAVED protocol (round 7): round-robin the whole surface once
+    // per pass instead of running each query's reps back-to-back. Ambient
+    // box load drifts on the minutes scale, so back-to-back reps hand one
+    // query the whole noisy minute and per-query medians diverge up to
+    // ±20% between runs of identical binaries (the r5→r6 driver-total
+    // ambiguity); interleaving spreads any load burst across every query,
+    // tightening cross-run totals. Per-query medians are unchanged in a
+    // quiet environment (same samples, different order).
+    val samples = mutable.LinkedHashMap(
+      named.map { case (name, _) => name -> mutable.Buffer.empty[Double] }: _*)
+    for (_ <- 1 to reps; (name, fn) <- named) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(name) += (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          // strip quote/backslash and ALL control chars — the JSON
+          // contract must survive any exception text
+          errors(name) = e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+      }
     }
+    val stats = named.map { case (name, _) => name -> samples(name).sorted.toSeq }
 
     def jmap(f: (String, Seq[Double]) => Double): String = stats
       .collect { case (k, ts) if ts.nonEmpty => s"\"$k\":${f(k, ts)}" }
@@ -81,6 +90,10 @@ object Bench {
     val medians = jmap((_, ts) => pct(ts, 0.5))
     val p05 = jmap((_, ts) => pct(ts, 0.05))
     val p95 = jmap((_, ts) => pct(ts, 0.95))
+    // interquartile range per query — the spread statistic the interleaved
+    // protocol makes meaningful (nearest-rank, so it degrades gracefully
+    // at small rep counts)
+    val iqr = jmap((_, ts) => pct(ts, 0.75) - pct(ts, 0.25))
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = stats.collect { case (_, ts) if ts.nonEmpty => pct(ts, 0.5) }.sum
     // embed the latest scaling-exponent run ([[Scaling]], target/scaling.json)
@@ -105,7 +118,7 @@ object Bench {
         raw
       }.toOption else None).getOrElse("null")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$medians,""" +
-      s""""p05":$p05,"p95":$p95,"reps":$reps,"errors":$errJson,"sf":"$sfDir",""" +
+      s""""p05":$p05,"p95":$p95,"iqr":$iqr,"reps":$reps,"errors":$errJson,"sf":"$sfDir",""" +
       s""""scaling":$scaling}"""
     val detailPath = Paths.get("target/bench_detail.json")
     Files.createDirectories(detailPath.getParent)
