@@ -7,14 +7,18 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main, mirroring the reference's timing protocol
-  * (`cypher_query_timing.py:217-233`): N repetitions per query (default 5,
-  * `SPARK_GRAFT_BENCH_REPS`), INTERLEAVED round-robin over the whole
-  * surface (see the protocol comment below), full result materialization
-  * via the noop sink (a bare count() would let Catalyst delete sorts and
-  * unread projections), nearest-rank median / 5th / 95th percentiles +
-  * per-query IQR. Failures are recorded per query — never silently mapped
-  * to a fake wall time.
+/** Benchmark main: the reference's percentile STATISTICS
+  * (`cypher_query_timing.py:217-233` — N repetitions per query, default 5
+  * via `SPARK_GRAFT_BENCH_REPS`; nearest-rank median / 5th / 95th
+  * percentiles + per-query IQR) over an INTERLEAVED round-robin schedule
+  * (see the protocol comment below) — a deliberate departure from the
+  * reference's back-to-back reps, adopted in round 7 because minute-scale
+  * box-load drift corrupts back-to-back per-query medians; per-query
+  * comparisons against pre-round-7 artifacts straddle that protocol
+  * change. Full result materialization goes via the noop sink (a bare
+  * count() would let Catalyst delete sorts and unread projections).
+  * Failures are recorded per query — never silently mapped to a fake wall
+  * time.
   *
   * Output protocol: per-query medians/p05/p95/errors go to
   * `target/bench_detail.json`; stdout's LAST line is a COMPACT total-only

@@ -15,6 +15,12 @@ package graft.build
   * (`DedupQueries.PrefixTable` + its df-snapshot/meta companions) — keep
   * their identity constants at their call sites.) */
 object DocTables {
+  // vector-side maintained tables (SimilarityQueries.appendEmbeddings);
+  // EmbIndex v2: sig widened from the 32 banding planes to the 256-plane
+  // rank signature (first 32 chars unchanged — band substrings still apply)
+  val EmbIndex = ("emb_index", 2)
+  val EmbSq = ("emb_sq", 1)
+
   val Shingles = ("doc_shingles", 1)
   val Minhash = ("doc_minhash", 1)
   val Bands = ("doc_mh_bands", 1)

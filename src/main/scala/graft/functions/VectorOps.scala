@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native vector primitives for the similarity operators (SURVEY.md §7 step 8,
@@ -187,6 +187,25 @@ object VectorOps {
     }
   }
 
+  /** Static entry point for HammingDist: mismatching-byte count of two
+    * equal-length signature strings. Signatures are single-byte ASCII
+    * ('+'/'-') by construction, so byte mismatches ARE character
+    * mismatches; unequal lengths throw, mirroring DuckDB's `hamming()`
+    * (the oracle function this must agree with). */
+  def hammingBytes(a: UTF8String, b: UTF8String): Int = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    require(ab.length == bb.length,
+      s"hamming_dist requires equal-length strings, got ${ab.length} vs ${bb.length}")
+    var n = 0
+    var i = 0
+    while (i < ab.length) {
+      if (ab(i) != bb(i)) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** Static entry point for HyperSig: `planes`-char '+'/'-' signature, char p
     * = sign of the exact-decimal projection of the vector on plane p. Fixed
     * width, so LSH bands are plain substrings in Spark AND the SQL oracle. */
@@ -240,6 +259,9 @@ object VectorOps {
 
   def hyperSig(v: Column, planes: Int): Column =
     bridge.column(HyperSig(bridge.expression(v), planes))
+
+  def hammingDist(a: Column, b: Column): Column =
+    bridge.column(HammingDist(bridge.expression(a), bridge.expression(b)))
 
   private[functions] def checkFloatArray(dt: DataType, name: String): TypeCheckResult =
     dt match {
@@ -300,6 +322,29 @@ case class CosineExact(left: Expression, right: Expression) extends BinaryExpres
       newLeft: Expression, newRight: Expression): CosineExact =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cosine_exact"
+}
+
+/** Byte-wise Hamming distance of two equal-length signature strings —
+  * the compressed-domain ranking primitive behind the ANN top-k pool scans
+  * (ss2/ss9): one codegen'd array walk per row over the narrow sig column,
+  * never a float touched until the rerank pool. Agrees exactly with
+  * DuckDB's `hamming()` (both throw on unequal lengths). */
+case class HammingDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires two strings, got ($l, $r)")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.hammingBytes(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.hammingBytes($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDist =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "hamming_dist"
 }
 
 /** Hyperplane-LSH sign signature of an `array<float>` column: a fixed-width

@@ -55,10 +55,22 @@ private[operators] object Controls {
   * append paths grow them), so the corpus's [[DerivedCache.mutationEpoch]]
   * keys each entry and any append/replace forces a recompute. Entries for
   * superseded epochs (and stopped sessions) are evicted on access, so a
-  * long-lived ingest session holds at most one entry per (name, corpus). */
+  * long-lived ingest session holds at most one entry per (name, corpus).
+  *
+  * Concurrency: the map stores lazily-forced cells, and
+  * `TrieMap.getOrElseUpdate` installs exactly ONE cell per key — two
+  * queries planning the same probe concurrently force the same `lazy val`,
+  * so the Spark count job the memo exists to dedupe runs once (a raced
+  * loser's un-forced cell is garbage, never executed). The eviction scans
+  * are O(live entries) — one per (name, corpus), bounded by the declared
+  * surface. */
 private[operators] object EpochMemo {
 
-  private val memo = TrieMap.empty[(SparkSession, String, String, Long), Long]
+  private final class Cell(compute: () => Long) {
+    lazy val value: Long = compute()
+  }
+
+  private val memo = TrieMap.empty[(SparkSession, String, String, Long), Cell]
 
   def scalar(s: SparkSession, name: String, corpus: String)(compute: => Long): Long = {
     memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
@@ -66,6 +78,6 @@ private[operators] object EpochMemo {
     memo.keys
       .filter(k => k._1 == s && k._2 == name && k._3 == corpus && k._4 != epoch)
       .foreach(memo.remove)
-    memo.getOrElseUpdate((s, name, corpus, epoch), compute)
+    memo.getOrElseUpdate((s, name, corpus, epoch), new Cell(() => compute)).value
   }
 }

@@ -142,7 +142,7 @@ object GraphMetricsQueries {
     * fails). A hint is needed in BOTH modes because loop state is a
     * checkpointed LogicalRDD with unknown stats: unhinted, the planner
     * assumes worst-case size and sort-merge-joins every round. */
-  private def guarded(s: SparkSession, d: String, state: DataFrame): DataFrame = {
+  private[operators] def guarded(s: SparkSession, d: String, state: DataFrame): DataFrame = {
     val max = s.conf.getOption(StateBroadcastMaxKey)
       .map(_.toLong).getOrElse(StateBroadcastMaxDefault)
     if (dayVertices(s, d) <= max) broadcast(state) else state.hint("shuffle_hash")

@@ -85,9 +85,17 @@ object Ingest {
     * staged replace of the table's own scan). Returns the names compacted
     * — empty when nothing tripped the threshold. */
   def compactIfNeeded(s: SparkSession, d: String): Seq[String] = {
+    compactTables(s, d, maintainedDocTables)
+  }
+
+  /** The sweep itself, over an explicit worklist — shared with the
+    * vector-side append path ([[SimilarityQueries.appendEmbeddings]]), so
+    * both ingest families compact under the ONE configured ceiling. */
+  private[operators] def compactTables(s: SparkSession, d: String,
+      tables: Seq[(String, Int)]): Seq[String] = {
     val max = s.conf.getOption(CompactMaxFilesKey).map(_.toInt)
       .getOrElse(CompactMaxFilesDefault)
-    maintainedDocTables
+    tables
       .filter(t => DerivedCache.isBuilt(s, d, t) &&
         DerivedCache.parquetFileCount(s, d, t._1, t._2) > max)
       .map { t => DerivedCache.compact(s, d, t); t._1 }

@@ -23,17 +23,22 @@ import graft.sources.Tables
   *
   * Interpretation note: the synthetic corpus plants no near-duplicates
   * (max pairwise cosine ≈ 0.5), so these are recalls on the hardest,
-  * flattest similarity landscape — bucketed methods (ss2 LSH, ss4/ss5 IVF)
-  * measure their pruning aggressiveness here, while the rerank-pool
-  * methods (ss6/ss7/ss8) measure pool sufficiency. */
+  * flattest similarity landscape — the cell-pruned methods (ss4/ss5 IVF)
+  * measure their pruning aggressiveness here, while the pool-then-rerank
+  * methods (ss2/ss9 Hamming pools, ss6/ss7/ss8 quantized pools) measure
+  * pool sufficiency. */
 object RecallAudit {
 
   /** Cut depth for the single-probe recall comparisons (the declared
     * queries return top-20; recall@10 is the conventional report point). */
   val K = 10
 
+  /** Top-k ids by the query's OWN output order, selected by column NAME —
+    * every single-probe ANN query declares `vec_id` first today, but a
+    * reordered projection must fail loudly here, not silently score the
+    * wrong column. */
   private def topIds(df: DataFrame, k: Int): Seq[Long] =
-    df.limit(k).collect().map(_.getLong(0)).toSeq
+    df.select(col("vec_id")).limit(k).collect().map(_.getLong(0)).toSeq
 
   private def overlap(approx: Seq[Long], exact: Seq[Long]): Double =
     if (exact.isEmpty) 1.0
@@ -72,24 +77,36 @@ object RecallAudit {
     // batch × corpus cosine — the quadratic shape ss9 exists to avoid,
     // affordable here exactly because the audit runs at gated sizes.
     val approx9 = qs("ss9_knn_join")(s, d).select($"qid", $"nid", $"rank").persist()
-    val k9 = approx9.agg(max($"rank")).head.getLong(0).toInt
-    val q = emb.filter($"vec_id" % 10 === 0)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"), normSqExact($"embedding").as("qn"))
-    val c = emb.filter($"vec_id" % 10 =!= 0)
-      .select($"vec_id".as("nid"), $"embedding".as("ne"), normSqExact($"embedding").as("nn"))
-    // same score expression as ss9, so rank order differences are purely
-    // the candidate pruning under audit
-    val exact9 = q.crossJoin(c)
-      .select($"qid", $"nid",
-        (dotExact($"qe", $"ne") / (sqrt($"qn") * sqrt($"nn"))).as("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy($"qid").orderBy(desc("cosine"), $"nid")))
-      .filter($"rank" <= k9)
-      .select($"qid", $"nid")
-    val nq = exact9.select($"qid").distinct().count()
-    val hits = approx9.join(exact9, Seq("qid", "nid")).count()
+    val k9Row = approx9.agg(max($"rank")).head
+    val r9 = if (k9Row.isNullAt(0)) {
+      // ss9 returned nothing: vacuously perfect on an empty query batch,
+      // total recall failure otherwise
+      if (emb.filter($"vec_id" % 10 === 0).limit(1).count() == 0) 1.0 else 0.0
+    } else {
+      val k9 = k9Row.getLong(0).toInt
+      val q = emb.filter($"vec_id" % 10 === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"), normSqExact($"embedding").as("qn"))
+      val c = emb.filter($"vec_id" % 10 =!= 0)
+        .select($"vec_id".as("nid"), $"embedding".as("ne"), normSqExact($"embedding").as("nn"))
+      // same score expression as ss9, so rank order differences are purely
+      // the candidate pruning under audit
+      val exact9 = q.crossJoin(c)
+        .select($"qid", $"nid",
+          (dotExact($"qe", $"ne") / (sqrt($"qn") * sqrt($"nn"))).as("cosine"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"qid").orderBy(desc("cosine"), $"nid")))
+        .filter($"rank" <= k9)
+        .select($"qid", $"nid")
+        .persist()
+      // denominator = the ACTUAL exact-pair count, not nq·k9 — a query
+      // whose exact neighbor pool is smaller than k9 (tiny corpus) must
+      // not be under-credited for pairs that cannot exist
+      val denom = exact9.count()
+      val hits = approx9.join(exact9, Seq("qid", "nid")).count()
+      exact9.unpersist()
+      if (denom == 0) 1.0 else hits.toDouble / denom
+    }
     approx9.unpersist()
-    val r9 = if (nq == 0) 1.0 else hits.toDouble / (nq * k9)
 
     (single :+ ("ss9_knn_join" -> r9)).toMap
   }

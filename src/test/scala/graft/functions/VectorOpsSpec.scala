@@ -136,4 +136,32 @@ class VectorOpsSpec extends SparkSpec {
       expr("array(cast(3.0 as float))").as("b"))
     assert(df2.select(dotExact($"a", $"b")).collect()(0).getDouble(0) == 3.0)
   }
+
+  test("hammingDist matches the per-position substring construction") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps.hammingDist
+    // fixed cases pin DuckDB hamming() semantics (mismatching-char count)
+    val fixed = Seq(("++--", "+-+-", 2), ("++++", "++++", 0), ("+-", "-+", 2))
+      .toDF("a", "b", "want")
+      .select(hammingDist($"a", $"b").as("got"), $"want").collect()
+    fixed.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // differential on real signatures against the naive per-position form
+    val planes = 64
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", hyperSig($"embedding", planes).as("sig"))
+    val probe = e.orderBy($"vec_id").limit(1).select($"sig".as("psig"))
+    val perPos = (1 to planes)
+      .map(i => when(substring($"sig", i, 1) === substring($"psig", i, 1), 0).otherwise(1))
+      .reduce(_ + _)
+    e.crossJoin(broadcast(probe))
+      .select(hammingDist($"sig", $"psig").as("h1"), perPos.as("h2"))
+      .collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1), s"${r.getInt(0)} vs ${r.getInt(1)}"))
+    // unequal lengths throw, mirroring DuckDB's hamming() contract
+    intercept[Exception] {
+      Seq(("ab", "abc")).toDF("a", "b").select(hammingDist($"a", $"b")).collect()
+    }
+  }
 }

@@ -30,6 +30,37 @@ class GraphBroadcastGuardSpec extends SparkSpec {
       s"$name must stay an equi-join in every mode:\n${p.take(1500)}")
   }
 
+  /** Queries whose guarded joins live only INSIDE a fixpoint loop: every
+    * round is localCheckpoint-snapshotted (Fixpoint.iterate), so the
+    * returned frame's analyzed plan is a LogicalRDD and cannot carry the
+    * in-loop hints — their hint discipline is pinned at the [[guarded]]
+    * helper level below instead. */
+  private val loopInteriorOnly = Set("g03_components")
+
+  private def shuffleHashHints(df: DataFrame) =
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.exists(
+        _.toString.toLowerCase.contains("shuffle_hash")) => h
+    }
+
+  test("the guarded state operand carries the mode's hint (loop interiors included)") {
+    val s = spark
+    import s.implicits._
+    val state = s.range(5).select($"id".as("actor_id"), $"id".as("label"))
+    spark.conf.set(GraphMetricsQueries.StateBroadcastMaxKey, "0")
+    try
+      assert(shuffleHashHints(GraphMetricsQueries.guarded(s, dir, state)).nonEmpty,
+        "over-ceiling guarded() must hint shuffle_hash — unhinted loop state " +
+          "has unknown stats and would sort-merge-join every round")
+    finally spark.conf.unset(GraphMetricsQueries.StateBroadcastMaxKey)
+    val under = GraphMetricsQueries.guarded(s, dir, state)
+    val bc = under.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.exists(
+        _.toString.toLowerCase.contains("broadcast")) => h
+    }
+    assert(bc.nonEmpty, "under-ceiling guarded() must broadcast")
+  }
+
   for (name <- guardedQueries)
     test(s"$name over the vertex ceiling degrades to a keyed shuffle join, result-identical") {
       val base = run(name).collect().toSeq
@@ -45,6 +76,15 @@ class GraphBroadcastGuardSpec extends SparkSpec {
         }
         assert(broadcastHints.isEmpty,
           s"over-threshold $name must not force a broadcast: $broadcastHints")
+        // ...and the swap must be FOR something: the shuffle_hash hint has
+        // to survive into the plan, or the planner sort-merge-joins every
+        // iteration on unknown stats — the silent-regression mode this
+        // spec previously let through (round-7 advice). Loop-interior-only
+        // queries are exempt (checkpoint-hidden; pinned via guarded()
+        // above).
+        if (!loopInteriorOnly(name))
+          assert(shuffleHashHints(df).nonEmpty,
+            s"over-threshold $name must carry the shuffle_hash hint in its plan")
         assertEquiJoinsOnly(df, name)
         assert(df.collect().toSeq == base,
           s"$name must return identical rows in both join modes")

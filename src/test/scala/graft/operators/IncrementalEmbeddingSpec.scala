@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 
 import graft.SparkSpec
-import graft.build.DerivedCache
+import graft.build.{DerivedCache, DocTables}
 import graft.sources.Tables
 
 /** Vector-side incremental maintenance: appending the per-vector
@@ -37,9 +37,9 @@ class IncrementalEmbeddingSpec extends SparkSpec {
     assert(delta.count() > 0)
 
     // ingest day 0: at-rest builds over the BASE corpus
-    val idx0 = DerivedCache.table(spark, d, "emb_index", 1)(
+    val idx0 = DerivedCache.table(spark, d, DocTables.EmbIndex)(
       SimilarityQueries.indexRowsOf(base))
-    DerivedCache.table(spark, d, "emb_sq", 1)(
+    DerivedCache.table(spark, d, DocTables.EmbSq)(
       SimilarityQueries.sqRowsOf(base))
     DerivedCache.table(spark, d, ivfName, SimilarityQueries.IvfVersion)(
       SimilarityQueries.ivfAssignRowsOf(base, centsOf(idx0)))
@@ -47,12 +47,12 @@ class IncrementalEmbeddingSpec extends SparkSpec {
     // ingest day 1: the delta appends
     SimilarityQueries.appendEmbeddings(spark, d, delta)
 
-    def readBack(name: String, v: Int = 1) = DerivedCache.existing(spark, d, name, v)
-    assert(rows(readBack("emb_index")) == rows(SimilarityQueries.indexRowsOf(emb)),
+    def readBack(t: (String, Int)) = DerivedCache.existing(spark, d, t)
+    assert(rows(readBack(DocTables.EmbIndex)) == rows(SimilarityQueries.indexRowsOf(emb)),
       "appended LSH index must equal the full rebuild")
-    assert(rows(readBack("emb_sq")) == rows(SimilarityQueries.sqRowsOf(emb)),
+    assert(rows(readBack(DocTables.EmbSq)) == rows(SimilarityQueries.sqRowsOf(emb)),
       "appended SQ codes must equal the full rebuild")
-    assert(rows(readBack(ivfName, SimilarityQueries.IvfVersion)) ==
+    assert(rows(readBack((ivfName, SimilarityQueries.IvfVersion))) ==
       rows(SimilarityQueries.ivfAssignRowsOf(emb, centsOf(emb))),
       "appended IVF assignments must equal a full rebuild under the same quantizer")
   }

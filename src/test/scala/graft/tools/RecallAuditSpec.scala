@@ -2,18 +2,17 @@ package graft.tools
 
 import graft.SparkSpec
 
-/** Pins the measured ANN recall floors so a recall regression fails the
-  * build, not just the round artifact diff (`RECALL_r{N}.json`).
+/** Pins the ANN recall FLOORS as quality targets, so a recall regression
+  * fails the build, not just the round artifact diff (`RECALL_r{N}.json`).
   *
-  * Two regimes, per RecallAudit's doc:
-  *  - flat landscape (the corpus as-is, best non-self cosine ≈ 0.5):
-  *    rerank-pool methods (ss6/ss8) and IVF (ss4/ss5) stay near-exact;
-  *    the LSH-bucketed ones (ss2/ss9) prune to their constructed ≈ 0.15
-  *    collision rate — floors pin the measured values, they are NOT
-  *    quality targets at this operating point;
-  *  - planted near-dups (cosine ≈ 0.97, the operating point the banding
-  *    is TUNED for): candidate recall must clear 0.9, the e2e near-dup
-  *    recall claim of the ss2/ss3/ss9 family. */
+  * Round-8 calibration: the flat landscape (the corpus as-is, best
+  * non-self cosine ≈ 0.4) is the hardest operating point — every floor
+  * below sits one notch under the value measured at sf0.01 after the
+  * Hamming-pool rework (ss2 1.0, ss9 0.98, ss7 0.9, ss4 1.0, ss5 0.9,
+  * ss6 1.0, ss8 1.0), and at or above the round-7 verdict's quality
+  * targets (ss2 ≥ 0.8, ss9 ≥ 0.6, ss7 ≥ 0.8). The planted-near-dup
+  * regime (cosine ≈ 0.97, the operating point the BANDING family is
+  * tuned for) keeps its 0.9 candidate-recall floor. */
 class RecallAuditSpec extends SparkSpec {
 
   private lazy val r = RecallAudit.recalls(spark, "/root/testdata/sf0.01")
@@ -23,13 +22,12 @@ class RecallAuditSpec extends SparkSpec {
     assert(r("ss5_ivf_kmeans") >= 0.8, s"ss5 recall@10 = ${r("ss5_ivf_kmeans")}")
     assert(r("ss6_sq_rerank") >= 0.9, s"ss6 recall@10 = ${r("ss6_sq_rerank")}")
     assert(r("ss8_mips") >= 0.9, s"ss8 recall@10 = ${r("ss8_mips")}")
-    // PQ at 4×16 codes on a flat landscape: pool-limited by construction
-    assert(r("ss7_pq_topk") >= 0.3, s"ss7 recall@10 = ${r("ss7_pq_topk")}")
+    assert(r("ss7_pq_topk") >= 0.8, s"ss7 recall@10 = ${r("ss7_pq_topk")}")
   }
 
-  test("LSH-bucketed ANN holds its constructed flat-landscape floor") {
-    assert(r("ss2_lsh_topk") >= 0.1, s"ss2 recall@10 = ${r("ss2_lsh_topk")}")
-    assert(r("ss9_knn_join") >= 0.05, s"ss9 mean recall = ${r("ss9_knn_join")}")
+  test("Hamming-pool ANN clears its quality floors on the flat landscape") {
+    assert(r("ss2_lsh_topk") >= 0.9, s"ss2 recall@10 = ${r("ss2_lsh_topk")}")
+    assert(r("ss9_knn_join") >= 0.8, s"ss9 mean recall = ${r("ss9_knn_join")}")
   }
 
   test("banding recall at the designed near-dup operating point clears 0.9") {
