@@ -618,8 +618,11 @@ object SimilarityQueries {
   /** Lloyd iterations for the trained quantizer — fixed so the at-rest build
     * is deterministic and the oracle can unroll it as nested CTEs. */
   private val KmIters = 3
-  /** Bump to invalidate at-rest k-means layouts on any training change. */
-  private val KmVersion = 1
+  /** Bump to invalidate at-rest k-means layouts on any training change.
+    * v2: the family gained the training-snapshot meta table — a v1 cache
+    * has centroids without it, and the append path must never find half
+    * the family. */
+  private val KmVersion = 2
   /** (name, version) identities of the trained-quantizer family — the
     * centroids, the assignments, and the corpus size at training time (the
     * retrain trigger's reference point); param-named per the

@@ -42,10 +42,23 @@ abstract class PlanAuditBase extends SparkSpec {
       "hour predicate must push to the fi scan")
   }
 
-  test("ss2 ANN is a pure bucket filter — no join in the plan") {
+  test("ss2 ANN pools on a narrow Hamming scan, reranks via broadcast — no shuffle") {
     val p = plan(SimilarityQueries.queries("ss2_lsh_topk")(spark, dir))
-    assert(!p.contains("Join"), s"ss2 must not join, got:\n${p.take(1500)}")
+    // the pool stage must touch ONLY the narrow (vec_id, sig) columns —
+    // a pool scan that reads embeddings forfeits the 32-byte/vector
+    // compressed-domain bandwidth this operator exists for
+    assert("""ReadSchema: struct<vec_id:bigint,sig:string>""".r.findFirstIn(p).isDefined,
+      s"ss2's Hamming pool must scan only (vec_id, sig):\n${p.take(1500)}")
+    assert(p.contains("hamming_dist"),
+      "the pool ranking must be the codegen'd hamming_dist, not a join")
+    // global top-pool and top-k are TakeOrdered (map-side partial top-N);
+    // the constant-bounded pool broadcasts into the rerank join; nothing
+    // in the plan shuffles
     assert(p.contains("TakeOrderedAndProject"), "top-k should be TakeOrderedAndProject")
+    assert(p.contains("BroadcastHashJoin"), "the rerank pool must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"ss2 must not shuffle:\n${p.take(1500)}")
   }
 
   test("ss1 brute-force top-k uses TakeOrderedAndProject, not a global sort") {
@@ -103,11 +116,23 @@ abstract class PlanAuditBase extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
-  test("ss9 kNN join keys candidates on the band bucket and top-ks per query") {
+  test("ss9 kNN join Hamming-scans narrow sigs, pools per query, reranks equi-joined") {
     val p = plan(SimilarityQueries.queries("ss9_knn_join")(spark, dir))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"batch ANN must equi-join on (band, bkey), never batch×corpus:\n${p.take(1500)}")
+    // the batch×corpus product is the DECLARED compressed-domain scan —
+    // but it must run over the narrow sig columns only (the broadcast side
+    // is the batch sigs, guarded by KnnBroadcastMaxRows), with every
+    // embedding access behind the pooled equi-joins
+    assert("""ReadSchema: struct<vec_id:bigint,sig:string>""".r.findFirstIn(p).isDefined,
+      s"ss9's Hamming scan must read only (vec_id, sig):\n${p.take(1500)}")
+    assert(p.contains("hamming_dist"), "pair scoring must be the codegen'd hamming_dist")
+    // rank-limit pushdown: the per-query pool and top-k windows must both
+    // pre-truncate map-side (WindowGroupLimit), not shuffle every pair
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query pools must push the rank limit into the scan side:\n${p.take(1500)}")
     assert(p.contains("Window"), "per-query top-k must be a window, not a global sort")
+    // exact cosine only via equi-joins on the pooled (qid, nid) pairs
+    assert(!"""BroadcastNestedLoopJoin[^\n]*\n[^\n]*embedding""".r.findFirstIn(p).isDefined,
+      "no embedding column may flow through the cross scan")
   }
 
   test("a03 interval join is grid-bucketed — equi-join, never a nested-loop range join") {
