@@ -69,10 +69,26 @@ object SimilarityQueries {
     * (round 8, md5-exact simulation on the driver corpora): 128 planes →
     * ss2 recall@10 0.8 at sf0.1, 256 planes → 0.9, at the same pool. */
   private[graft] val RankPlanes = 256
-  /** Hamming-pool width for ss2's single-probe top-k (pool → exact rerank). */
+  /** Hamming-pool width for ss2's single-probe top-k (pool → exact
+    * rerank). Like the IVF cells/nProbe knobs, the pool is
+    * session-configurable for library callers ([[hammingTopK]],
+    * `spark.graft.ann.hamPool`) — it is THE recall/latency dial of the
+    * compressed-domain scan — while the DECLARED query and its static
+    * oracle stay pinned to the default. */
   private val HamPool = 200
-  /** Per-query Hamming-pool width for ss9's batch kNN join. */
+  val HamPoolKey = "spark.graft.ann.hamPool"
+  /** Per-query Hamming-pool width for ss9's batch kNN join; same
+    * conf-for-callers / pinned-for-declared split ([[knnJoin]],
+    * `spark.graft.knn.pool`). */
   private val KnnPool = 100
+  val KnnPoolKey = "spark.graft.knn.pool"
+
+  /** Conf-driven Hamming-pool ANN top-k for library callers. */
+  def hammingTopK(s: SparkSession, d: String): DataFrame =
+    ss2(s, d, s.conf.get(HamPoolKey, HamPool.toString).toInt)
+  /** Conf-driven batch kNN join for library callers. */
+  def knnJoin(s: SparkSession, d: String): DataFrame =
+    ss9(s, d, s.conf.get(KnnPoolKey, KnnPool.toString).toInt)
 
   /** Banded hyperplane signature under the module's LSH geometry —
     * exposed for the recall audit's planted-near-dup measurement. */
@@ -103,14 +119,14 @@ object SimilarityQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss1_cosine_topk" -> ss1,
-    "ss2_lsh_topk" -> ss2,
+    "ss2_lsh_topk" -> ((s, d) => ss2(s, d, HamPool)),
     "ss3_embed_neardup" -> ss3,
     "ss4_ivf_topk" -> ((s, d) => ivfTopK(s, d, DefaultCells, DefaultNProbe)),
     "ss5_ivf_kmeans" -> ((s, d) => kmeansTopK(s, d, DefaultCells, DefaultNProbe)),
     "ss6_sq_rerank" -> ss6,
     "ss7_pq_topk" -> ss7,
     "ss8_mips" -> ss8,
-    "ss9_knn_join" -> ss9)
+    "ss9_knn_join" -> ((s, d) => ss9(s, d, KnnPool)))
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -200,7 +216,7 @@ object SimilarityQueries {
     * data-proportional) and pays exact cosine only there. At 100 TB the
     * scan side is 32 bytes/vector — the same compressed-domain bandwidth
     * lever as ss6/ss7, here with zero arithmetic beyond an XOR-count. */
-  private def ss2(s: SparkSession, d: String): DataFrame = {
+  private def ss2(s: SparkSession, d: String, pool: Int): DataFrame = {
     import s.implicits._
     val idx = index(s, d)
     val p = probeRow(s, d)
@@ -208,11 +224,11 @@ object SimilarityQueries {
     val pemb = p.getSeq[Float](1)
     val psqrtN = math.sqrt(p.getDouble(2))
     val psig = p.getString(3)
-    val pool = idx.filter($"vec_id" =!= pid)
+    val poolIds = idx.filter($"vec_id" =!= pid)
       .select($"vec_id", hammingDist($"sig", lit(psig)).as("ham"))
-      .orderBy($"ham", $"vec_id").limit(HamPool)
+      .orderBy($"ham", $"vec_id").limit(pool)
       .select($"vec_id")
-    idx.join(broadcast(pool), "vec_id")
+    idx.join(broadcast(poolIds), "vec_id")
       .select($"vec_id",
         (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
       .orderBy(desc("cosine"), $"vec_id").limit(TopK)
@@ -251,7 +267,7 @@ object SimilarityQueries {
     * recall-for-bandwidth trade). Ties break on neighbor id; scores are
     * decimal-exact dots over double norms, so the ranking is
     * bit-reproducible in the DuckDB oracle. */
-  private def ss9(s: SparkSession, d: String): DataFrame = {
+  private def ss9(s: SparkSession, d: String, pool: Int): DataFrame = {
     import s.implicits._
     val idx = index(s, d)
     val qsig = idx.filter($"vec_id" % 10 === 0)
@@ -264,13 +280,13 @@ object SimilarityQueries {
     // mutation epoch) like every planning probe (the a03 guard pattern)
     val nBatch = EpochMemo.scalar(s, "ss9_batch_rows", d)(qsig.count())
     val qside = if (nBatch <= maxRows) broadcast(qsig) else qsig
-    val pool = csig.crossJoin(qside)
+    val pooled = csig.crossJoin(qside)
       .select($"qid", $"nid", hammingDist($"nsig", $"qsig").as("ham"))
       .withColumn("pn", row_number().over(
         Window.partitionBy($"qid").orderBy($"ham", $"nid")))
-      .filter($"pn" <= KnnPool)
+      .filter($"pn" <= pool)
       .select($"qid", $"nid")
-    pool
+    pooled
       .join(idx.select($"vec_id".as("qid"), $"embedding".as("qe"), $"nsq".as("qn")), "qid")
       .join(idx.select($"vec_id".as("nid"), $"embedding".as("ne"), $"nsq".as("nn")), "nid")
       .select($"qid", $"nid",
@@ -434,6 +450,33 @@ object SimilarityQueries {
     }
     Ingest.compactTables(s, d,
       Seq(DocTables.EmbIndex, DocTables.EmbSq, ivfTable(nc), kmAssignTable(nc)))
+    ()
+  }
+
+  /** Day-0 (or periodic-rebuild) materialization of every at-rest vector
+    * index over an explicit embedding frame under corpus key `d` — the
+    * vector-side analog of [[Ingest.buildDocumentIndexes]], idempotent per
+    * table: LSH rank signatures + norms, int8 SQ codes, fixed-quantizer
+    * IVF assignments, and the trained-k-means family (centroids,
+    * training-snapshot meta, assignments) for the session's configured
+    * cell count. The declared queries build the same tables lazily from
+    * the corpus parquet; this entry point exists for ingest pipelines
+    * (and the maintenance specs/bench) that index an explicit frame
+    * before any query runs. */
+  def buildEmbeddingIndexes(s: SparkSession, d: String, vecs: DataFrame): Unit = {
+    import s.implicits._
+    val nc = cells(s)
+    val idx = DerivedCache.table(s, d, DocTables.EmbIndex)(indexRowsOf(vecs))
+    DerivedCache.table(s, d, DocTables.EmbSq)(sqRowsOf(vecs))
+    val cents = idx.orderBy($"vec_id").limit(nc)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    DerivedCache.table(s, d, ivfTable(nc))(ivfAssignRowsOf(vecs, cents))
+    val km = DerivedCache.table(s, d, kmCentsTable(nc)) {
+      DerivedCache.table(s, d, kmMetaTable(nc))(
+        vecs.agg(count(lit(1)).as("n_vecs")))
+      kmCentroidRowsOf(vecs, nc)
+    }
+    DerivedCache.table(s, d, kmAssignTable(nc))(assignTo(evRowsOf(vecs), km))
     ()
   }
 

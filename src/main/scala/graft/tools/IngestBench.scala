@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.build.DerivedCache
-import graft.operators.Ingest
+import graft.operators.{Ingest, SimilarityQueries}
 import graft.sources.Tables
 
 /** Measures the incremental-ingest claim instead of asserting it: fold a
@@ -19,10 +19,19 @@ import graft.sources.Tables
   * doc_id < 500 — present at every sf, so the batch is IDENTICAL in size
   * across the ladder.
   *
+  * Since round 8 the EMBEDDING family runs the same ladder
+  * (`buildEmbeddingIndexes` vs `appendEmbeddings` with a fixed 50-vector
+  * batch): LSH rank signatures, SQ codes, IVF assignments, and the
+  * trained-k-means family — whose full build pays the Lloyd training pass
+  * over the corpus while the append path assigns the batch against the
+  * FROZEN centroids (the retrain fires only past the growth trigger, a
+  * deliberate amortized cost, not a daily one).
+  *
   * Per (sf, path): median of 3 runs, fresh throwaway cache keys per run
   * (cleaned up after), one warm-up full build first so JIT warms against
   * the baseline, not the append path. Prints one JSON line:
-  * `{"metric":"ingest","ladder":{"<sf>":{"full_s":…,"append_s":…}},…}`.
+  * `{"metric":"ingest","ladder":{…},"emb_ladder":{…}}` with
+  * `{"full_s":…,"append_s":…}` per sf.
   */
 object IngestBench {
 
@@ -89,11 +98,11 @@ object IngestBench {
       }
     }
 
-    val ladder =
+    val (ladder, embLadder) =
       try {
         // JIT/stage warm-up, discarded
         build(spark, key(), Tables.documents(spark, sfDirs.head).select($"doc_id", $"text"))
-        sfDirs.map { dir =>
+        val docLadder = sfDirs.map { dir =>
           val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
           val batch = batchOf(docs)
           val base = docs.exceptAll(batch)
@@ -106,12 +115,31 @@ object IngestBench {
           val sf = dir.split('/').last
           (sf, fullS, appendS)
         }
+        // embedding-family ladder: same fixed batch discipline (the 50
+        // vectors with vec_id % 10 = 0 below 500 exist at every sf)
+        SimilarityQueries.buildEmbeddingIndexes(spark, key(),
+          Tables.embeddings(spark, sfDirs.head).select($"vec_id", $"embedding"))
+        val embL = sfDirs.map { dir =>
+          val vecs = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+          val batch = vecs.filter($"vec_id" % 10 === 0 && $"vec_id" < 500)
+          val base = vecs.exceptAll(batch)
+          val fullS = median(Seq.fill(reps)(time(
+            SimilarityQueries.buildEmbeddingIndexes(spark, key(), vecs))))
+          val appendS = median(Seq.fill(reps) {
+            val k = key()
+            SimilarityQueries.buildEmbeddingIndexes(spark, k, base) // untimed
+            time(SimilarityQueries.appendEmbeddings(spark, k, batch))
+          })
+          val sf = dir.split('/').last
+          (sf, fullS, appendS)
+        }
+        (docLadder, embL)
       } finally cleanup()
 
-    val body = ladder.map { case (sf, f, a) =>
+    def fmt(l: Seq[(String, Double, Double)]): String = l.map { case (sf, f, a) =>
       f""""$sf":{"full_s":$f%.3f,"append_s":$a%.3f}"""
     }.mkString(",")
-    println(s"""{"metric":"ingest","n_batch":50,"reps":$reps,"ladder":{$body}}""")
+    println(s"""{"metric":"ingest","n_batch":50,"reps":$reps,"ladder":{${fmt(ladder)}},"emb_ladder":{${fmt(embLadder)}}}""")
     spark.stop()
   }
 }

@@ -29,25 +29,9 @@ class KmeansMaintenanceSpec extends SparkSpec {
     df.collect().map(_.toString).sorted.toSeq
 
   /** Day-0 at-rest builds over an explicit base frame under a fresh
-    * corpus key — the IncrementalEmbeddingSpec setup plus the km family. */
-  private def day0(d: String, base: DataFrame): Unit = {
-    val idx0 = DerivedCache.table(spark, d, DocTables.EmbIndex)(
-      SimilarityQueries.indexRowsOf(base))
-    DerivedCache.table(spark, d, DocTables.EmbSq)(
-      SimilarityQueries.sqRowsOf(base))
-    val cents0 = idx0.orderBy($"vec_id").limit(nc)
-      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
-    DerivedCache.table(spark, d, s"emb_ivf_c$nc", SimilarityQueries.IvfVersion)(
-      SimilarityQueries.ivfAssignRowsOf(base, cents0))
-    val kmCents = DerivedCache.table(spark, d, SimilarityQueries.kmCentsTable(nc)) {
-      DerivedCache.table(spark, d, SimilarityQueries.kmMetaTable(nc))(
-        base.agg(count(lit(1)).as("n_vecs")))
-      SimilarityQueries.kmCentroidRowsOf(base, nc)
-    }
-    DerivedCache.table(spark, d, SimilarityQueries.kmAssignTable(nc))(
-      SimilarityQueries.assignTo(SimilarityQueries.evRowsOf(base), kmCents))
-    ()
-  }
+    * corpus key — the shared ingest entry point. */
+  private def day0(d: String, base: DataFrame): Unit =
+    SimilarityQueries.buildEmbeddingIndexes(spark, d, base)
 
   private def emb: DataFrame =
     Tables.embeddings(spark, "/root/testdata/sf0.001")
