@@ -193,14 +193,16 @@ object VectorOps {
     * mismatches; unequal lengths throw, mirroring DuckDB's `hamming()`
     * (the oracle function this must agree with). */
   def hammingBytes(a: UTF8String, b: UTF8String): Int = {
-    val ab = a.getBytes
-    val bb = b.getBytes
-    require(ab.length == bb.length,
-      s"hamming_dist requires equal-length strings, got ${ab.length} vs ${bb.length}")
+    val len = a.numBytes()
+    require(len == b.numBytes(),
+      s"hamming_dist requires equal-length strings, got $len vs ${b.numBytes()}")
+    // direct byte access — getBytes() would copy both operands per call
+    // (sig values read from parquet pages rarely span their whole base
+    // array), and this IS the per-pair cost of the compressed-domain scan
     var n = 0
     var i = 0
-    while (i < ab.length) {
-      if (ab(i) != bb(i)) n += 1
+    while (i < len) {
+      if (a.getByte(i) != b.getByte(i)) n += 1
       i += 1
     }
     n

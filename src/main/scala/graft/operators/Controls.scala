@@ -66,8 +66,14 @@ private[operators] object Controls {
   * surface. */
 private[operators] object EpochMemo {
 
-  private final class Cell(compute: () => Long) {
-    lazy val value: Long = compute()
+  private final class Cell(@volatile private var compute: () => Long) {
+    // release the thunk once forced: the closure can capture a DataFrame
+    // and its whole plan graph, dead weight next to the 8-byte result
+    lazy val value: Long = {
+      val v = compute()
+      compute = null
+      v
+    }
   }
 
   private val memo = TrieMap.empty[(SparkSession, String, String, Long), Cell]

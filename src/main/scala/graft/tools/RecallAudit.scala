@@ -15,8 +15,8 @@ import graft.sources.Tables
   * brute-force control exists precisely so the approximate family's recall
   * is a NUMBER, not a construction argument: this tool computes recall@k
   * (k = [[K]]) for ss2/ss4/ss5/ss6/ss7 against ss1's exact cosine top-k,
-  * ss8 against a brute-force exact-dot ranking, and ss9 against the
-  * brute-force kNN join at ss9's own k — per corpus, emitted as one JSON
+  * ss8 against a brute-force exact-dot ranking, and ss9 (pair-level,
+  * micro-averaged) against the brute-force kNN join at ss9's own k — per corpus, emitted as one JSON
   * line plus `target/recall.json` (committed per round as
   * `RECALL_r{N}.json`). RecallAuditSpec pins per-query floors so a recall
   * regression fails the build, not just the artifact diff.
@@ -72,16 +72,23 @@ object RecallAudit {
       name -> overlap(topIds(qs(name)(s, d), K), exact)
     }
 
-    // ss9 kNN join: MEAN per-query recall vs the brute-force kNN join at
-    // ss9's own cut (its rank column carries it). The exact side is the
-    // batch × corpus cosine — the quadratic shape ss9 exists to avoid,
-    // affordable here exactly because the audit runs at gated sizes.
+    // ss9 kNN join: PAIR-LEVEL (micro-averaged) recall vs the brute-force
+    // kNN join at ss9's own cut (its rank column carries it) — hit pairs
+    // over the actual exact-pair count, so a query whose exact pool is
+    // smaller than the cut is not under-credited; this differs from a
+    // mean of per-query recalls exactly when pools are ragged. The exact
+    // side is the batch × corpus cosine — the quadratic shape ss9 exists
+    // to avoid, affordable here exactly because the audit runs at gated
+    // sizes.
     val approx9 = qs("ss9_knn_join")(s, d).select($"qid", $"nid", $"rank").persist()
     val k9Row = approx9.agg(max($"rank")).head
     val r9 = if (k9Row.isNullAt(0)) {
-      // ss9 returned nothing: vacuously perfect on an empty query batch,
-      // total recall failure otherwise
-      if (emb.filter($"vec_id" % 10 === 0).limit(1).count() == 0) 1.0 else 0.0
+      // ss9 returned nothing: vacuously perfect when no (query, neighbor)
+      // pair can exist — an empty batch OR an empty corpus side (the
+      // denom == 0 convention below); total recall failure otherwise
+      val vacuous = emb.filter($"vec_id" % 10 === 0).limit(1).count() == 0 ||
+        emb.filter($"vec_id" % 10 =!= 0).limit(1).count() == 0
+      if (vacuous) 1.0 else 0.0
     } else {
       val k9 = k9Row.getLong(0).toInt
       val q = emb.filter($"vec_id" % 10 === 0)

@@ -7,7 +7,7 @@ import graft.build.{DerivedCache, DocTables}
 import graft.sources.Tables
 
 /** Vector-side incremental maintenance: appending the per-vector
-  * derivations of an embedding delta to the at-rest LSH / SQ / IVF tables
+  * derivations of an embedding delta to the at-rest LSH / SQ / IVF / PQ tables
   * must equal a full rebuild — for IVF, against the frozen coarse
   * quantizer, whose centroid ids the monotone-append contract keeps inside
   * the base corpus. */
@@ -43,6 +43,8 @@ class IncrementalEmbeddingSpec extends SparkSpec {
       SimilarityQueries.sqRowsOf(base))
     DerivedCache.table(spark, d, ivfName, SimilarityQueries.IvfVersion)(
       SimilarityQueries.ivfAssignRowsOf(base, centsOf(idx0)))
+    DerivedCache.table(spark, d, SimilarityQueries.pqTable)(
+      SimilarityQueries.pqCodeRowsOf(base, SimilarityQueries.pqCodebookOf(base)))
 
     // ingest day 1: the delta appends
     SimilarityQueries.appendEmbeddings(spark, d, delta)
@@ -55,5 +57,11 @@ class IncrementalEmbeddingSpec extends SparkSpec {
     assert(rows(readBack((ivfName, SimilarityQueries.IvfVersion))) ==
       rows(SimilarityQueries.ivfAssignRowsOf(emb, centsOf(emb))),
       "appended IVF assignments must equal a full rebuild under the same quantizer")
+    // the PQ codebook (lowest-PqKs subvectors) is append-stable under
+    // monotone ids, so appended codes must equal a FULL rebuild's — not
+    // merely a rebuild under the frozen quantizer
+    assert(rows(readBack(SimilarityQueries.pqTable)) ==
+      rows(SimilarityQueries.pqCodeRowsOf(emb, SimilarityQueries.pqCodebookOf(emb))),
+      "appended PQ codes must equal a full rebuild under the append-stable codebook")
   }
 }

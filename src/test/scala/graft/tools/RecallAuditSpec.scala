@@ -27,7 +27,7 @@ class RecallAuditSpec extends SparkSpec {
 
   test("Hamming-pool ANN clears its quality floors on the flat landscape") {
     assert(r("ss2_lsh_topk") >= 0.9, s"ss2 recall@10 = ${r("ss2_lsh_topk")}")
-    assert(r("ss9_knn_join") >= 0.8, s"ss9 mean recall = ${r("ss9_knn_join")}")
+    assert(r("ss9_knn_join") >= 0.8, s"ss9 pair-level recall = ${r("ss9_knn_join")}")
   }
 
   test("banding recall at the designed near-dup operating point clears 0.9") {
