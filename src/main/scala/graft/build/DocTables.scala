@@ -22,6 +22,9 @@ object DocTables {
   val EmbSq = ("emb_sq", 1)
 
   val Shingles = ("doc_shingles", 1)
+  // positional 5-token window hashes (dd11/dd12); the window width is baked
+  // into the rows, so changing DedupQueries.WinW REQUIRES a version bump here
+  val Windows = ("doc_windows", 1)
   val Minhash = ("doc_minhash", 1)
   val Bands = ("doc_mh_bands", 1)
   val Fingerprints = ("doc_fp", 1)

@@ -33,6 +33,14 @@ object DedupQueries {
   /** MinHash functions / LSH band width. */
   private val K = 12
   private val BandWidth = 3
+  /** dd11 duplicated-substring window width (tokens): every repeated span
+    * of >= WinW tokens is detected exactly, shorter repeats never are —
+    * the span-granularity knob of windowed substring dedup. Baked into the
+    * at-rest window table ([[DocTables.Windows]]): bump that version when
+    * changing this. */
+  private[operators] val WinW = 5
+  /** dd12 drop threshold on the duplicated-token fraction. */
+  private val DupTau = 0.5
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> dd1,
@@ -44,7 +52,9 @@ object DedupQueries {
     "dd7_prefix_containment" -> dd7,
     "dd8_minhash_estimate" -> dd8,
     "dd9_online_dedup" -> dd9,
-    "dd10_online_containment" -> dd10)
+    "dd10_online_containment" -> dd10,
+    "dd11_dup_spans" -> dd11,
+    "dd12_dup_doc_filter" -> dd12)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -58,6 +68,7 @@ object DedupQueries {
     // memoize the control-gate count here (ingest-time, untimed) so dd2's
     // first timed rep doesn't carry the guard's count() job
     Controls.gate(shingles(s, d), "dd2_ngram_jaccard", d)
+    windows(s, d)
     ()
   }
 
@@ -133,6 +144,35 @@ object DedupQueries {
         .cast("binary")).as("bh"))
   }
 
+  /** Positional [[WinW]]-token window rows (doc_id, pos, h) — pos 1-based
+    * over the token sequence, h = md5 of the space-joined window. Unlike the
+    * shingle table (DISTINCT, position-free — built for set Jaccard) this
+    * table keeps every occurrence WITH its position: dd11 reconstructs
+    * maximal duplicated spans from runs of duplicated windows, and both the
+    * run merge and within-document repeats need positions. Per-document like
+    * every other derivation in this block, hence append-exact. */
+  private[graft] def windowRowsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .repartition($"doc_id")
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id",
+        explode(when(size($"w") >= WinW,
+          transform(sequence(lit(1), size($"w") - (WinW - 1)), i =>
+            struct(i.cast("long").as("pos"),
+              md5(concat_ws(" ", slice($"w", i, lit(WinW))).cast("binary")).as("h"))))
+          .otherwise(array().cast("array<struct<pos:bigint,h:string>>"))).as("x"))
+      .select($"doc_id", $"x.pos".as("pos"), $"x.h".as("h"))
+  }
+
+  /** At-rest positional window index (doc_id, pos, h) — see
+    * [[windowRowsOf]]. */
+  private def windows(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, DocTables.Windows) {
+      windowRowsOf(Tables.documents(s, d))
+    }
+
   /** Incremental index maintenance — the 100-TB ingest path: derive
     * shingle / per-hash MinHash / LSH band rows for a batch of NEW
     * documents and append them to the at-rest index tables, leaving the
@@ -159,6 +199,7 @@ object DedupQueries {
       DerivedCache.append(s, d, DocTables.Bands)(bandRowsOf(mh))
       DerivedCache.append(s, d, DocTables.Fingerprints)(fpRowsOf(newDocs))
       DerivedCache.append(s, d, DocTables.Sizes)(sizeRowsOf(sh))
+      DerivedCache.append(s, d, DocTables.Windows)(windowRowsOf(newDocs))
       appendPrefix(s, d, sh)
     } finally {
       mh.unpersist()
@@ -259,6 +300,93 @@ object DedupQueries {
     * input size instead of launching a quadratic job on a real corpus. */
   private def dd2(s: SparkSession, d: String): DataFrame =
     jaccardPairs(s, Controls.gate(shingles(s, d), "dd2_ngram_jaccard", d), None)
+
+  /** Maximal duplicated spans from positional window rows — the engine of
+    * dd11/dd12, factored over an explicit window frame for the span-semantics
+    * spec. A window is duplicated when its text occurs at >= 2 (doc, pos)
+    * positions corpus-wide (WITHIN-document repeats count — same semantics
+    * as suffix-array dedup); per document, duplicated window starts whose
+    * gap is <= [[WinW]] have contiguous token coverage and merge into one
+    * span.
+    *
+    * Shape (100 TB): occurrence counting is a groupBy on the 32-char window
+    * hash — map-side partial agg, then a shuffle of (h, count) partials,
+    * NOT of occurrence rows — followed by an equi-join of the occurrence
+    * rows against the duplicated-hash set. The tempting one-shuffle
+    * alternative (`count over (partition by h)`) was rejected: a window
+    * function puts ALL occurrences of one hash in ONE task, and boilerplate
+    * text at corpus scale has single windows with millions of occurrences —
+    * exactly the skew the groupBy absorbs in partials and the equi-join
+    * lets AQE split (the BandSkewSpec-proven property of this join shape).
+    * The island merge partitions by doc_id — bounded by document length,
+    * skew-free. */
+  private[graft] def spanRowsOf(win: DataFrame): DataFrame = {
+    val s = win.sparkSession
+    import s.implicits._
+    val dupH = win.groupBy($"h").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1).select($"h")
+    val starts = win.join(dupH, "h").select($"doc_id", $"pos")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    starts
+      // a new island when the gap to the previous duplicated window start
+      // exceeds WinW (null lag = first row → otherwise-branch = 1)
+      .withColumn("brk",
+        when($"pos" - lag($"pos", 1).over(byDoc) <= WinW, lit(0)).otherwise(lit(1)))
+      .withColumn("island", sum($"brk").over(byDoc))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + (WinW - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_len"), $"n_windows")
+  }
+
+  /** Per-document duplication stats from span rows + a documents frame —
+    * dd12's engine, factored for the spec. Spans are disjoint by
+    * construction, so summing span_len IS the duplicated-token count. */
+  private[graft] def dupStatsOf(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cover = spans.groupBy($"doc_id").agg(sum($"span_len").as("dup_tokens"))
+    docs
+      .select($"doc_id", size(tokens($"text")).cast("long").as("tok_count"))
+      .join(cover, Seq("doc_id"), "left")
+      .select($"doc_id", $"tok_count",
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+      .withColumn("dup_fraction",
+        when($"tok_count" === 0, lit(0.0))
+          .otherwise($"dup_tokens".cast("double") / $"tok_count".cast("double")))
+      .withColumn("keep", $"dup_fraction" <= DupTau)
+  }
+
+  /** dd11: EXACT duplicated-substring spans — the windowed-hash
+    * reformulation of suffix-array training-data dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL 2022,
+    * find all substrings of >= N tokens that repeat in the corpus). A
+    * suffix array is a single sorted in-memory structure with no good
+    * distributed analog; the same coverage falls out of fixed-width
+    * windows, because a repeated span of L >= [[WinW]] tokens is exactly a
+    * run of L − WinW + 1 repeated WinW-windows. Hash every window once at
+    * ingest (the at-rest [[DocTables.Windows]] index), count occurrences
+    * per hash, merge each document's duplicated-window runs — every
+    * operation an equi-shuffle. Output: one row per maximal duplicated
+    * span (doc_id, span_start, span_end, span_len, n_windows), token
+    * positions 1-based inclusive. */
+  private def dd11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    spanRowsOf(windows(s, d)).orderBy($"doc_id", $"span_start")
+  }
+
+  /** dd12: duplication-aware document filter — the decision real curation
+    * pipelines apply on dd11's output: per document, the fraction of tokens
+    * covered by corpus-duplicated spans, and a keep/drop verdict at
+    * [[DupTau]]. Documents shorter than [[WinW]] tokens have no windows and
+    * keep by construction. */
+  private def dd12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dupStatsOf(Tables.documents(s, d), spanRowsOf(windows(s, d)))
+      .orderBy($"doc_id")
+  }
 
   /** dd9: ONLINE dedup — match an ingest batch against the ALREADY-INDEXED
     * corpus: the query the incremental append path ([[appendDocuments]])
@@ -915,7 +1043,63 @@ object DedupQueries {
        |SELECT doc_id, cluster_id, doc_id <> cluster_id AS is_dup
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** Shared dd11/dd12 oracle prelude: positional windows → duplicated
+    * window starts → island merge → maximal spans. Mirrors
+    * [[windowRowsOf]]/[[spanRowsOf]]; the oracle groups on the raw window
+    * TEXT where the engine groups on its md5 — same partitions (dd1
+    * already equates md5 identity with text identity). */
+  private val spanSql =
+    s"""winx AS (
+       |  SELECT doc_id, unnest(generate_series(1, greatest(len(w) - ${WinW - 1}, 0))) AS pos, w
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0) AS w
+       |        FROM documents)
+       |),
+       |win AS (SELECT doc_id, pos, array_to_string(w[pos:pos+${WinW - 1}], ' ') AS wtext
+       |        FROM winx),
+       |dupw AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY wtext) AS c FROM win) z
+       |  WHERE c > 1
+       |),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $WinW
+       |              THEN 0 ELSE 1 END AS brk
+       |  FROM dupw
+       |),
+       |spans AS (
+       |  SELECT doc_id,
+       |         CAST(MIN(pos) AS BIGINT) AS span_start,
+       |         CAST(MAX(pos) + ${WinW - 1} AS BIGINT) AS span_end,
+       |         CAST(MAX(pos) + ${WinW - 1} - MIN(pos) + 1 AS BIGINT) AS span_len,
+       |         CAST(COUNT(*) AS BIGINT) AS n_windows
+       |  FROM (SELECT doc_id, pos,
+       |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |        FROM brk) i
+       |  GROUP BY doc_id, island
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dd11_dup_spans" ->
+      s"""WITH $spanSql
+         |SELECT doc_id, span_start, span_end, span_len, n_windows
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    "dd12_dup_doc_filter" ->
+      s"""WITH $spanSql,
+         |cover AS (SELECT doc_id, SUM(span_len) AS dup_tokens FROM spans GROUP BY doc_id),
+         |tc AS (SELECT doc_id,
+         |         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok_count
+         |       FROM documents)
+         |SELECT t.doc_id,
+         |       CAST(t.tok_count AS BIGINT) AS tok_count,
+         |       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |       CASE WHEN t.tok_count = 0 THEN 0.0
+         |            ELSE CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / CAST(t.tok_count AS DOUBLE) END AS dup_fraction,
+         |       CASE WHEN t.tok_count = 0 THEN TRUE
+         |            ELSE CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / CAST(t.tok_count AS DOUBLE) <= $DupTau END AS keep
+         |FROM tc t LEFT JOIN cover c ON t.doc_id = c.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "dd6_dup_clusters" -> dd6Sql,
     "dd1_exact_dedup" ->
       """SELECT doc_id, fp, canonical_id, doc_id <> canonical_id AS is_dup FROM (

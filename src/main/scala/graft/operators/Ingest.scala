@@ -32,6 +32,8 @@ object Ingest {
       DedupQueries.fpRowsOf(docs))
     val sizes = DerivedCache.table(s, d, DocTables.Sizes)(
       DedupQueries.sizeRowsOf(sh))
+    DerivedCache.table(s, d, DocTables.Windows)(
+      DedupQueries.windowRowsOf(docs))
     DerivedCache.table(s, d, DocTables.Postings)(
       TextQueries.postingRowsOf(docs))
     val pairs = DerivedCache.table(s, d, DocTables.DupPairs)(
@@ -64,8 +66,8 @@ object Ingest {
     * and listing them keeps the policy exhaustive by construction). */
   private def maintainedDocTables: Seq[(String, Int)] = Seq(
     DocTables.Shingles, DocTables.Minhash, DocTables.Bands,
-    DocTables.Fingerprints, DocTables.Sizes, DocTables.Postings,
-    DocTables.DupPairs, DocTables.DupClusters,
+    DocTables.Fingerprints, DocTables.Sizes, DocTables.Windows,
+    DocTables.Postings, DocTables.DupPairs, DocTables.DupClusters,
     DedupQueries.PrefixTable, DedupQueries.PrefixDfTable,
     DedupQueries.PrefixMetaTable)
 

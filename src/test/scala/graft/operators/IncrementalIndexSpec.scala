@@ -38,6 +38,8 @@ class IncrementalIndexSpec extends SparkSpec {
       DedupQueries.fpRowsOf(base))
     DerivedCache.table(spark, d, DocTables.Sizes)(
       DedupQueries.sizeRowsOf(sh0))
+    DerivedCache.table(spark, d, DocTables.Windows)(
+      DedupQueries.windowRowsOf(base))
 
     // ingest day 1: the delta appends — derivation over delta docs ONLY
     DedupQueries.appendDocuments(spark, d, delta)
@@ -60,6 +62,8 @@ class IncrementalIndexSpec extends SparkSpec {
       "appended fingerprint index must equal the full rebuild")
     assert(rows(readBack("doc_sizes")) == rows(DedupQueries.sizeRowsOf(fullSh)),
       "appended size table must equal the full rebuild")
+    assert(rows(readBack("doc_windows")) == rows(DedupQueries.windowRowsOf(docs)),
+      "appended positional window index must equal the full rebuild")
   }
 
   test("TextQueries.appendDocuments == full rebuild for the posting index") {

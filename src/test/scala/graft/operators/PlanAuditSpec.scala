@@ -89,6 +89,21 @@ abstract class PlanAuditBase extends SparkSpec {
         "(if this fails the pattern no longer matches plan syntax)")
   }
 
+  test("dd11 counts window hashes in partials and joins the dup set — no h-partitioned window") {
+    val p = plan(DedupQueries.queries("dd11_dup_spans")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // occurrence counting must be the map-side-partial groupBy shape…
+    assert("""HashAggregate\(keys=\[h#\d+\], functions=\[partial_count""".r.findFirstIn(p).isDefined,
+      s"dd11 must partial-aggregate window-hash counts:\n${p.take(2000)}")
+    // …feeding an equi-join of the occurrence rows against the dup-hash set
+    assert("""Join \[h#\d+\], \[h#\d+\]""".r.findFirstIn(p).isDefined,
+      s"dd11 must equi-join occurrences against the dup-hash set:\n${p.take(2000)}")
+    // and NEVER a window function partitioned by the hash: one boilerplate
+    // window with millions of occurrences would land on a single task
+    assert("""windowspecdefinition\(h#\d+""".r.findFirstIn(p).isEmpty,
+      s"dd11 must not run a window function partitioned by h:\n${p.take(2000)}")
+  }
+
   test("dd9 online dedup is candidate-driven — band-keyed probe, no shingle self-join") {
     // same contract as dd3: the batch probes the band index on (band, bh)
     // and the verify stage keys on candidate doc ids — never Σ df² pairs
