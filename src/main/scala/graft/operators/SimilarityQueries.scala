@@ -464,10 +464,18 @@ object SimilarityQueries {
         .getOrElse(KmRetrainGrowthDefault)
       if (now > trainedN * (1.0 + growth)) retrainQuantizer(s, d, nc)
     }
-    Ingest.compactTables(s, d,
-      Seq(DocTables.EmbIndex, DocTables.EmbSq, ivfTable(nc), pqTable,
-        kmAssignTable(nc), kmCentsTable(nc), kmMetaTable(nc)))
+    Ingest.compactTables(s, d, maintainedVectorTables(s))
     ()
+  }
+
+  /** ONE list of the at-rest vector tables the append path maintains under
+    * the SESSION's configured cell count — the compaction worklist and the
+    * streaming-vs-batch parity spec's comparison set (the vector-side
+    * analog of `Ingest.maintainedDocTables`). */
+  private[graft] def maintainedVectorTables(s: SparkSession): Seq[(String, Int)] = {
+    val nc = cells(s)
+    Seq(DocTables.EmbIndex, DocTables.EmbSq, ivfTable(nc), pqTable,
+      kmAssignTable(nc), kmCentsTable(nc), kmMetaTable(nc))
   }
 
   /** Day-0 (or periodic-rebuild) materialization of every at-rest vector
