@@ -126,7 +126,8 @@ object SimilarityQueries {
     "ss6_sq_rerank" -> ss6,
     "ss7_pq_topk" -> ss7,
     "ss8_mips" -> ss8,
-    "ss9_knn_join" -> ((s, d) => ss9(s, d, KnnPool)))
+    "ss9_knn_join" -> ((s, d) => ss9(s, d, KnnPool)),
+    "ss10_rank_fusion" -> ss10)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -558,6 +559,30 @@ object SimilarityQueries {
       .orderBy(desc("cosine"), $"vec_id").limit(TopK)
   }
 
+  /** ss10: reciprocal-rank fusion of two ANN index families — the standard
+    * hybrid-recall combiner (Cormack/Clarke/Buettcher, "Reciprocal Rank
+    * Fusion outperforms Condorcet and individual rank learning methods",
+    * SIGIR 2009): score = Σ_rankers 1/(60 + rank). Fusing the cell-pruned
+    * IVF ranking (ss4) with the quantized-scan ranking (ss6) covers each
+    * family's blind spot — cell pruning loses neighbors that fall outside
+    * the probed cells, the quantized scan loses fine ordering to
+    * quantization error — at the cost of running both (each already
+    * sub-linear per probe). Rank-only fusion keeps the oracle exact: ranks
+    * are integers from the two hash-green rankings, and each fused score
+    * is ONE two-term double sum with a fixed operation order — no
+    * accumulation-order ambiguity. */
+  private def ss10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def ranked(df: DataFrame, as: String) = df.select($"vec_id",
+      row_number().over(Window.orderBy(desc("cosine"), $"vec_id")).as(as))
+    ranked(ivfTopK(s, d, DefaultCells, DefaultNProbe), "r4")
+      .join(ranked(ss6(s, d), "r6"), Seq("vec_id"), "full_outer")
+      .select($"vec_id",
+        (coalesce(lit(1.0) / (lit(60) + $"r4"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"r6"), lit(0.0))).as("rrf"))
+      .orderBy(desc("rrf"), $"vec_id").limit(TopK)
+  }
+
   // ------------------------------------------- product quantization (ss7) --
 
   /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each (64-dim
@@ -962,7 +987,23 @@ object SimilarityQueries {
        |  GROUP BY ev.vec_id
        |)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = baseOracleSql
+    // ss10 composes the two hash-green rankings verbatim as CTEs, re-ranks
+    // each deterministically, and fuses — rank-only, so no new float math
+    m + ("ss10_rank_fusion" ->
+      s"""WITH r4 AS (${m("ss4_ivf_topk")}),
+         |r6 AS (${m("ss6_sq_rerank")}),
+         |k4 AS (SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk FROM r4),
+         |k6 AS (SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk FROM r6)
+         |SELECT COALESCE(k4.vec_id, k6.vec_id) AS vec_id,
+         |       COALESCE(CAST(1.0 AS DOUBLE) / (60 + k4.rnk), 0.0)
+         |         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + k6.rnk), 0.0) AS rrf
+         |FROM k4 FULL OUTER JOIN k6 ON k4.vec_id = k6.vec_id
+         |ORDER BY rrf DESC, vec_id LIMIT $TopK""".stripMargin)
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "ss1_cosine_topk" ->
       s"""WITH $evSql,
          |$cosineSql

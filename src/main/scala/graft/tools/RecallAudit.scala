@@ -68,7 +68,10 @@ object RecallAudit {
       "ss5_ivf_kmeans" -> exactCos,
       "ss6_sq_rerank" -> exactCos,
       "ss7_pq_topk" -> exactCos,
-      "ss8_mips" -> exactMips).map { case (name, exact) =>
+      "ss8_mips" -> exactMips,
+      // the fused ranking's job is exactly "recover what either family
+      // lost" — audit it against the same exact-cosine control
+      "ss10_rank_fusion" -> exactCos).map { case (name, exact) =>
       name -> overlap(topIds(qs(name)(s, d), K), exact)
     }
 

@@ -23,6 +23,9 @@ class RecallAuditSpec extends SparkSpec {
     assert(r("ss6_sq_rerank") >= 0.9, s"ss6 recall@10 = ${r("ss6_sq_rerank")}")
     assert(r("ss8_mips") >= 0.9, s"ss8 recall@10 = ${r("ss8_mips")}")
     assert(r("ss7_pq_topk") >= 0.8, s"ss7 recall@10 = ${r("ss7_pq_topk")}")
+    // fusion exists to recover what either family loses — it must do at
+    // least as well as the better single floor
+    assert(r("ss10_rank_fusion") >= 0.9, s"ss10 recall@10 = ${r("ss10_rank_fusion")}")
   }
 
   test("Hamming-pool ANN clears its quality floors on the flat landscape") {
