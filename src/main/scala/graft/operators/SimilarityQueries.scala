@@ -82,6 +82,26 @@ object SimilarityQueries {
     * `spark.graft.knn.pool`). */
   private val KnnPool = 100
   val KnnPoolKey = "spark.graft.knn.pool"
+  /** Cosine radius of the declared range query (ss11) — chosen so the
+    * driver corpora return a non-trivial result set (14 vectors at
+    * sf0.01, 43 at sf0.1) on a landscape whose best non-self cosine is
+    * ≈ 0.4/0.5. Exactly representable in binary, so the Spark filter and
+    * the DuckDB literal compare identically. */
+  private[graft] val RangeTau = 0.25
+  /** Hamming admission bound for ss11's compressed-domain prefilter.
+    * Under the hyperplane-LSH collision model a pair at angle θ disagrees
+    * on each of the [[RankPlanes]] planes independently with p = θ/π, so
+    * a vector AT the radius (θ = arccos τ) has Hamming distance
+    * Binomial(R, p): mean R·p, sd √(R·p(1−p)). Admitting up to
+    * mean + 3.5 sd bounds the per-vector miss probability at ≈ 2·10⁻⁴
+    * one-sided (and vectors strictly inside the radius sit further below
+    * the bound). Anything admitted is exact-verified, so the bound only
+    * trades scan selectivity against recall — never correctness of the
+    * declared semantics. */
+  private[graft] val RangeHamMax: Int = {
+    val p = math.acos(RangeTau) / math.Pi
+    math.ceil(RankPlanes * p + 3.5 * math.sqrt(RankPlanes * p * (1 - p))).toInt
+  }
 
   /** Conf-driven Hamming-pool ANN top-k for library callers. */
   def hammingTopK(s: SparkSession, d: String): DataFrame =
@@ -127,7 +147,8 @@ object SimilarityQueries {
     "ss7_pq_topk" -> ss7,
     "ss8_mips" -> ss8,
     "ss9_knn_join" -> ((s, d) => ss9(s, d, KnnPool)),
-    "ss10_rank_fusion" -> ss10)
+    "ss10_rank_fusion" -> ss10,
+    "ss11_range_search" -> ss11)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -583,6 +604,38 @@ object SimilarityQueries {
       .orderBy(desc("rrf"), $"vec_id").limit(TopK)
   }
 
+  /** ss11: cosine RANGE search — every vector within cosine ≥ [[RangeTau]]
+    * of the probe (the radius companion to top-k; FAISS calls it
+    * `range_search`). Scale shape: a compressed-domain prefilter over the
+    * narrow (vec_id, sig) scan admits only candidates with signature
+    * Hamming distance ≤ [[RangeHamMax]] (mean + 3.5 sd at the radius — see
+    * the constant's doc), then the float payload is read ONLY for admitted
+    * candidates via the join back into the index, and exact-decimal cosine
+    * applies the declared radius. At a tight radius (the near-dup regime,
+    * τ ≈ 0.9 → bound ≈ 65 vs a cosine-0 bulk at ≈ 128) the prefilter
+    * rejects essentially the whole corpus from the 32-byte/vector scan; at
+    * a loose radius it degrades gracefully toward a full narrow scan — the
+    * float column is still only fetched for survivors. The candidate join
+    * is a plain equi-join (candidate cardinality is radius- and
+    * data-dependent, so no forced broadcast — AQE decides). */
+  private def ss11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = index(s, d)
+    val p = probeRow(s, d)
+    val pid = p.getLong(0)
+    val pemb = p.getSeq[Float](1)
+    val psqrtN = math.sqrt(p.getDouble(2))
+    val psig = p.getString(3)
+    val cand = idx.filter($"vec_id" =!= pid)
+      .filter(hammingDist($"sig", lit(psig)) <= RangeHamMax)
+      .select($"vec_id")
+    idx.join(cand, "vec_id")
+      .select($"vec_id",
+        (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
+      .filter($"cosine" >= RangeTau)
+      .orderBy(desc("cosine"), $"vec_id")
+  }
+
   // ------------------------------------------- product quantization (ss7) --
 
   /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each (64-dim
@@ -1004,6 +1057,30 @@ object SimilarityQueries {
   }
 
   private def baseOracleSql: Map[String, String] = Map(
+    // identical construction: Hamming prefilter at the derived admission
+    // bound over the rank signatures, exact cosine >= radius on survivors
+    "ss11_range_search" ->
+      s"""WITH $evSql,
+         |$rsigSql,
+         |probe AS (SELECT min(vec_id) AS pid FROM embeddings),
+         |psig AS (SELECT sig AS ps FROM rsig, probe WHERE vec_id = pid),
+         |cand AS (
+         |  SELECT r.vec_id
+         |  FROM rsig r, psig, probe
+         |  WHERE r.vec_id <> pid AND hamming(r.sig, ps) <= $RangeHamMax
+         |),
+         |pv AS (SELECT pos, e AS pe FROM ev, probe WHERE vec_id = pid),
+         |cos AS (
+         |  SELECT ev.vec_id,
+         |         ${sqlSum("ev.e * pv.pe")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("pv.pe * pv.pe")})) AS cosine
+         |  FROM ev
+         |  JOIN cand ON ev.vec_id = cand.vec_id
+         |  JOIN pv USING (pos)
+         |  GROUP BY ev.vec_id
+         |)
+         |SELECT vec_id, cosine FROM cos WHERE cosine >= $RangeTau
+         |ORDER BY cosine DESC, vec_id""".stripMargin,
     "ss1_cosine_topk" ->
       s"""WITH $evSql,
          |$cosineSql

@@ -118,7 +118,24 @@ object RecallAudit {
     }
     approx9.unpersist()
 
-    (single :+ ("ss9_knn_join" -> r9)).toMap
+    // ss11 range search: SET recall vs the exact radius — the approximate
+    // result is a subset of the exact one by construction (every admitted
+    // candidate is exact-verified), so recall is the only loss axis. The
+    // exact control recomputes the radius with plain double probe math
+    // (a measurement, not an oracle — bit-exactness lives in the gate).
+    val pnorm = math.sqrt(pemb.map(x => x.toDouble * x.toDouble).sum)
+    val exact11 = emb.filter($"vec_id" =!= pid)
+      .select($"vec_id",
+        (dotExact($"embedding", typedlit(pemb)) /
+          (sqrt(normSqExact($"embedding")) * pnorm)).as("c"))
+      .filter($"c" >= SimilarityQueries.RangeTau)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val approx11 = qs("ss11_range_search")(s, d)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val r11 = if (exact11.isEmpty) 1.0
+      else approx11.intersect(exact11).size.toDouble / exact11.size
+
+    (single :+ ("ss9_knn_join" -> r9) :+ ("ss11_range_search" -> r11)).toMap
   }
 
   /** Candidate-generation recall at the DESIGNED near-dup operating point.

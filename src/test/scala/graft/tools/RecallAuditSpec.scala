@@ -26,6 +26,9 @@ class RecallAuditSpec extends SparkSpec {
     // fusion exists to recover what either family loses — it must do at
     // least as well as the better single floor
     assert(r("ss10_rank_fusion") >= 0.9, s"ss10 recall@10 = ${r("ss10_rank_fusion")}")
+    // range search admits to mean + 3.5 sd at the radius (per-vector miss
+    // ≈ 2e-4 one-sided), so set recall must sit essentially at 1
+    assert(r("ss11_range_search") >= 0.95, s"ss11 range recall = ${r("ss11_range_search")}")
   }
 
   test("Hamming-pool ANN clears its quality floors on the flat landscape") {
