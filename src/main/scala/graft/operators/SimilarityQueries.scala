@@ -148,7 +148,8 @@ object SimilarityQueries {
     "ss8_mips" -> ss8,
     "ss9_knn_join" -> ((s, d) => ss9(s, d, KnnPool)),
     "ss10_rank_fusion" -> ss10,
-    "ss11_range_search" -> ss11)
+    "ss11_range_search" -> ss11,
+    "ss12_ivfpq_topk" -> ss12)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -604,6 +605,54 @@ object SimilarityQueries {
       .orderBy(desc("rrf"), $"vec_id").limit(TopK)
   }
 
+  /** ss12: IVF-PQ top-k — the composition every billion-vector deployment
+    * actually runs (FAISS `IVFx,PQy`): the coarse quantizer prunes the
+    * candidate set to the [[DefaultNProbe]] probed cells (ss4's index),
+    * the ADC scan ranks ONLY those candidates from their M-byte PQ codes
+    * (ss7's lookup-table machinery — no float read in the scan), and the
+    * top [[PqRerank]] pool pays an exact full-width cosine. Cost per
+    * probe at corpus size n with c cells: n/c·nProbe code lookups +
+    * [[PqRerank]] float reads, vs ss7's n code lookups — the cell pruning
+    * is what keeps the compressed-domain scan sub-linear. Both at-rest
+    * inputs (cell assignment, PQ codes) are the incrementally-maintained
+    * tables the single-family queries already use; the composition adds
+    * no new state. At the gated test scales the probed cells hold fewer
+    * vectors than the rerank pool, so recall collapses to ss4's — the
+    * ADC ordering becomes the binding constraint only at real corpus
+    * sizes (n/c·nProbe ≫ pool), which is exactly the regime the knobs
+    * ([[ivfTopK]]'s cells/nProbe confs) exist for. */
+  private def ss12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = index(s, d)
+    val ivf = ivfIndex(s, d, DefaultCells)
+    val p = probeRow(s, d)
+    val pid = p.getLong(0)
+    val pemb = p.getSeq[Float](1)
+    val psqrtN = math.sqrt(p.getDouble(2))
+    val cents = Tables.embeddings(s, d).orderBy($"vec_id").limit(DefaultCells)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val probeCells = cents
+      .select($"cid", cosineExact($"cemb", typedlit(pemb)).as("ccos"))
+      .orderBy(desc("ccos"), $"cid").limit(DefaultNProbe)
+      .collect().toIndexedSeq.map(_.getLong(0))
+    val pe = evSub(s, d).filter($"vec_id" === pid).select($"pos", $"e".as("pe"))
+    val lut = pqCodebook(s, d).join(pe, "pos")
+      .groupBy($"m", $"cid").agg(dsum($"ce" * $"pe").as("dotp"))
+    val cellMembers = ivf.filter($"cid".isin(probeCells: _*)).select($"vec_id")
+    val approx = pqCodes(s, d)
+      .join(cellMembers, Seq("vec_id"), "left_semi")
+      .join(broadcast(lut), Seq("m", "cid"))
+      .groupBy($"vec_id").agg(dsum($"dotp").as("adot"))
+      .join(idx.select($"vec_id", $"nsq"), "vec_id")
+      .filter($"vec_id" =!= pid)
+      .select($"vec_id", ($"adot" / (sqrt($"nsq") * psqrtN)).as("approx"))
+      .orderBy(desc("approx"), $"vec_id").limit(PqRerank)
+    approx.join(idx.select($"vec_id", $"embedding", $"nsq"), "vec_id")
+      .select($"vec_id",
+        (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
+      .orderBy(desc("cosine"), $"vec_id").limit(TopK)
+  }
+
   /** ss11: cosine RANGE search — every vector within cosine ≥ [[RangeTau]]
     * of the probe (the radius companion to top-k; FAISS calls it
     * `range_search`). Scale shape: a compressed-domain prefilter over the
@@ -1057,6 +1106,83 @@ object SimilarityQueries {
   }
 
   private def baseOracleSql: Map[String, String] = Map(
+    // ss4's cell CTEs + ss7's ADC CTEs, with the ADC scan restricted to
+    // vectors assigned to the probed cells (ccel = cell id, codeword CTEs
+    // keep ss7's cid) — identical composition to the engine
+    "ss12_ivfpq_topk" ->
+      s"""WITH $evSql,
+         |cents AS (SELECT vec_id AS ccel FROM embeddings ORDER BY vec_id LIMIT $DefaultCells),
+         |cev AS (SELECT ccel, pos, e AS ce FROM ev JOIN cents ON ev.vec_id = ccel),
+         |ccos AS (
+         |  SELECT ev.vec_id, cev.ccel,
+         |         ${sqlSum("ev.e * cev.ce")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("cev.ce * cev.ce")})) AS ccos
+         |  FROM ev JOIN cev USING (pos)
+         |  GROUP BY ev.vec_id, cev.ccel
+         |),
+         |assign AS (
+         |  SELECT vec_id, ccel FROM (
+         |    SELECT vec_id, ccel,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, ccel) AS rn
+         |    FROM ccos) t
+         |  WHERE rn = 1
+         |),
+         |probe AS (SELECT min(vec_id) AS pid FROM embeddings),
+         |pcells AS (
+         |  SELECT ccel FROM ccos, probe WHERE vec_id = pid
+         |  ORDER BY ccos DESC, ccel LIMIT $DefaultNProbe
+         |),
+         |evm AS (SELECT vec_id, pos, e, (pos - 1) // $PqSubDim AS m FROM ev),
+         |cb AS (
+         |  SELECT ic.vec_id AS cid, evm.m, evm.pos, evm.e AS ce
+         |  FROM evm JOIN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKs) ic
+         |    ON evm.vec_id = ic.vec_id
+         |),
+         |dist AS (
+         |  SELECT evm.vec_id, evm.m, cb.cid,
+         |         ${sqlSum("(evm.e - cb.ce) * (evm.e - cb.ce)")} AS dist
+         |  FROM evm JOIN cb ON evm.m = cb.m AND evm.pos = cb.pos
+         |  GROUP BY evm.vec_id, evm.m, cb.cid
+         |),
+         |codes AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |                                 ORDER BY dist, cid) AS rn
+         |    FROM dist) t
+         |  WHERE rn = 1
+         |),
+         |pv AS (SELECT pos, e AS pe FROM ev, probe WHERE vec_id = pid),
+         |nrm AS (SELECT vec_id, ${sqlSum("e * e")} AS nsq FROM ev GROUP BY vec_id),
+         |pn AS (SELECT nsq AS pnsq FROM nrm, probe WHERE vec_id = pid),
+         |lut AS (
+         |  SELECT cb.m, cb.cid, ${sqlSum("cb.ce * pv.pe")} AS dotp
+         |  FROM cb JOIN pv USING (pos) GROUP BY cb.m, cb.cid
+         |),
+         |adot AS (
+         |  SELECT codes.vec_id, ${sqlSum("lut.dotp")} AS adot
+         |  FROM codes
+         |  JOIN lut ON codes.m = lut.m AND codes.cid = lut.cid
+         |  JOIN assign ON assign.vec_id = codes.vec_id
+         |  WHERE assign.ccel IN (SELECT ccel FROM pcells)
+         |  GROUP BY codes.vec_id
+         |),
+         |approx AS (
+         |  SELECT a.vec_id, a.adot / (sqrt(n1.nsq) * sqrt(pn.pnsq)) AS approx
+         |  FROM adot a JOIN nrm n1 ON n1.vec_id = a.vec_id, pn, probe
+         |  WHERE a.vec_id <> probe.pid
+         |  ORDER BY approx DESC, a.vec_id LIMIT $PqRerank
+         |),
+         |cos AS (
+         |  SELECT ev.vec_id,
+         |         ${sqlSum("ev.e * pv.pe")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("pv.pe * pv.pe")})) AS cosine
+         |  FROM ev
+         |  JOIN approx ON ev.vec_id = approx.vec_id
+         |  JOIN pv USING (pos)
+         |  GROUP BY ev.vec_id
+         |)
+         |SELECT vec_id, cosine FROM cos
+         |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
     // identical construction: Hamming prefilter at the derived admission
     // bound over the rank signatures, exact cosine >= radius on survivors
     "ss11_range_search" ->

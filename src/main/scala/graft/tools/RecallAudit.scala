@@ -71,7 +71,11 @@ object RecallAudit {
       "ss8_mips" -> exactMips,
       // the fused ranking's job is exactly "recover what either family
       // lost" — audit it against the same exact-cosine control
-      "ss10_rank_fusion" -> exactCos).map { case (name, exact) =>
+      "ss10_rank_fusion" -> exactCos,
+      // the IVF-PQ composition loses what EITHER stage loses: probed-cell
+      // misses (ss4's axis) plus ADC-ordering misses the rerank pool
+      // doesn't absorb (ss7's axis)
+      "ss12_ivfpq_topk" -> exactCos).map { case (name, exact) =>
       name -> overlap(topIds(qs(name)(s, d), K), exact)
     }
 

@@ -29,6 +29,8 @@ class RecallAuditSpec extends SparkSpec {
     // range search admits to mean + 3.5 sd at the radius (per-vector miss
     // ≈ 2e-4 one-sided), so set recall must sit essentially at 1
     assert(r("ss11_range_search") >= 0.95, s"ss11 range recall = ${r("ss11_range_search")}")
+    // the IVF-PQ composition is bounded below by min(ss4, ss7)'s floors
+    assert(r("ss12_ivfpq_topk") >= 0.8, s"ss12 recall@10 = ${r("ss12_ivfpq_topk")}")
   }
 
   test("Hamming-pool ANN clears its quality floors on the flat landscape") {
