@@ -142,6 +142,32 @@ object RecallAudit {
     (single :+ ("ss9_knn_join" -> r9) :+ ("ss11_range_search" -> r11)).toMap
   }
 
+  /** Recall@[[K]] of the two IVF families as a function of the
+    * `spark.graft.ivf.nprobe` session knob at the default cell count —
+    * the dial a 100-TB operator actually turns (recall/latency trade:
+    * each probed cell costs one more n/cells exact-cosine scan). Probing
+    * more cells only ever ADDS exactly-scored candidates, so recall@k is
+    * monotone non-decreasing in nProbe (a displaced true-top-k member
+    * would need k better-than-it candidates — which would evict it from
+    * the EXACT top-k too), and at nProbe == cells the scan is exhaustive,
+    * recall exactly 1. The ladder turns that argument into measured
+    * numbers per corpus: (nProbe, ss4 recall, ss5 recall) rows. */
+  def ivfNprobeLadder(s: SparkSession, d: String,
+      probes: Seq[Int] = Seq(1, 2, 4, 8, 16)): Seq[(Int, Double, Double)] = {
+    val exactCos = topIds(SimilarityQueries.queries("ss1_cosine_topk")(s, d), K)
+    val key = "spark.graft.ivf.nprobe"
+    val prev = s.conf.getOption(key)
+    try probes.map { np =>
+      s.conf.set(key, np.toString)
+      (np,
+        overlap(topIds(SimilarityQueries.ivfTopK(s, d), K), exactCos),
+        overlap(topIds(SimilarityQueries.kmeansTopK(s, d), K), exactCos))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Candidate-generation recall at the DESIGNED near-dup operating point.
     * The flat-landscape recalls above are honest but landscape-bound: the
     * synthetic corpus's best non-self cosine is ≈ 0.5, where 4×8-bit
@@ -200,7 +226,10 @@ object RecallAudit {
       val per = recalls(spark, d).toSeq.sortBy(_._1)
         .map { case (n, r) => f""""$n":$r%.4f""" }.mkString(",")
       val (pr, pc) = plantedBandRecall(spark, d)
-      s""""$sf":{$per,"planted_band_recall":${f"$pr%.4f"},"planted_cosine":${f"$pc%.4f"}}"""
+      val ladder = ivfNprobeLadder(spark, d)
+        .map { case (np, r4, r5) => f""""$np":{"ss4":$r4%.4f,"ss5":$r5%.4f}""" }
+        .mkString(",")
+      s""""$sf":{$per,"planted_band_recall":${f"$pr%.4f"},"planted_cosine":${f"$pc%.4f"},"ivf_nprobe":{$ladder}}"""
     }.mkString(",")
     val line = s"""{"metric":"recall","k":$K,$body}"""
     Files.createDirectories(Paths.get("target"))

@@ -38,6 +38,18 @@ class RecallAuditSpec extends SparkSpec {
     assert(r("ss9_knn_join") >= 0.8, s"ss9 pair-level recall = ${r("ss9_knn_join")}")
   }
 
+  test("IVF recall is monotone in nProbe and exhaustive at nProbe == cells") {
+    val ladder = RecallAudit.ivfNprobeLadder(spark, "/root/testdata/sf0.01")
+    def monotone(rs: Seq[Double]) =
+      rs.zip(rs.tail).forall { case (a, b) => b >= a - 1e-9 }
+    assert(monotone(ladder.map(_._2)), s"ss4 recall not monotone in nProbe: $ladder")
+    assert(monotone(ladder.map(_._3)), s"ss5 recall not monotone in nProbe: $ladder")
+    // at nProbe == cells every cell is probed — the scan is exhaustive
+    // exact cosine, so recall must be exactly 1 for both quantizers
+    assert(ladder.last._1 == 16 && ladder.last._2 == 1.0 && ladder.last._3 == 1.0,
+      s"exhaustive probe not exact: $ladder")
+  }
+
   test("banding recall at the designed near-dup operating point clears 0.9") {
     val (recall, cos) = RecallAudit.plantedBandRecall(spark, "/root/testdata/sf0.01")
     assert(cos > 0.95 && cos < 0.99, s"planted cosine drifted: $cos")
