@@ -149,7 +149,8 @@ object SimilarityQueries {
     "ss9_knn_join" -> ((s, d) => ss9(s, d, KnnPool)),
     "ss10_rank_fusion" -> ss10,
     "ss11_range_search" -> ss11,
-    "ss12_ivfpq_topk" -> ss12)
+    "ss12_ivfpq_topk" -> ss12,
+    "ss13_filtered_topk" -> ss13)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -253,6 +254,54 @@ object SimilarityQueries {
     val poolIds = idx.filter($"vec_id" =!= pid)
       .select($"vec_id", hammingDist($"sig", lit(psig)).as("ham"))
       .orderBy($"ham", $"vec_id").limit(pool)
+      .select($"vec_id")
+    idx.join(broadcast(poolIds), "vec_id")
+      .select($"vec_id",
+        (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
+      .orderBy(desc("cosine"), $"vec_id").limit(TopK)
+  }
+
+  /** ss13: FILTERED ANN top-k — ss2's Hamming-pool machinery with a
+    * metadata predicate (the probe's `label`) applied BELOW candidate
+    * generation: the pool is drawn only from label-matching vectors, so
+    * recall on the filtered sub-corpus equals ss2's unfiltered recall.
+    * The naive alternative — pool first, filter after — collapses recall
+    * whenever the predicate is selective (a top-200 pool at 1% selectivity
+    * leaves ~2 eligible candidates); pre-filtering is what every
+    * production vector store does, and here it is two composed relational
+    * steps Catalyst already optimizes: (1) the eligible-id set is a
+    * narrow (vec_id, label) parquet scan with the label equality PUSHED
+    * to the scan (row-group stats + dictionary pruning — PlanAuditSpec
+    * pins PushedFilters), (2) a left-semi join restricts the narrow
+    * (vec_id, sig) Hamming scan to eligible ids — broadcast by AQE when
+    * the predicate is selective (the IN-list shape), a plain equi-join
+    * shuffle when it is not (where post-filtering would have been cheap
+    * anyway — the degradation is the benign direction). Stages (3)
+    * pool + (4) exact rerank are ss2's, byte-identical semantics. At
+    * 100 TB the added cost over ss2 is one 12-byte/row pushed scan; the
+    * documented upgrade path if filtered search becomes the hot shape is
+    * carrying payload attributes in the at-rest index rows (the
+    * EmbIndex v3 candidate), which this plan's shape already anticipates
+    * (the semi-join collapses to a scan-level predicate). */
+  private def ss13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = index(s, d)
+    val p = probeRow(s, d)
+    val pid = p.getLong(0)
+    val pemb = p.getSeq[Float](1)
+    val psqrtN = math.sqrt(p.getDouble(2))
+    val psig = p.getString(3)
+    // the probe's own label: a one-row pushed point lookup on the narrow
+    // (vec_id, label) columns, folded to a literal like the probe row
+    val plabel = Tables.embeddings(s, d).filter($"vec_id" === pid)
+      .select($"label").head.getInt(0)
+    val eligible = Tables.embeddings(s, d)
+      .filter($"label" === plabel && $"vec_id" =!= pid)
+      .select($"vec_id")
+    val poolIds = idx
+      .join(eligible, Seq("vec_id"), "left_semi")
+      .select($"vec_id", hammingDist($"sig", lit(psig)).as("ham"))
+      .orderBy($"ham", $"vec_id").limit(HamPool)
       .select($"vec_id")
     idx.join(broadcast(poolIds), "vec_id")
       .select($"vec_id",
@@ -1214,6 +1263,34 @@ object SimilarityQueries {
          |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
     // identical Hamming-pool construction: rank by hamming(sig, probe sig)
     // with (ham, vec_id) ties, pool of HamPool, exact cosine on the pool
+    // ss2's pool-then-rerank with the probe-label predicate applied BELOW
+    // candidate generation (pre-filter semantics): the pool CTE draws only
+    // from label-matching vectors, the rerank inherits the restriction
+    "ss13_filtered_topk" ->
+      s"""WITH $evSql,
+         |$rsigSql,
+         |probe AS (SELECT min(vec_id) AS pid FROM embeddings),
+         |plab AS (SELECT label AS pl FROM embeddings, probe WHERE vec_id = pid),
+         |psig AS (SELECT sig AS ps FROM rsig, probe WHERE vec_id = pid),
+         |pool AS (
+         |  SELECT r.vec_id
+         |  FROM rsig r
+         |  JOIN embeddings emb ON emb.vec_id = r.vec_id, psig, probe, plab
+         |  WHERE r.vec_id <> pid AND emb.label = plab.pl
+         |  ORDER BY hamming(r.sig, ps), r.vec_id LIMIT $HamPool
+         |),
+         |pv AS (SELECT pos, e AS pe FROM ev, probe WHERE vec_id = pid),
+         |cos AS (
+         |  SELECT ev.vec_id,
+         |         ${sqlSum("ev.e * pv.pe")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("pv.pe * pv.pe")})) AS cosine
+         |  FROM ev
+         |  JOIN pool ON ev.vec_id = pool.vec_id
+         |  JOIN pv USING (pos)
+         |  GROUP BY ev.vec_id
+         |)
+         |SELECT vec_id, cosine FROM cos
+         |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
     "ss2_lsh_topk" ->
       s"""WITH $evSql,
          |$rsigSql,

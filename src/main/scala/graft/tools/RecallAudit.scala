@@ -62,6 +62,20 @@ object RecallAudit {
         .select($"vec_id", dotExact($"embedding", typedlit(pemb)).as("dot"))
         .orderBy(desc("dot"), $"vec_id"), K)
 
+    // ss13's control is the exact cosine top-k RESTRICTED to the probe's
+    // label class — filtered recall is measured against the filtered
+    // truth, not the unfiltered ranking (where a pre-filtered result
+    // would be under-credited for correctly excluding other labels)
+    val plabel = Tables.embeddings(s, d).filter($"vec_id" === pid)
+      .select($"label").head.getInt(0)
+    val exactFiltered = topIds(
+      Tables.embeddings(s, d)
+        .filter($"label" === plabel && $"vec_id" =!= pid)
+        .select($"vec_id", dotExact($"embedding", typedlit(pemb))
+          .divide(sqrt(normSqExact($"embedding")) *
+            math.sqrt(pemb.map(x => x.toDouble * x.toDouble).sum)).as("c"))
+        .orderBy(desc("c"), $"vec_id"), K)
+
     val single = Seq(
       "ss2_lsh_topk" -> exactCos,
       "ss4_ivf_topk" -> exactCos,
@@ -75,7 +89,11 @@ object RecallAudit {
       // the IVF-PQ composition loses what EITHER stage loses: probed-cell
       // misses (ss4's axis) plus ADC-ordering misses the rerank pool
       // doesn't absorb (ss7's axis)
-      "ss12_ivfpq_topk" -> exactCos).map { case (name, exact) =>
+      "ss12_ivfpq_topk" -> exactCos,
+      // pre-filter semantics: the pool is drawn from the label class, so
+      // recall vs the FILTERED exact top-k should match ss2's unfiltered
+      // recall — a post-filter implementation would crater here
+      "ss13_filtered_topk" -> exactFiltered).map { case (name, exact) =>
       name -> overlap(topIds(qs(name)(s, d), K), exact)
     }
 

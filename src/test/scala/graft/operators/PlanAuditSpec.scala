@@ -61,6 +61,29 @@ abstract class PlanAuditBase extends SparkSpec {
       s"ss2 must not shuffle:\n${p.take(1500)}")
   }
 
+  test("ss13 filtered ANN pushes the label predicate to the scan, pools narrow") {
+    val p = plan(SimilarityQueries.queries("ss13_filtered_topk")(spark, dir))
+    // pre-filter semantics live or die on the predicate reaching the
+    // narrow (vec_id, label) parquet scan — row-group stats + dictionary
+    // pruning are what make the eligible-id set cheap at 100 TB
+    assert(p.split("PushedFilters: ").exists(_.contains("EqualTo(label")),
+      s"label equality must push to the embeddings scan:\n${p.take(1500)}")
+    assert("""ReadSchema: struct<vec_id:bigint,label:int>""".r.findFirstIn(p).isDefined,
+      s"the eligible-id scan must read only (vec_id, label):\n${p.take(1500)}")
+    // the Hamming pool keeps ss2's compressed-domain property
+    assert("""ReadSchema: struct<vec_id:bigint,sig:string>""".r.findFirstIn(p).isDefined,
+      s"ss13's Hamming pool must scan only (vec_id, sig):\n${p.take(1500)}")
+    assert(p.contains("hamming_dist"),
+      "the pool ranking must be the codegen'd hamming_dist")
+    // selective predicate ⇒ the eligible-id restriction broadcasts into
+    // the sig scan (the IN-list shape); above broadcast size it may
+    // degrade to an equi-join shuffle BY DESIGN — never a cartesian
+    assert(p.contains("BroadcastHashJoin"),
+      "the eligible-id semi-join should broadcast at audit scale")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ss13 must never cross-join:\n${p.take(1500)}")
+  }
+
   test("ss1 brute-force top-k uses TakeOrderedAndProject, not a global sort") {
     val p = plan(SimilarityQueries.queries("ss1_cosine_topk")(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))

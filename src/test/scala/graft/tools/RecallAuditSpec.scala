@@ -36,6 +36,10 @@ class RecallAuditSpec extends SparkSpec {
   test("Hamming-pool ANN clears its quality floors on the flat landscape") {
     assert(r("ss2_lsh_topk") >= 0.9, s"ss2 recall@10 = ${r("ss2_lsh_topk")}")
     assert(r("ss9_knn_join") >= 0.8, s"ss9 pair-level recall = ${r("ss9_knn_join")}")
+    // pre-filter semantics: recall vs the FILTERED exact top-k must match
+    // ss2's unfiltered floor — a post-filter regression craters this
+    assert(r("ss13_filtered_topk") >= 0.9,
+      s"ss13 filtered recall@10 = ${r("ss13_filtered_topk")}")
   }
 
   test("IVF recall is monotone in nProbe and exhaustive at nProbe == cells") {
