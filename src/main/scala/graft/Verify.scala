@@ -22,11 +22,23 @@ object Verify {
     // The driver never sets it, so the contract is unchanged.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY").map(_.split(',').toSeq)
     def selected(name: String) = only.forall(_.exists(name.contains))
+    // Failure contract (round-8 lesson): a query that throws must NEVER
+    // vanish from the correctness artifact. The driver compares whatever
+    // parquet exists under outDir, so an omitted directory silently shrinks
+    // the round's query set (a06 in CORRECTNESS_r08). Instead, write a
+    // one-row sentinel whose schema can't match any oracle — the driver
+    // then records a visible rows/schema/hash failure for the query — and
+    // collect the errors into verify_errors.json for the human reader.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = e.toString
+        import spark.implicits._
+        Seq(e.toString.take(500)).toDF("graft_verify_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +56,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
   }
 }

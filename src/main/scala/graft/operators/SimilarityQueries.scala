@@ -644,6 +644,11 @@ object SimilarityQueries {
     * accumulation-order ambiguity. */
   private def ss10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // The unpartitioned window here is the ONE in the codebase, and it is
+    // bounded by construction: both inputs are `.limit(TopK)` outputs, so
+    // WindowExec's single-partition pass touches ≤ TopK rows regardless of
+    // corpus size (its "no partition defined" WARN is about unbounded
+    // inputs, which this can never be).
     def ranked(df: DataFrame, as: String) = df.select($"vec_id",
       row_number().over(Window.orderBy(desc("cosine"), $"vec_id")).as(as))
     ranked(ivfTopK(s, d, DefaultCells, DefaultNProbe), "r4")

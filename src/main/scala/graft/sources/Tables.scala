@@ -20,18 +20,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` (set by
-    * Verify/Bench) it reads as a nanosecond Long; normalize it back to a
-    * microsecond TimestampType so downstream code sees one schema either way.
-    * Floor-truncation to micros matches DuckDB's read of the same file. */
+  /** events.parquet's `ts` physical type has CHANGED across driver testdata
+    * generations — TIMESTAMP(NANOS) originally (reads as a nanosecond Long
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, which Spark's
+    * vectorized reader otherwise rejects), TIMESTAMP(MICROS) without UTC
+    * adjustment since round 9 (reads as TimestampNTZ). Normalize EVERY
+    * possible read type to one schema — a UTC-instant microsecond
+    * TimestampType — so downstream code (including `unix_micros` in
+    * [[graft.operators.AsOf.joinNearest]]) sees one type regardless of the
+    * file generation or the runner's Spark conf. Round 8's bench/verify
+    * split (a06 failing in one runner, absent from the artifact of the
+    * other) came from handling only the Long case here.
+    *
+    *  - Long (nanos): floor-truncate to micros, matching DuckDB's read.
+    *  - TimestampType: already an instant; pass through.
+    *  - TimestampNTZ: the file's wall-clock is UTC. A bare cast would
+    *    interpret it in the SESSION timezone, so shift the wall time from
+    *    UTC to the session zone first — the composition yields the same
+    *    instant under ANY session timezone (graft runners pin UTC, where
+    *    both steps are the identity on the wall value).
+    *  - anything else: fail loudly at plan time, never silently mis-read. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        val sessionTz = s.conf.get("spark.sql.session.timeZone")
+        raw.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other; expected nanos-as-Long, " +
+            "TIMESTAMP, or TIMESTAMP_NTZ")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
 
