@@ -54,7 +54,10 @@ object DedupQueries {
     "dd9_online_dedup" -> dd9,
     "dd10_online_containment" -> dd10,
     "dd11_dup_spans" -> dd11,
-    "dd12_dup_doc_filter" -> dd12)
+    "dd12_dup_doc_filter" -> dd12,
+    // SemDeDup lives with the vector machinery it composes (trained
+    // k-means cells + exact cosine) but belongs to the dedup family
+    "dd13_semdedup" -> SimilarityQueries.semDedup)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -1081,6 +1084,7 @@ object DedupQueries {
        |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "dd13_semdedup" -> SimilarityQueries.semDedupOracleSql,
     "dd11_dup_spans" ->
       s"""WITH $spanSql
          |SELECT doc_id, span_start, span_end, span_len, n_windows

@@ -28,7 +28,9 @@ object PipelineQueries {
     "p01_curation" -> p01,
     "p02_kmv_cardinality" -> p02,
     "p03_mixture_resample" -> p03,
-    "p04_leakfree_split" -> p04)
+    "p04_leakfree_split" -> p04,
+    "p05_token_offsets" -> p05,
+    "p06_chunk_manifest" -> p06)
 
   /** Quality gate: tx2's score ≥ [[MinQuality]] (which already zeroes
     * docs under 10 tokens) and a token-count ceiling. */
@@ -164,6 +166,125 @@ object PipelineQueries {
       .orderBy($"split")
   }
 
+  /** Training-sequence length for the concat-and-chunk packing (p05/p06) —
+    * the fixed token budget each packed sequence holds. */
+  private val SeqLen = 2048L
+
+  /** doc_ids per prefix-sum bucket (p05). Session conf so specs (and a
+    * 100-TB operator) can tune the two-level trade: the single-task pass
+    * over bucket sums touches n_docs/B rows, the bucket-offset side of the
+    * join holds the same n_docs/B rows — B scales both together. */
+  val PackBucketKey = "spark.graft.pack.bucket"
+  private val PackBucketDefault = 4096L
+
+  /** Per-doc token start offsets under GPT-style concat-and-chunk packing:
+    * documents concatenated in doc_id order, token offset = exclusive
+    * global prefix sum of token counts (tx1's whitespace tokenizer — same
+    * expression, not a parallel implementation).
+    *
+    * The scale problem is the GLOBAL running total: the naive shape is one
+    * unpartitioned window over the corpus — a single task holding every
+    * row, the exact thing WindowExec's "no partition defined" warning is
+    * about. The two-level formulation keeps every corpus-sized pass
+    * parallel: doc_ids bucket by `doc_id div B` (data-independent, so the
+    * layout is deterministic), per-bucket token sums aggregate map-side,
+    * ONLY the n/B bucket sums pay an ordered prefix pass (bounded by
+    * construction — at 10^10 docs and B=4096 that is ~2.4 M 16-byte rows,
+    * one small task), and each doc adds its bucket's exclusive offset
+    * (n/B-row equi-join Spark is free to broadcast) to a within-bucket
+    * prefix windowed BY bucket. Two keyed shuffles + one bounded pass —
+    * no corpus-sized single-partition stage at any scale. */
+  private def tokenOffsets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = s.conf.getOption(PackBucketKey).map(_.toLong).getOrElse(PackBucketDefault)
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // tokenize ONCE on the compute-spread scan (documentsWide's doc_id
+    // repartition), then move only the 24-byte (doc_id, bucket, n_tokens)
+    // rows onto the bucket layout. That ONE narrow exchange is consumed by
+    // BOTH downstream passes — the bucket-sum agg and the within-bucket
+    // window each need ClusteredDistribution(bucket), which the explicit
+    // repartition already satisfies, so neither adds a shuffle and
+    // ReuseExchange runs the scan+tokenize exactly once. The corpus text
+    // itself is never shuffled here.
+    // the explicit isNotNull mirrors the constraint the join below infers
+    // on its own branch — WITHOUT it the two consumers of this exchange
+    // canonicalize differently (one picks up the inferred filter) and
+    // AQE's stage reuse can't dedup them; WITH it both subtrees are
+    // identical and the scan+tokenize+shuffle runs once
+    val t = Tables.documentsWide(s, d)
+      .select($"doc_id",
+        size(TextQueries.wsTokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $b"))
+      .filter($"doc_id".isNotNull && $"bucket".isNotNull)
+      .repartition(n, $"bucket")
+    // max(doc_id) is trivially non-null (every bucket has members), but it
+    // is NOT decorative: without a live reference to doc_id this branch's
+    // projection prunes the column, the two consumers of the bucket
+    // exchange stop canonicalizing identically, AQE cannot reuse the
+    // shuffle stage — and the corpus tokenizes TWICE. The isNotNull filter
+    // below is the "use" that keeps it alive (verified against the final
+    // adaptive plan: one ShuffleQueryStage feeds both branches).
+    val bucketSums = t.groupBy($"bucket")
+      .agg(sum($"n_tokens").as("bsum"), max($"doc_id").as("_maxdoc"))
+    // the ONE ordered pass: n/B bucket rows, bounded by construction
+    val bucketOffsets = bucketSums.withColumn("boff",
+      coalesce(sum($"bsum").over(
+        Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter($"_maxdoc".isNotNull)
+      .select($"bucket", $"boff")
+    val within = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // no broadcast hint: the offsets side is n/B rows — small enough that
+    // the planner broadcasts it on its own at any sane B, and when an
+    // operator shrinks B far enough to make it big, the join degrades to a
+    // shuffle of ONLY the offsets side (t already satisfies the bucket
+    // distribution) instead of a forced oversized broadcast
+    t.join(bucketOffsets, "bucket")
+      .withColumn("start_off",
+        $"boff" + coalesce(sum($"n_tokens").over(within), lit(0L)))
+      .select($"doc_id", $"n_tokens", $"start_off")
+  }
+
+  /** p05: every doc's packed position — start offset plus the first/last
+    * [[SeqLen]]-token chunk it lands in (null spans for token-empty docs,
+    * which occupy no chunk). The doc→chunk index IS the packing: a trainer
+    * reading chunk c loads exactly the docs whose span covers c. */
+  private def p05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tokenOffsets(s, d)
+      .select($"doc_id", $"n_tokens", $"start_off",
+        when($"n_tokens" > 0, expr(s"start_off div $SeqLen")).as("chunk_first"),
+        when($"n_tokens" > 0, expr(s"(start_off + n_tokens - 1) div $SeqLen"))
+          .as("chunk_last"))
+      .orderBy($"doc_id")
+  }
+
+  /** p06: the chunk-side view of the same packing — per chunk, the docs
+    * spanning it and the exact token mass they contribute (== [[SeqLen]]
+    * for every chunk but the ragged last one; PipelineSpec pins that
+    * invariant). Spans explode via `sequence(chunk_first, chunk_last)` —
+    * per-doc row growth is n_tokens/SeqLen + 1, so the explode carries the
+    * corpus token count / SeqLen rows total, and the rollup is one keyed
+    * shuffle on chunk_id. */
+  private def p06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spans = tokenOffsets(s, d).filter($"n_tokens" > 0)
+      .withColumn("cf", expr(s"start_off div $SeqLen"))
+      .withColumn("cl", expr(s"(start_off + n_tokens - 1) div $SeqLen"))
+    spans.select($"doc_id", $"n_tokens", $"start_off",
+        explode(sequence($"cf", $"cl")).as("chunk_id"))
+      .groupBy($"chunk_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"),
+        sum(
+          least($"start_off" + $"n_tokens", ($"chunk_id" + 1) * SeqLen) -
+            greatest($"start_off", $"chunk_id" * SeqLen)).as("n_chunk_tokens"))
+      .orderBy($"chunk_id")
+  }
+
   def oracleSql: Map[String, String] = {
     val wsTok = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
     val inStop = TextQueries.stop.map(w => s"t = '$w'").mkString("(", " OR ", ")")
@@ -233,6 +354,40 @@ object PipelineQueries {
            |FROM clusters
            |GROUP BY split
            |ORDER BY split""".stripMargin,
+      // the oracle states the SEMANTICS as the naive single-window prefix
+      // sum — the two-level bucket formulation must be value-identical
+      "p05_token_offsets" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, CAST(len($wsTok) AS BIGINT) AS n_tokens FROM documents),
+           |o AS (
+           |  SELECT doc_id, n_tokens,
+           |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+           |  FROM t)
+           |SELECT doc_id, n_tokens, start_off,
+           |  CASE WHEN n_tokens > 0 THEN start_off // $SeqLen END AS chunk_first,
+           |  CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // $SeqLen END AS chunk_last
+           |FROM o ORDER BY doc_id""".stripMargin,
+      "p06_chunk_manifest" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, CAST(len($wsTok) AS BIGINT) AS n_tokens FROM documents),
+           |o AS (
+           |  SELECT doc_id, n_tokens,
+           |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+           |  FROM t WHERE n_tokens > 0),
+           |e AS (
+           |  SELECT o.doc_id, o.n_tokens, o.start_off, gs.chunk_id
+           |  FROM o, LATERAL (SELECT unnest(generate_series(
+           |    o.start_off // $SeqLen, (o.start_off + o.n_tokens - 1) // $SeqLen))
+           |    AS chunk_id) gs)
+           |SELECT chunk_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  MIN(doc_id) AS first_doc,
+           |  MAX(doc_id) AS last_doc,
+           |  CAST(SUM(LEAST(start_off + n_tokens, (chunk_id + 1) * $SeqLen)
+           |           - GREATEST(start_off, chunk_id * $SeqLen)) AS BIGINT) AS n_chunk_tokens
+           |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
       "p02_kmv_cardinality" -> {
         // shared sketch definition: the SQL mirror of Kmv.hashCol
         val hex8 = graft.functions.Kmv.hashSql()

@@ -1045,6 +1045,66 @@ object SimilarityQueries {
       .orderBy(desc("cosine"), $"vec_id").limit(TopK)
   }
 
+  /** SemDeDup similarity threshold: a vector is dropped when a LOWER-id
+    * member of its own trained-k-means cell has cosine ≥ this — the near-dup
+    * regime the banding family (ss3/dd3) is tuned for. The driver corpus
+    * plants no semantic dups (max pairwise cosine ≈ 0.51), so on testdata
+    * every vector is kept and `max_sim` carries the verified signal;
+    * SemDedupSpec plants tight clusters to pin the drop semantics. */
+  private[operators] val SemTau = 0.9
+
+  /** dd13: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication: cluster the corpus with the TRAINED quantizer (ss5's
+    * at-rest k-means family — the composition adds no new state), compare
+    * pairs only WITHIN a cell, and keep one representative (the lowest
+    * vec_id) of every group of semantically-identical vectors. Output per
+    * vector: its cell, the max cosine to any lower-id cell-mate (the
+    * drop evidence — null when it is the cell's lowest id), and the keep
+    * decision at [[SemTau]].
+    *
+    * Scale shape — the paper's point: clustering bounds the quadratic.
+    * Pair cost is Σ|cell|² ≈ n²/k instead of n², and the cell count is a
+    * knob that grows with the corpus (`spark.graft.ivf.cells`), holding
+    * per-cell work flat. The pair generation is a self-equi-join on cid —
+    * AQE-skew-splittable like the dd3 band join — followed by one keyed
+    * max-agg on vec_id; no pair set is ever materialized at rest. */
+  private[operators] def semDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = kmAssign(s, d, DefaultCells)
+      .join(index(s, d).select($"vec_id", $"embedding"), "vec_id")
+    val lo = m.select($"cid", $"vec_id".as("lo_id"), $"embedding".as("lo_emb"))
+    val sims = m.join(lo, "cid").filter($"lo_id" < $"vec_id")
+      .select($"vec_id", cosineExact($"embedding", $"lo_emb").as("cos"))
+      .groupBy($"vec_id").agg(max($"cos").as("max_sim"))
+    kmAssign(s, d, DefaultCells)
+      .join(sims, Seq("vec_id"), "left")
+      .select($"vec_id", $"cid", $"max_sim",
+        ($"max_sim".isNull || $"max_sim" < SemTau).as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  /** dd13's DuckDB oracle — [[kmSql]]'s final assignment (`af`) + the
+    * within-cell pairwise exact cosines, max'd per higher id. Exposed to
+    * [[DedupQueries]], which declares the query under the dedup family. */
+  private[operators] def semDedupOracleSql: String =
+    s"""WITH $evSql,
+       |$kmSql,
+       |pair AS (
+       |  SELECT b.vec_id, a.vec_id AS lo_id,
+       |         ${sqlSum("ea.e * eb.e")} /
+       |           (sqrt(${sqlSum("ea.e * ea.e")}) * sqrt(${sqlSum("eb.e * eb.e")})) AS cos
+       |  FROM af a
+       |  JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN ev ea ON ea.vec_id = a.vec_id
+       |  JOIN ev eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
+       |  GROUP BY b.vec_id, a.vec_id
+       |),
+       |sims AS (SELECT vec_id, MAX(cos) AS max_sim FROM pair GROUP BY vec_id)
+       |SELECT af.vec_id, af.cid, s.max_sim,
+       |       (s.max_sim IS NULL OR s.max_sim < $SemTau) AS kept
+       |FROM af LEFT JOIN sims s USING (vec_id)
+       |ORDER BY af.vec_id""".stripMargin
+
   // ---------------------------------------------------------------- oracle --
 
   private val evSql =

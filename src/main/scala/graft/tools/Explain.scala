@@ -27,6 +27,13 @@ object Explain {
       df.write.format("noop").mode("overwrite").save()
       println(f"[explain] $name rep $i wall: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    // the AQE-final plan differs from the static one above (runtime stage
+    // reuse, skew splits, coalescing only appear here). Drive THIS dataset's
+    // own queryExecution (df.write plans a fresh copy whose final plan we
+    // could not see) without collecting results to the driver.
+    df.queryExecution.toRdd.foreachPartition(_ => ())
+    println("== Final (adaptive) plan ==")
+    println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

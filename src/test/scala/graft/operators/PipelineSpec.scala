@@ -125,4 +125,53 @@ class PipelineSpec extends SparkSpec {
     }
     assert(engaged > 0, "estimator never engaged — fixture too small for k")
   }
+
+  test("p05 two-level prefix sum == naive global window, bucket-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p05 = PipelineQueries.queries("p05_token_offsets")(spark, dir).collect()
+
+    // naive reference: ONE unpartitioned window (the semantics p05's
+    // two-level bucket formulation must reproduce exactly)
+    val naive = Tables.documents(spark, dir)
+      .select($"doc_id", size(TextQueries.wsTokens($"text")).cast("long").as("n"))
+      .withColumn("off", coalesce(sum($"n").over(
+        Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    p05.foreach { r =>
+      val (n, off) = naive(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == off, s"doc ${r.getLong(0)}")
+    }
+
+    // bucketing is an implementation knob, not a semantic: a pathological
+    // bucket width (many tiny buckets) must yield identical offsets
+    val before = spark.conf.getOption(PipelineQueries.PackBucketKey)
+    spark.conf.set(PipelineQueries.PackBucketKey, "7")
+    try {
+      val rebucketed = PipelineQueries.queries("p05_token_offsets")(spark, dir).collect()
+      assert(rebucketed.map(_.toString).toSeq == p05.map(_.toString).toSeq,
+        "offsets must not depend on the bucket width")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(PipelineQueries.PackBucketKey, v)
+        case None => spark.conf.unset(PipelineQueries.PackBucketKey)
+      }
+    }
+  }
+
+  test("p06 chunks are contiguous, exactly SeqLen-full except the last") {
+    val p06 = PipelineQueries.queries("p06_chunk_manifest")(spark, dir).collect()
+    val ids = p06.map(_.getLong(0)).toSeq
+    assert(ids == (0L until ids.length).toSeq, "chunk ids must be contiguous from 0")
+    val last = ids.max
+    p06.foreach { r =>
+      val (id, mass) = (r.getLong(0), r.getLong(4))
+      if (id < last) assert(mass == 2048L, s"chunk $id mass $mass")
+      else assert(mass > 0L && mass <= 2048L, s"ragged last chunk mass $mass")
+    }
+    // token conservation: chunk mass sums to the corpus token count
+    val total = PipelineQueries.queries("p05_token_offsets")(spark, dir)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(p06.map(_.getLong(4)).sum == total, "chunk mass must conserve tokens")
+  }
 }
