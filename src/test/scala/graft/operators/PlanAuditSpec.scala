@@ -260,6 +260,19 @@ abstract class PlanAuditBase extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "rerank pool cut must be top-k")
   }
 
+  test("p05 two-level prefix reuses ONE tokenized shuffle (scan+tokenize run once)") {
+    // the claim in tokenOffsets' comment, pinned: both prefix levels consume
+    // the same bucket exchange. AQE stage reuse only shows in the FINAL
+    // adaptive plan, so drive this dataset's own execution first.
+    val df = PipelineQueries.queries("p05_token_offsets")(spark, dir)
+    df.queryExecution.toRdd.foreachPartition(_ => ())
+    // AdaptiveSparkPlan prints final AND initial plans; audit the final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ReusedExchange"), p.take(1500))
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "documents must be scanned exactly once\n" + p.take(1500))
+  }
+
   test("dd5 contamination never joins eval docs against train docs directly") {
     // the scale contract: one join keyed on the shingle against the
     // DISTINCT train-shingle set — no doc×doc shape anywhere
