@@ -28,7 +28,8 @@ object TextQueries {
     "tx6_fulltext_search" -> tx6,
     "tx7_repetition" -> tx7,
     "tx8_bigram_topk" -> tx8,
-    "tx9_tfidf_terms" -> tx9)
+    "tx9_tfidf_terms" -> tx9,
+    "tx10_rarity_profile" -> tx10)
 
   /** Force at-rest posting-index materialization (untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -272,6 +273,40 @@ object TextQueries {
       .orderBy($"doc_id", desc("score"), $"term")
   }
 
+  /** tx10: per-document rarity profile — the document-frequency complement
+    * to tx2's surface heuristics: a document whose token mass is corpus-
+    * unique (OCR noise, gibberish, mangled encodings) or corpus-saturated
+    * (boilerplate) is flagged by its df distribution, the signal CCNet-style
+    * pipelines get from an LM and dd12 gets from duplicated spans. Per doc
+    * over its DISTINCT terms: term count, corpus-unique terms (df = 1),
+    * mean df and the rare fraction — both emitted as ONE division of exact
+    * integer aggregates, so the doubles are bit-identical on any engine
+    * (the tx9 no-`ln` discipline). Token-empty docs profile as (0, 0,
+    * null, null).
+    *
+    * Scale shape: at-rest posting scan → df join keyed on the term (the
+    * same AQE-splittable hot-stopword shape tx9 runs) → one hash agg on
+    * doc_id → left join back to the doc list. No new state, no window. */
+  private def tx10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = postings(s, d)
+    val byDf = p.groupBy($"t").agg(countDistinct($"doc_id").as("df"))
+    val prof = p.join(byDf, "t")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(when($"df" === 1L, 1L).otherwise(0L)).as("n_rare"),
+        sum($"df").as("sum_df"))
+    Tables.documents(s, d).select($"doc_id")
+      .join(prof, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_terms", lit(0L)).as("n_terms"),
+        coalesce($"n_rare", lit(0L)).as("n_rare"),
+        ($"sum_df".cast("double") / $"n_terms").as("mean_df"),
+        ($"n_rare".cast("double") / $"n_terms").as("rarity"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
@@ -379,6 +414,27 @@ object TextQueries {
            |  FROM scored) w
            |WHERE rn <= 3
            |ORDER BY doc_id, score DESC, term""".stripMargin,
+      "tx10_rarity_profile" ->
+        s"""WITH p AS (
+           |  SELECT t, doc_id FROM (
+           |    SELECT doc_id, unnest($wsTokSql) AS t FROM documents) z
+           |  GROUP BY t, doc_id
+           |),
+           |bydf AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY t),
+           |prof AS (
+           |  SELECT doc_id,
+           |         CAST(COUNT(*) AS BIGINT) AS n_terms,
+           |         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           |         CAST(SUM(df) AS BIGINT) AS sum_df
+           |  FROM p JOIN bydf USING (t) GROUP BY doc_id
+           |)
+           |SELECT d.doc_id,
+           |       COALESCE(n_terms, 0) AS n_terms,
+           |       COALESCE(n_rare, 0) AS n_rare,
+           |       CAST(sum_df AS DOUBLE) / n_terms AS mean_df,
+           |       CAST(n_rare AS DOUBLE) / n_terms AS rarity
+           |FROM documents d LEFT JOIN prof USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
       "tx7_repetition" ->
         s"""SELECT doc_id,
            |  CAST(len(tri) AS BIGINT) AS n_trigrams,
