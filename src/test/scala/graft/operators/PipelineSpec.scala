@@ -159,6 +159,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("p05 offsets are append-stable: a doc_id-prefix corpus reproduces its slice") {
+    import spark.implicits._
+    // offsets depend only on EARLIER doc_ids, so a corpus truncated at any
+    // doc_id cut reproduces the full corpus's offsets for the kept ids —
+    // the property that lets a daily append extend the packing without
+    // rewriting yesterday's offsets
+    val full = PipelineQueries.queries("p05_token_offsets")(spark, dir).collect()
+    val cut = full(full.length / 2).getLong(0)
+    val tmp = java.nio.file.Files.createTempDirectory("p05-prefix").toString
+    Tables.documents(spark, dir).filter($"doc_id" <= cut)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val prefix = PipelineQueries.queries("p05_token_offsets")(spark, tmp).collect()
+    assert(prefix.map(_.toString).toSeq ==
+      full.filter(_.getLong(0) <= cut).map(_.toString).toSeq,
+      "prefix corpus must reproduce the full corpus's offsets for its ids")
+  }
+
   test("p06 chunks are contiguous, exactly SeqLen-full except the last") {
     val p06 = PipelineQueries.queries("p06_chunk_manifest")(spark, dir).collect()
     val ids = p06.map(_.getLong(0)).toSeq
