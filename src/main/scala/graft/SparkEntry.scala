@@ -46,5 +46,6 @@ object SparkEntry {
     TextQueries.warm(spark, dir)
     RelationalQueries.warm(spark, dir)
     GraphMetricsQueries.warm(spark, dir)
+    PipelineQueries.warm(spark, dir)
   }
 }

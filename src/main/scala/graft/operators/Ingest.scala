@@ -45,6 +45,7 @@ object Ingest {
     // tables): building it HERE pins its df snapshot to ingest time, so an
     // appended corpus can never see a timing-dependent prefix state
     DedupQueries.buildPrefixIndex(s, d)
+    PipelineQueries.buildOffsets(s, d, docs)
     ()
   }
 
@@ -56,6 +57,7 @@ object Ingest {
     DedupQueries.appendDocuments(s, d, batch)
     TextQueries.appendDocuments(s, d, batch)
     DedupQueries.appendDupClusters(s, d, batch)
+    PipelineQueries.appendOffsets(s, d, batch)
     compactIfNeeded(s, d)
     ()
   }
@@ -69,7 +71,8 @@ object Ingest {
     DocTables.Fingerprints, DocTables.Sizes, DocTables.Windows,
     DocTables.Postings, DocTables.DupPairs, DocTables.DupClusters,
     DedupQueries.PrefixTable, DedupQueries.PrefixDfTable,
-    DedupQueries.PrefixMetaTable)
+    DedupQueries.PrefixMetaTable,
+    PipelineQueries.OffsetsTable, PipelineQueries.OffsetsMetaTable)
 
   /** Data-file ceiling per maintained table before the ingest path compacts
     * it. Each daily append adds one parquet file group per index, so a year

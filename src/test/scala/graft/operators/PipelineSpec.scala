@@ -144,12 +144,15 @@ class PipelineSpec extends SparkSpec {
     }
 
     // bucketing is an implementation knob, not a semantic: a pathological
-    // bucket width (many tiny buckets) must yield identical offsets
+    // bucket width (many tiny buckets) must yield identical offsets. Drive
+    // the row derivation directly — the declared query reads the at-rest
+    // table, which a conf change must NOT rebuild.
     val before = spark.conf.getOption(PipelineQueries.PackBucketKey)
     spark.conf.set(PipelineQueries.PackBucketKey, "7")
     try {
-      val rebucketed = PipelineQueries.queries("p05_token_offsets")(spark, dir).collect()
-      assert(rebucketed.map(_.toString).toSeq == p05.map(_.toString).toSeq,
+      val rebucketed = PipelineQueries.offsetRowsOf(Tables.documents(spark, dir))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(p05.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == rebucketed,
         "offsets must not depend on the bucket width")
     } finally {
       before match {

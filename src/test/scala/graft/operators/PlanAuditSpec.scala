@@ -260,17 +260,29 @@ abstract class PlanAuditBase extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "rerank pool cut must be top-k")
   }
 
-  test("p05 two-level prefix reuses ONE tokenized shuffle (scan+tokenize run once)") {
-    // the claim in tokenOffsets' comment, pinned: both prefix levels consume
-    // the same bucket exchange. AQE stage reuse only shows in the FINAL
-    // adaptive plan, so drive this dataset's own execution first.
-    val df = PipelineQueries.queries("p05_token_offsets")(spark, dir)
+  test("p05 offsets BUILD reuses ONE tokenized shuffle (scan+tokenize run once)") {
+    // the claim in offsetRowsOf's comment, pinned: both prefix levels
+    // consume the same bucket exchange. AQE stage reuse only shows in the
+    // FINAL adaptive plan, so drive this dataset's own execution first.
+    val df = PipelineQueries.offsetRowsOf(
+      graft.sources.Tables.documents(spark, dir))
     df.queryExecution.toRdd.foreachPartition(_ => ())
     // AdaptiveSparkPlan prints final AND initial plans; audit the final only
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(p.contains("ReusedExchange"), p.take(1500))
     assert("FileScan parquet".r.findAllIn(p).size == 1,
       "documents must be scanned exactly once\n" + p.take(1500))
+  }
+
+  test("p05 query reads the at-rest offsets table, not the documents corpus") {
+    // packing happens once at ingest; the declared query is a scan of
+    // doc_offsets plus per-row chunk arithmetic
+    // the plan string truncates long cache paths, so assert the cache root
+    // (InMemoryFileIndex location) + the offsets schema, not the table name
+    val p = plan(PipelineQueries.queries("p05_token_offsets")(spark, dir))
+    assert(p.contains("graft-cache"), p.take(1500))
+    assert(p.contains("struct<doc_id:bigint,n_tokens:bigint,start_off:bigint>"), p.take(1500))
+    assert(!p.contains("documents.parquet"), p.take(1500))
   }
 
   test("dd5 contamination never joins eval docs against train docs directly") {
