@@ -178,23 +178,6 @@ object PipelineQueries {
   val PackBucketKey = "spark.graft.pack.bucket"
   private val PackBucketDefault = 4096L
 
-  /** Per-doc token start offsets under GPT-style concat-and-chunk packing:
-    * documents concatenated in doc_id order, token offset = exclusive
-    * global prefix sum of token counts (tx1's whitespace tokenizer — same
-    * expression, not a parallel implementation).
-    *
-    * The scale problem is the GLOBAL running total: the naive shape is one
-    * unpartitioned window over the corpus — a single task holding every
-    * row, the exact thing WindowExec's "no partition defined" warning is
-    * about. The two-level formulation keeps every corpus-sized pass
-    * parallel: doc_ids bucket by `doc_id div B` (data-independent, so the
-    * layout is deterministic), per-bucket token sums aggregate map-side,
-    * ONLY the n/B bucket sums pay an ordered prefix pass (bounded by
-    * construction — at 10^10 docs and B=4096 that is ~2.4 M 16-byte rows,
-    * one small task), and each doc adds its bucket's exclusive offset
-    * (n/B-row equi-join Spark is free to broadcast) to a within-bucket
-    * prefix windowed BY bucket. Two keyed shuffles + one bounded pass —
-    * no corpus-sized single-partition stage at any scale. */
   /** Tokenize an explicit documents frame to the narrow (doc_id, n_tokens)
     * rows the prefix machinery runs on — the ONLY step that touches text. */
   private def tokenCountsOf(docs: DataFrame): DataFrame = {
@@ -208,6 +191,23 @@ object PipelineQueries {
         size(TextQueries.wsTokens($"text")).cast("long").as("n_tokens"))
   }
 
+  /** Per-doc token start offsets under GPT-style concat-and-chunk packing:
+    * documents concatenated in doc_id order, token offset = `shift` + the
+    * exclusive prefix sum of token counts (tx1's whitespace tokenizer —
+    * same expression, not a parallel implementation).
+    *
+    * The scale problem is the GLOBAL running total: the naive shape is one
+    * unpartitioned window over the corpus — a single task holding every
+    * row, the exact thing WindowExec's "no partition defined" warning is
+    * about. The two-level formulation keeps every corpus-sized pass
+    * parallel: doc_ids bucket by `doc_id div B` (data-independent, so the
+    * layout is deterministic), per-bucket token sums aggregate map-side,
+    * ONLY the n/B bucket sums pay an ordered prefix pass (bounded by
+    * construction — at 10^10 docs and B=4096 that is ~2.4 M 16-byte rows,
+    * one small task), and each doc adds its bucket's exclusive offset
+    * (n/B-row equi-join Spark is free to broadcast) to a within-bucket
+    * prefix windowed BY bucket. Two keyed shuffles + one bounded pass —
+    * no corpus-sized single-partition stage at any scale. */
   private[operators] def offsetRowsOf(docs: DataFrame, shift: Long = 0L): DataFrame =
     prefixRowsOf(tokenCountsOf(docs), shift)
 
