@@ -31,7 +31,8 @@ object PipelineQueries {
     "p03_mixture_resample" -> p03,
     "p04_leakfree_split" -> p04,
     "p05_token_offsets" -> p05,
-    "p06_chunk_manifest" -> p06)
+    "p06_chunk_manifest" -> p06,
+    "p07_shard_manifest" -> p07)
 
   /** Quality gate: tx2's score ≥ [[MinQuality]] (which already zeroes
     * docs under 10 tokens) and a token-count ceiling. */
@@ -376,6 +377,45 @@ object PipelineQueries {
       .orderBy($"chunk_id")
   }
 
+  /** Output shards for p07 — the writer-side fan-in a training run reads.
+    * Fixed and small here; a production corpus sizes this so each shard
+    * lands near the trainer's preferred file size (the knob changes only
+    * the modulus, never the plan shape). */
+  private val NShards = 8L
+
+  /** p07: deterministic output-shard manifest — the SINK-side step of the
+    * packing pipeline: every document is assigned a shard by a stable hash
+    * of its id (the p03/tx5 md5 construction — no RNG, so a retried write
+    * task lands every row in the same shard on any cluster), and the
+    * manifest reports per shard what a trainer's data loader needs before
+    * reading a byte: document count, exact token mass (from the MAINTAINED
+    * `doc_offsets` table — the corpus is not re-tokenized to plan its own
+    * write), byte mass, and the id range.
+    *
+    * Scale shape: two independent narrow scans (the at-rest offsets for
+    * token mass, the documents scan pruned to `(doc_id, n_chars)` for byte
+    * mass), each hash-aggregated map-side onto [[NShards]] groups, then an
+    * [[NShards]]-row join — no corpus-sized shuffle anywhere, and the text
+    * column is never read. The same manifest at 100 TB moves only
+    * 2·NShards aggregate rows past the partial aggs. */
+  private def p07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def shard =
+      (expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+        .cast("long") % NShards).as("shard")
+    val tok = tokenOffsets(s, d)
+      .select(shard, $"doc_id", $"n_tokens")
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+    val chars = Tables.documents(s, d)
+      .select(shard, $"n_chars")
+      .groupBy($"shard").agg(sum($"n_chars").as("n_chars"))
+    tok.join(chars, "shard")
+      .select($"shard", $"n_docs", $"n_tokens", $"n_chars", $"min_doc", $"max_doc")
+      .orderBy($"shard")
+  }
+
   def oracleSql: Map[String, String] = {
     val wsTok = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
     val inStop = TextQueries.stop.map(w => s"t = '$w'").mkString("(", " OR ", ")")
@@ -479,6 +519,25 @@ object PipelineQueries {
            |  CAST(SUM(LEAST(start_off + n_tokens, (chunk_id + 1) * $SeqLen)
            |           - GREATEST(start_off, chunk_id * $SeqLen)) AS BIGINT) AS n_chunk_tokens
            |FROM e GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+      "p07_shard_manifest" -> {
+        // the p03 32-bit md5 hash of the doc id, mod the shard count
+        val h32 = (1 to 8).map { i =>
+          val pow = java.lang.Long.toString(1L << (4 * (8 - i)))
+          s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $pow"
+        }.mkString("(", "\n         + ", ")")
+        s"""WITH t AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(len($wsTok) AS BIGINT) AS n_tokens,
+           |    CAST($h32 AS BIGINT) % $NShards AS shard
+           |  FROM documents)
+           |SELECT shard,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |  MIN(doc_id) AS min_doc,
+           |  MAX(doc_id) AS max_doc
+           |FROM t GROUP BY shard ORDER BY shard""".stripMargin
+      },
       "p02_kmv_cardinality" -> {
         // shared sketch definition: the SQL mirror of Kmv.hashCol
         val hex8 = graft.functions.Kmv.hashSql()

@@ -42,7 +42,8 @@ object RelationalQueries {
     "q16_bucketed_join" -> q16,
     "q17_window_funcs" -> q17,
     "q18_pivot" -> q18,
-    "q19_range_window" -> q19)
+    "q19_range_window" -> q19,
+    "q20_bloom_semi_join" -> q20)
 
   /** Bucket layout shared by q16's two sides (equal counts = co-located). */
   private val Buckets = 8
@@ -353,6 +354,49 @@ object RelationalQueries {
       .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
   }
 
+  /** Bloom blob sizing for q20 — plan-time constants, so the collected blob
+    * is `bits/8` bytes REGARDLESS of input rows. A production caller sizes
+    * these from table stats (items ≈ expected dim keys, bits ≈ 10× items
+    * for ~1% fpp); session confs so the knob exists without a code edit. */
+  private val BloomItemsKey = "spark.graft.bloom.items"
+  private val BloomBitsKey = "spark.graft.bloom.bits"
+
+  /** q20: bloom-pruned semi-join — the EXPLICIT runtime-filter layout for
+    * the fact×selective-dim shape at 100 TB. Spark's own
+    * `runtime.bloomFilter` injection does this when its size heuristics
+    * allow; q20 drives the same native expressions by hand
+    * ([[graft.functions.Bloom]]) so the pattern is available to a library
+    * caller unconditionally: (1) one aggregate over the filtered dim keys
+    * builds a fixed-size bloom blob, (2) the blob is collected — a BOUNDED
+    * driver action, bits/8 bytes whatever the row count — and folded into
+    * the fact scan as a constant bit-test per row (codegen'd, no UDF, no
+    * join), (3) the surviving ~sel+fpp fraction pays the exact semi-join
+    * that removes bloom false positives. The shuffle the semi-join needs
+    * now carries only the pruned fraction — at 100 TB that is the
+    * difference between shuffling the fact table and shuffling a fifth of
+    * it, bought for one dim-side agg + a 128 KB broadcast.
+    * BloomPruneSpec pins result identity against the unpruned semi-join
+    * and measures the prune actually dropping rows. */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val est = s.conf.getOption(BloomItemsKey).map(_.toLong).getOrElse(100000L)
+    val bits = s.conf.getOption(BloomBitsKey).map(_.toLong).getOrElse(1L << 20)
+    val dim = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    val bloom = dim
+      .agg(graft.functions.Bloom.bloomAgg($"o_orderkey", est, bits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    Tables.lineitem(s, d)
+      .filter(graft.functions.Bloom.mightContain(bloom, $"l_orderkey"))
+      .join(dim, $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Pivot (long→wide reshaping): per order-year, revenue and order count
     * pivoted by order status. The value list is EXPLICIT — `pivot(col)`
     * without one runs a hidden collect-distinct job to discover the
@@ -495,6 +539,18 @@ object RelationalQueries {
         |             ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
         |             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    // the oracle states the SEMANTICS — the plain semi-join the bloom
+    // prune must be invisible against (false positives removed exactly)
+    "q20_bloom_semi_join" ->
+      s"""SELECT l_returnflag,
+         |  COUNT(*) AS n_items,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN (
+         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     "q17_window_funcs" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rnk,

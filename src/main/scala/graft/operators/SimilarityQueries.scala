@@ -150,7 +150,8 @@ object SimilarityQueries {
     "ss10_rank_fusion" -> ss10,
     "ss11_range_search" -> ss11,
     "ss12_ivfpq_topk" -> ss12,
-    "ss13_filtered_topk" -> ss13)
+    "ss13_filtered_topk" -> ss13,
+    "ss14_hybrid_search" -> ss14)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -657,6 +658,55 @@ object SimilarityQueries {
         (coalesce(lit(1.0) / (lit(60) + $"r4"), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + $"r6"), lit(0.0))).as("rrf"))
       .orderBy(desc("rrf"), $"vec_id").limit(TopK)
+  }
+
+  /** ss14: hybrid lexical+vector retrieval — RRF fusion (the ss10 combiner)
+    * of a document-frequency-weighted KEYWORD ranking with ss2's ANN
+    * ranking, the retrieval shape RAG/data-curation stacks actually deploy
+    * (vector recall catches paraphrase, lexical recall catches exact
+    * terms/rare ids the embedding blurs). The probe is the ss-family probe
+    * row; its document (`doc_id == vec_id` in the driver corpus) supplies
+    * the query terms.
+    *
+    * Lexical scoring is an ln-free BM25 surrogate kept integer-exact for
+    * the oracle: score(doc) = Σ over shared distinct terms of (N − df_t) —
+    * rarer term ⇒ larger weight, a BIGINT sum with no float accumulation
+    * (the tx9/tx10 no-`ln` discipline; classic idf needs `log`, whose libm
+    * rounding is engine-private). Fusion is rank-only, so the only doubles
+    * are ss10's fixed-order two-term RRF sums.
+    *
+    * Scale shape: the lexical side reads ONLY the probed terms' posting
+    * lists — probe terms resolve with one pushed point predicate on the
+    * at-rest posting index, candidate volume is Σ df over the query's
+    * terms (the tx6 keyed-join shape, AQE-splittable on a hot term), and
+    * df itself is computed on that restricted set (counting docs per term
+    * needs only the lists already read — no corpus-wide df pass). The
+    * vector side is ss2's 32-byte/vector compressed-domain scan. Both
+    * rankings are ≤ [[TopK]] rows, so the fusion windows/join are bounded
+    * by construction (the ss10 argument). */
+  private def ss14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pid = probeRow(s, d).getLong(0)
+    val nDocs = Tables.documents(s, d).count()
+    val post = TextQueries.postings(s, d).select($"doc_id", $"t")
+    val pterms = post.filter($"doc_id" === pid).select($"t")
+    val cand = post.join(broadcast(pterms), "t")
+    val dfT = cand.groupBy($"t").agg(count(lit(1)).as("df"))
+    val lex = cand.filter($"doc_id" =!= pid)
+      .join(broadcast(dfT), "t")
+      .groupBy($"doc_id").agg(sum(lit(nDocs) - $"df").as("lscore"))
+      .orderBy(desc("lscore"), $"doc_id").limit(TopK)
+    val kl = lex.select($"doc_id",
+      row_number().over(Window.orderBy(desc("lscore"), $"doc_id")).as("rl"))
+    val kv = ss2(s, d, HamPool)
+      .select($"vec_id",
+        row_number().over(Window.orderBy(desc("cosine"), $"vec_id")).as("rv"))
+      .withColumnRenamed("vec_id", "doc_id")
+    kl.join(kv, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        (coalesce(lit(1.0) / (lit(60) + $"rl"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"rv"), lit(0.0))).as("rrf"))
+      .orderBy(desc("rrf"), $"doc_id").limit(TopK)
   }
 
   /** ss12: IVF-PQ top-k — the composition every billion-vector deployment
@@ -1216,7 +1266,35 @@ object SimilarityQueries {
          |       COALESCE(CAST(1.0 AS DOUBLE) / (60 + k4.rnk), 0.0)
          |         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + k6.rnk), 0.0) AS rrf
          |FROM k4 FULL OUTER JOIN k6 ON k4.vec_id = k6.vec_id
-         |ORDER BY rrf DESC, vec_id LIMIT $TopK""".stripMargin)
+         |ORDER BY rrf DESC, vec_id LIMIT $TopK""".stripMargin) +
+    // ss14 composes the hash-green ss2 ranking verbatim as a CTE with the
+    // posting-index lexical ranking (integer df weights), then the ss10
+    // rank-only fusion
+    ("ss14_hybrid_search" -> {
+      val wsTok = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
+      s"""WITH vecq AS (${baseOracleSql("ss2_lsh_topk")}),
+         |p AS (SELECT min(vec_id) AS pid FROM embeddings),
+         |post AS (
+         |  SELECT DISTINCT doc_id, t
+         |  FROM (SELECT doc_id, unnest($wsTok) AS t FROM documents) u),
+         |nd AS (SELECT COUNT(*) AS n FROM documents),
+         |pt AS (SELECT DISTINCT t FROM post, p WHERE doc_id = pid),
+         |dft AS (
+         |  SELECT t, COUNT(*) AS df FROM post JOIN pt USING (t) GROUP BY t),
+         |lex AS (
+         |  SELECT post.doc_id, CAST(SUM(n - df) AS BIGINT) AS lscore
+         |  FROM post JOIN pt USING (t) JOIN dft USING (t), nd, p
+         |  WHERE post.doc_id <> pid
+         |  GROUP BY post.doc_id
+         |  ORDER BY lscore DESC, doc_id LIMIT $TopK),
+         |kl AS (SELECT doc_id, row_number() OVER (ORDER BY lscore DESC, doc_id) AS rnk FROM lex),
+         |kv AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk FROM vecq)
+         |SELECT COALESCE(kl.doc_id, kv.doc_id) AS doc_id,
+         |       COALESCE(CAST(1.0 AS DOUBLE) / (60 + kl.rnk), 0.0)
+         |         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + kv.rnk), 0.0) AS rrf
+         |FROM kl FULL OUTER JOIN kv ON kl.doc_id = kv.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
+    })
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -29,7 +29,9 @@ object TextQueries {
     "tx7_repetition" -> tx7,
     "tx8_bigram_topk" -> tx8,
     "tx9_tfidf_terms" -> tx9,
-    "tx10_rarity_profile" -> tx10)
+    "tx10_rarity_profile" -> tx10,
+    "tx11_bpe_pairs" -> tx11,
+    "tx12_bpe_merges" -> tx12)
 
   /** Force at-rest posting-index materialization (untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -176,7 +178,7 @@ object TextQueries {
     * capability a real, tested analog). Built once at ingest like every
     * other [[DerivedCache]] table; at 100 TB the posting list is the
     * standard token-bucketed layout search engines shard on. */
-  private def postings(s: SparkSession, d: String): DataFrame =
+  private[operators] def postings(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, DocTables.Postings) {
       postingRowsOf(Tables.documents(s, d))
     }
@@ -307,6 +309,54 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** tx12's merge budget — small enough that the declared query stays
+    * cheap in the timed bench (each round is one vocabulary-sized agg);
+    * library callers pass their own to [[BpeTrainer.train]]. */
+  private val BpeMerges = 8
+
+  /** tx11: BPE pair statistics — round 0 of tokenizer training as a plain
+    * declared query: adjacent character pairs inside each distinct word,
+    * weighted by the word's corpus frequency (the exact quantity
+    * [[BpeTrainer]] argmaxes each round), top 20. Integer counts end to
+    * end, so the oracle is hash-exact; BpeSpec pins that tx11's top row IS
+    * the trainer's first merge.
+    *
+    * Scale shape: the corpus-sized pass is the word count (scan + one hash
+    * shuffle — tx1's shape); the pair explode runs on the DISTINCT-word
+    * table (vocabulary-sized), and the final agg groups on a key space
+    * bounded by |alphabet|² — partial aggregation collapses it map-side. */
+  private def tx11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documentsWide(s, d)
+      .select(explode(wsTokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+    words.filter(length($"w") >= 2)
+      .select($"w", $"wc", explode(sequence(lit(1), length($"w") - 1)).as("i"))
+      .select(expr("substring(w, i, 1)").as("lhs"),
+        expr("substring(w, i + 1, 1)").as("rhs"), $"wc")
+      .groupBy($"lhs", $"rhs").agg(sum($"wc").as("pair_count"))
+      .orderBy(desc("pair_count"), $"lhs", $"rhs").limit(20)
+  }
+
+  /** tx12: the trained BPE merge table ([[BpeTrainer]], [[BpeMerges]]
+    * rounds) as a declared query — rank, fused pair, and the weighted
+    * occurrence count that won the round. The oracle is the g04-style
+    * UNROLLED iteration: [[BpeMerges]] chained CTE rounds, each computing
+    * the same overlap-counted pair argmax and applying the merge with a
+    * `list_reduce` fold whose accumulator check reproduces the greedy
+    * left-to-right semantics of [[BpeTrainer.applyMerge]] exactly (a
+    * freshly-fused symbol can never re-match as `lhs` within its round,
+    * because lhs++rhs ≠ lhs). So even the trained ITERATIVE artifact is
+    * hash-checked end to end, like ss5's trained k-means; BpeSpec adds the
+    * differential test against an independent single-machine trainer. */
+  private def tx12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = BpeTrainer.train(Tables.documentsWide(s, d), BpeMerges)
+    merges.map(m => (m.rank, m.lhs, m.rhs, m.pairCount))
+      .toDF("rank", "lhs", "rhs", "pair_count")
+      .orderBy($"rank")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
@@ -351,6 +401,46 @@ object TextQueries {
                 "CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END",
                 "CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END")} AS quality
            |FROM t ORDER BY doc_id""".stripMargin,
+      "tx12_bpe_merges" -> {
+        // unrolled trainer: round k's argmax CTE p<k> feeds round k+1's
+        // merge application; the list-of-list reduce is the greedy
+        // left-to-right applyMerge (overlap-safe: after a fusion the
+        // accumulator tail is lhs||rhs, which can't equal lhs again)
+        val w0 =
+          s"""w0 AS (
+             |  SELECT regexp_extract_all(t, '.') AS syms, COUNT(*) AS wc
+             |  FROM (SELECT unnest($wsTokSql) AS t FROM documents) u GROUP BY t)""".stripMargin
+        val rounds = (0 until BpeMerges).map { k =>
+          s"""p$k AS (
+             |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, CAST(SUM(wc) AS BIGINT) AS pair_count
+             |  FROM w$k, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+             |  WHERE len(syms) >= 2
+             |  GROUP BY 1, 2
+             |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+             |w${k + 1} AS (
+             |  SELECT list_reduce(list_transform(syms, x -> [x]),
+             |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = p$k.lhs AND x[1] = p$k.rhs
+             |                THEN list_slice(acc, 1, len(acc) - 1) || [p$k.lhs || p$k.rhs]
+             |                ELSE acc || x END) AS syms, wc
+             |  FROM w$k, p$k)""".stripMargin
+        }
+        val unioned = (0 until BpeMerges)
+          .map(k => s"SELECT $k AS rank, lhs, rhs, pair_count FROM p$k")
+          .mkString("\nUNION ALL\n")
+        (w0 +: rounds).mkString("WITH ", ",\n", "\n") + unioned + "\nORDER BY rank"
+      },
+      "tx11_bpe_pairs" ->
+        s"""WITH words AS (
+           |  SELECT t AS w, COUNT(*) AS wc
+           |  FROM (SELECT unnest($wsTokSql) AS t FROM documents) u
+           |  GROUP BY t),
+           |pairs AS (
+           |  SELECT substring(w, i, 1) AS lhs, substring(w, i + 1, 1) AS rhs, wc
+           |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+           |  WHERE len(w) >= 2)
+           |SELECT lhs, rhs, CAST(SUM(wc) AS BIGINT) AS pair_count
+           |FROM pairs GROUP BY lhs, rhs
+           |ORDER BY pair_count DESC, lhs, rhs LIMIT 20""".stripMargin,
       "tx3_lang_id" ->
         s"""WITH scored AS (
            |  SELECT doc_id, lang,

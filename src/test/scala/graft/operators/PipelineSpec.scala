@@ -194,4 +194,23 @@ class PipelineSpec extends SparkSpec {
       .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
     assert(p06.map(_.getLong(4)).sum == total, "chunk mass must conserve tokens")
   }
+
+  test("p07 shards partition the corpus and conserve token/byte mass") {
+    import spark.implicits._
+    val p07 = PipelineQueries.queries("p07_shard_manifest")(spark, dir).collect()
+    assert(p07.nonEmpty)
+    assert(p07.forall(r => r.getLong(0) >= 0L && r.getLong(0) < 8L))
+    assert(p07.map(_.getLong(0)).distinct.length == p07.length, "one row per shard")
+    val docs = Tables.documents(spark, dir)
+    assert(p07.map(_.getLong(1)).sum == docs.count(), "every doc lands in one shard")
+    val totalTokens = PipelineQueries.queries("p05_token_offsets")(spark, dir)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(p07.map(_.getLong(2)).sum == totalTokens, "token mass conserved")
+    val totalChars = docs.agg(sum($"n_chars")).collect()(0).getLong(0)
+    assert(p07.map(_.getLong(3)).sum == totalChars, "byte mass conserved")
+    // the assignment is the tx5/p03 hash — stable, so min/max ranges are
+    // reproducible and non-overlapping only per shard id, not globally;
+    // just pin that ranges are well-formed
+    p07.foreach(r => assert(r.getLong(4) <= r.getLong(5)))
+  }
 }
