@@ -42,7 +42,7 @@ object BpeTrainer {
       .select(explode(TextQueries.wsTokens(col("text"))).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("wc"))
       .as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString): Seq[String], c) }
+      .map { case (w, c) => (splitCodepoints(w), c) }
       .localCheckpoint(eager = false)
     val merges = Seq.newBuilder[Merge]
     var rank = 0
@@ -84,10 +84,18 @@ object BpeTrainer {
     out.result()
   }
 
+  /** Base symbols of a word, split by Unicode CODE POINT — the convention
+    * Spark's `substring`/`length` (tx11) and DuckDB's `regexp_extract_all`
+    * (the tx12 oracle) both use; splitting by UTF-16 unit would shear
+    * surrogate pairs (emoji, rare CJK) into invalid half-symbols and
+    * diverge from both engines. */
+  private[operators] def splitCodepoints(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+
   /** Encode one word with a trained merge table (rank order) — the
     * inference-side counterpart used by specs to sanity-check round trips. */
   private[operators] def encode(word: String, merges: Seq[Merge]): Seq[String] =
-    merges.foldLeft(word.map(_.toString): Seq[String]) { (syms, mg) =>
+    merges.foldLeft(splitCodepoints(word)) { (syms, mg) =>
       applyMerge(syms, mg.lhs, mg.rhs, mg.lhs + mg.rhs)
     }
 }

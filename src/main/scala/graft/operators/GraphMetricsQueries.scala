@@ -69,7 +69,8 @@ object GraphMetricsQueries {
     "g04_pagerank" -> g04,
     "g05_link_prediction" -> g05,
     "g06_temporal_brokerage" -> g06,
-    "g07_assortativity" -> g07)
+    "g07_assortativity" -> g07,
+    "g08_triadic_closure" -> g08)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -352,6 +353,45 @@ object GraphMetricsQueries {
       .orderBy($"actor_id")
   }
 
+  /** g08: TIME-RESPECTING triadic closure — g06's ordered wedges
+    * (a → z → b, z's first contact with a strictly before with b), now
+    * asking the motif question g06 stops short of: did the third edge
+    * (a, b) activate AFTER the wedge completed (f3 > f2)? That is the
+    * time-ordered triangle of the temporal-motif literature (Paranjape/
+    * Benson/Leskovec, WSDM 2017, motif class M: three edges in strict
+    * temporal order) restricted to first activations, and per-broker
+    * closure rate is the classic triadic-closure signal on contact
+    * networks: did the introduction get consummated?
+    *
+    * One pass: the Σ deg² wedge self-join (g06's explicit-width
+    * repartition discipline), then ONE left equi-join against the
+    * canonical day-edge table on (least, greatest) — each wedge matches at
+    * most one closing edge (canonical edges are distinct), so
+    * `count(f3)` counts closed wedges without a second wedge pass. The
+    * closure rate is ONE division of the two counts — exact on any
+    * engine. */
+  private def g08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val adj = dayAdj(s, d)
+    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val in = adj.select($"z", $"o".as("a"), $"f_min".as("f1"))
+      .repartition(shuffleN, $"z")
+    val out = adj.select($"z", $"o".as("b"), $"f_min".as("f2"))
+      .repartition(shuffleN, $"z")
+    val wedges = in.join(out, "z").filter($"a" =!= $"b" && $"f2" > $"f1")
+    val closing = dayEdges(s, d)
+      .select($"actor1".as("ca"), $"actor2".as("cb"), $"f_min".as("f3"))
+    wedges
+      .join(closing,
+        least($"a", $"b") === $"ca" && greatest($"a", $"b") === $"cb" &&
+          $"f3" > $"f2", "left")
+      .groupBy($"z")
+      .agg(count(lit(1)).as("n_wedges"), count($"f3").as("n_closed"))
+      .select($"z".as("actor_id"), $"n_wedges", $"n_closed",
+        ($"n_closed".cast("double") / $"n_wedges".cast("double")).as("closure_rate"))
+      .orderBy($"actor_id")
+  }
+
   /** g07: degree assortativity of the probe-day graph — the Pearson
     * correlation of endpoint degrees over the DIRECTED edge list (both
     * orientations, the standard Newman formulation; by symmetry the x and
@@ -478,6 +518,31 @@ object GraphMetricsQueries {
          |       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) /
          |       (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS assortativity
          |FROM agg""".stripMargin),
+    // mirror of g08: g06's ordered wedges + one left join against the
+    // canonical first-activation edges for the closing edge
+    "g08_triadic_closure" -> EventGraphSql.query(
+      s""", inter_f AS MATERIALIZED (
+         |  SELECT fi.actor1, fi.actor2, MIN(frame_id) AS f_min
+         |  FROM fi JOIN frames USING (frame_id), probe_date
+         |  WHERE frames.year = py AND frames.month = pm AND frames.day = pdd
+         |  GROUP BY fi.actor1, fi.actor2
+         |),
+         |undf AS (
+         |  SELECT actor1 AS z, actor2 AS o, f_min FROM inter_f
+         |  UNION ALL SELECT actor2, actor1, f_min FROM inter_f),
+         |w AS (
+         |  SELECT a.z, a.o AS wa, b.o AS wb, b.f_min AS f2
+         |  FROM undf a JOIN undf b ON a.z = b.z
+         |  WHERE a.o <> b.o AND b.f_min > a.f_min)
+         |SELECT w.z AS actor_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_wedges,
+         |       CAST(COUNT(e.f_min) AS BIGINT) AS n_closed,
+         |       CAST(COUNT(e.f_min) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS closure_rate
+         |FROM w LEFT JOIN inter_f e
+         |  ON LEAST(w.wa, w.wb) = e.actor1 AND GREATEST(w.wa, w.wb) = e.actor2
+         | AND e.f_min > w.f2
+         |GROUP BY w.z
+         |ORDER BY actor_id""".stripMargin),
     // mirror of g06: first-activation edges, time-ordered wedge self-join
     "g06_temporal_brokerage" -> EventGraphSql.query(
       s""", inter_f AS MATERIALIZED (

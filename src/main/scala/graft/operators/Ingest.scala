@@ -66,7 +66,7 @@ object Ingest {
     * the compaction sweep's worklist (replace-maintained tables are listed
     * too: replace rewrites wholesale so they rarely trip the threshold,
     * and listing them keeps the policy exhaustive by construction). */
-  private def maintainedDocTables: Seq[(String, Int)] = Seq(
+  private[graft] def maintainedDocTables: Seq[(String, Int)] = Seq(
     DocTables.Shingles, DocTables.Minhash, DocTables.Bands,
     DocTables.Fingerprints, DocTables.Sizes, DocTables.Windows,
     DocTables.Postings, DocTables.DupPairs, DocTables.DupClusters,

@@ -266,8 +266,8 @@ object PipelineQueries {
   /** (name, version) identities of the at-rest packing family: the offsets
     * table and its running-total meta (total_tokens, max_doc_id) — the
     * append path's O(1) reference point, per the sh_df_meta discipline. */
-  private[operators] val OffsetsTable = ("doc_offsets", 1)
-  private[operators] val OffsetsMetaTable = ("doc_offsets_meta", 1)
+  private[graft] val OffsetsTable = ("doc_offsets", 1)
+  private[graft] val OffsetsMetaTable = ("doc_offsets_meta", 1)
 
   /** Day-0 materialization of the packing offsets over an explicit frame —
     * a pipeline packs ONCE at ingest and every read (p05, p06, the

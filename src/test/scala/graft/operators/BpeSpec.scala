@@ -20,7 +20,10 @@ class BpeSpec extends SparkSpec {
       case a :: rest => a :: apply1(rest, l, r)
       case Nil => Nil
     }
-    var words = words0.toList.map { case (w, c) => (w.toList.map(_.toString), c) }
+    // code-point split, the shared convention (independent of the trainer's)
+    var words = words0.toList.map { case (w, c) =>
+      (w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp))), c)
+    }
     val out = Seq.newBuilder[(String, String, Long)]
     var i = 0
     var done = false
@@ -75,6 +78,26 @@ class BpeSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq)
     assert(rows.forall(_.getLong(3) > 0L))
+  }
+
+  test("non-BMP symbols survive as whole code points, matching the tx11 engine") {
+    import spark.implicits._
+    // U+1F642 is a surrogate pair in UTF-16: a UTF-16-unit split would
+    // shear it and disagree with Spark's code-point substring in tx11
+    val docs = Seq("🙂x 🙂x 🙂y").toDF("text")
+    val first = BpeTrainer.train(docs, 1).head
+    assert((first.lhs, first.rhs, first.pairCount) == ("🙂", "x", 2L))
+    // tx11's pair stats over the same frame agree (Spark-side substring)
+    val words = docs.select(explode(TextQueries.wsTokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+    val top = words.filter(length($"w") >= 2)
+      .select($"wc", explode(sequence(lit(1), length($"w") - 1)).as("i"), $"w")
+      .select(expr("substring(w, i, 1)").as("lhs"),
+        expr("substring(w, i + 1, 1)").as("rhs"), $"wc")
+      .groupBy($"lhs", $"rhs").agg(sum($"wc").as("pair_count"))
+      .orderBy(desc("pair_count"), $"lhs", $"rhs").limit(1).head()
+    assert((top.getString(0), top.getString(1), top.getLong(2)) ==
+      (first.lhs, first.rhs, first.pairCount))
   }
 
   test("encode applies merges greedily and preserves the word's characters") {

@@ -293,6 +293,49 @@ abstract class PlanAuditBase extends SparkSpec {
     assert(docJoin.findFirstIn(p).isEmpty, p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q20 folds the bloom bit-test into the fact scan as a per-row filter") {
+    // NOTE: this plan string embeds the bloom blob literal — never print
+    // it wholesale in assertion messages
+    val p = plan(RelationalQueries.queries("q20_bloom_semi_join")(spark, dir))
+    assert(p.contains("might_contain"), "the bloom probe must be in the plan")
+    assert(p.contains("xxhash64"), "probe and build must hash via xxhash64")
+    // the fact scan stays column-pruned to the 4 consumed columns
+    assert(p.split("ReadSchema: ").exists(s =>
+      s.startsWith("struct<l_orderkey:bigint,l_quantity:double,l_extendedprice:double,l_discount:double")),
+      "lineitem scan must prune to the consumed columns")
+    assert(!p.contains("CartesianProduct"))
+    // exactness downstream: the semi-join is still present after the prune
+    assert(p.contains("LeftSemi"), "the exact semi-join must survive the prune")
+  }
+
+  test("ss14 lexical side reads only the probed posting lists, never the corpus") {
+    val p = plan(SimilarityQueries.queries("ss14_hybrid_search")(spark, dir))
+    // probe-term resolution is a pushed point predicate on the at-rest
+    // posting index
+    assert(p.split("PushedFilters: ").exists(_.contains("EqualTo(doc_id,0)")),
+      "the probe-doc point lookup must push to the posting scan")
+    // the raw documents table (and its text column) must not appear: the
+    // only corpus-sized inputs are the posting index and the emb index
+    assert(!p.contains("documents.parquet"),
+      "ss14 must not scan the documents corpus")
+    // (the final full-outer fusion join may sort-merge — both its inputs
+    // are ≤ TopK rows by construction, the ss10 boundedness argument)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p07 reads narrow at-rest offsets + (doc_id, n_chars); text never scanned") {
+    val p = plan(PipelineQueries.queries("p07_shard_manifest")(spark, dir))
+    // the token-mass side reads the maintained offsets table's narrow
+    // (doc_id, n_tokens) schema — the corpus is never re-tokenized (the
+    // scan LOCATION string is display-truncated, so assert the schema)
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<doc_id:bigint,n_tokens:bigint")),
+      "token mass must come from the maintained offsets table")
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<doc_id:bigint,n_chars:bigint")),
+      "the documents scan must prune to (doc_id, n_chars)")
+    assert(!p.split("ReadSchema: ").exists(_.contains("text:string")),
+      "p07 must never read the text column")
+  }
 }
 
 /** Plan audits at the tiny scale — the fast default. */

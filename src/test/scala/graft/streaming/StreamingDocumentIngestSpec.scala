@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.build.{DerivedCache, DocTables}
+import graft.operators.Ingest
+import graft.sources.Tables
+
+/** Streaming-vs-batch parity for the document-index ingest: folding
+  * micro-batches through [[StreamingDocumentIngest]] must leave EVERY
+  * maintained at-rest document table — including the order-dependent
+  * packing offsets — identical to the batch `appendDocumentBatch` path
+  * folding the same deltas in the same order. Composes with the
+  * incremental specs (batch append vs full rebuild) to close
+  * streamed == rebuilt. Also pins the replay-ledger no-op. */
+class StreamingDocumentIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  // monotone-id split: base below, two delta "days" above (the normal
+  // ingest stream shape; the interior-backfill branch is covered by
+  // OffsetsMaintenanceSpec on the batch path this wrapper delegates to)
+  private lazy val ids = docs.select($"doc_id").orderBy($"doc_id")
+    .collect().map(_.getLong(0))
+  private lazy val cut1 = ids(ids.length / 2)
+  private lazy val cut2 = ids(ids.length * 3 / 4)
+  private lazy val base = docs.filter($"doc_id" <= cut1)
+  private lazy val delta1 = docs.filter($"doc_id" > cut1 && $"doc_id" <= cut2)
+  private lazy val delta2 = docs.filter($"doc_id" > cut2)
+
+  private def asTuples(df: DataFrame) = df
+    .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    .collect().toSeq
+    .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+
+  test("streamed micro-batches == batch appendDocumentBatch, table for table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dBatch = s"/stream-doc-batch/${java.util.UUID.randomUUID()}"
+    val dStream = s"/stream-doc-stream/${java.util.UUID.randomUUID()}"
+    assert(delta1.count() > 0 && delta2.count() > 0)
+
+    Ingest.buildDocumentIndexes(spark, dBatch, base)
+    Ingest.appendDocumentBatch(spark, dBatch, delta1)
+    Ingest.appendDocumentBatch(spark, dBatch, delta2)
+
+    Ingest.buildDocumentIndexes(spark, dStream, base)
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-doc").toString
+    val q = StreamingDocumentIngest.start(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      dStream, ckpt)
+    try {
+      def feed(delta: DataFrame): Unit = {
+        in.addData(asTuples(delta))
+        q.processAllAvailable()
+      }
+      feed(delta1)
+      feed(delta2)
+    } finally q.stop()
+
+    for (t <- Ingest.maintainedDocTables) {
+      assert(rows(DerivedCache.existing(spark, dStream, t))
+          == rows(DerivedCache.existing(spark, dBatch, t)),
+        s"streamed ${t._1} must equal the batch-appended table")
+    }
+  }
+
+  test("a replayed batch id is skipped — no double-append") {
+    val d = s"/stream-doc-replay/${java.util.UUID.randomUUID()}"
+    Ingest.buildDocumentIndexes(spark, d, base)
+    val ckpt = s"/stream-doc-replay-ckpt/${java.util.UUID.randomUUID()}"
+    StreamingDocumentIngest.foldBatch(spark, d, ckpt)(delta1.toDF(), 0L)
+    val n = DerivedCache.existing(spark, d, DocTables.Postings).count()
+    val meta = rows(DerivedCache.existing(spark, d,
+      graft.operators.PipelineQueries.OffsetsMetaTable))
+    StreamingDocumentIngest.foldBatch(spark, d, ckpt)(delta1.toDF(), 0L)
+    assert(DerivedCache.existing(spark, d, DocTables.Postings).count() == n,
+      "replayed batch must not append again")
+    assert(rows(DerivedCache.existing(spark, d,
+      graft.operators.PipelineQueries.OffsetsMetaTable)) == meta,
+      "replayed batch must not advance the offsets meta")
+    StreamingDocumentIngest.foldBatch(spark, d, ckpt)(delta2.toDF(), 1L)
+    assert(DerivedCache.existing(spark, d, DocTables.Postings).count() > n,
+      "the next real batch must still fold")
+  }
+}
