@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.build.{DerivedCache, EventGraphSql, GraphCache}
@@ -70,7 +71,8 @@ object GraphMetricsQueries {
     "g05_link_prediction" -> g05,
     "g06_temporal_brokerage" -> g06,
     "g07_assortativity" -> g07,
-    "g08_triadic_closure" -> g08)
+    "g08_triadic_closure" -> g08,
+    "g09_frame_turnover" -> g09)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -425,6 +427,50 @@ object GraphMetricsQueries {
       |  WHERE frames.year = py AND frames.month = pm AND frames.day = pdd
       |)""".stripMargin
 
+  /** g09: frame-to-frame edge turnover — per consecutive frame pair
+    * (f, f+1) over the WHOLE run, the Jaccard similarity of the two edge
+    * sets (|E_f ∩ E_{f+1}| / |E_f ∪ E_{f+1}|), the standard dynamic-network
+    * stability curve (Clauset/Eagle '07 network-evolution similarity; the
+    * quantity SocioPatterns deployments plot to find activity breakpoints).
+    * Frames with no interactions (the loader creates every Δ-slot,
+    * `load_gexf_to_neo4j.py:170`) appear with zero counts.
+    *
+    * Scale shape: ONE shuffle of the (frame, edge) incidence list keyed on
+    * the canonical edge — within each edge's partition a `lead` window
+    * finds consecutive-frame persistence (per-edge groups are tiny; no
+    * corpus-sized window partition exists) — then two frame-keyed
+    * aggregations whose keyspace is the frame count. The dense frame axis
+    * comes from the at-rest frames table via a self semi-join (frame_id+1
+    * exists), never a driver-side max. */
+  private def g09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = GraphCache(s, d)
+    val ef = g.frameInteractions.select($"frame_id", $"actor1", $"actor2")
+    val w = Window.partitionBy($"actor1", $"actor2").orderBy($"frame_id")
+    val common = ef.withColumn("nxt", lead($"frame_id", 1).over(w))
+      .filter($"nxt" === $"frame_id" + 1)
+      .groupBy($"frame_id").agg(count(lit(1)).as("n_common"))
+    val sizes = ef.groupBy($"frame_id").agg(count(lit(1)).as("n_edges"))
+    val base = g.frames.select($"frame_id")
+      .join(g.frames.select(($"frame_id" - 1).as("frame_id")),
+        Seq("frame_id"), "left_semi")
+    val nUnion = coalesce($"n_edges", lit(0L)) + coalesce($"n_next", lit(0L)) -
+      coalesce($"n_common", lit(0L))
+    base
+      .join(sizes, Seq("frame_id"), "left")
+      .join(sizes.select(($"frame_id" - 1).as("frame_id"),
+        $"n_edges".as("n_next")), Seq("frame_id"), "left")
+      .join(common, Seq("frame_id"), "left")
+      .select($"frame_id",
+        coalesce($"n_edges", lit(0L)).as("n_edges"),
+        coalesce($"n_next", lit(0L)).as("n_next"),
+        coalesce($"n_common", lit(0L)).as("n_common"),
+        when(nUnion > 0,
+          coalesce($"n_common", lit(0L)).cast("double") / nUnion.cast("double"))
+          .otherwise(lit(0.0)).as("jaccard"))
+      .orderBy($"frame_id")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "c12_clustering_coeff" -> EventGraphSql.query(
       s""", $dayEdgesSql,
@@ -518,6 +564,31 @@ object GraphMetricsQueries {
          |       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) /
          |       (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS assortativity
          |FROM agg""".stripMargin),
+    // mirror of g09: per-frame edge-set sizes + a consecutive-frame
+    // self-join for the intersection, over the dense frame axis
+    "g09_frame_turnover" -> EventGraphSql.query(
+      s""", s1 AS (SELECT frame_id, CAST(COUNT(*) AS BIGINT) AS n FROM fi GROUP BY frame_id),
+         |s2 AS (SELECT frame_id - 1 AS frame_id, n FROM s1),
+         |com AS (
+         |  SELECT a.frame_id, CAST(COUNT(*) AS BIGINT) AS nc
+         |  FROM fi a JOIN fi b ON b.frame_id = a.frame_id + 1
+         |   AND a.actor1 = b.actor1 AND a.actor2 = b.actor2
+         |  GROUP BY a.frame_id),
+         |basef AS (
+         |  SELECT f.frame_id FROM frames f JOIN frames f2 ON f2.frame_id = f.frame_id + 1)
+         |SELECT b.frame_id,
+         |  CAST(COALESCE(s1.n, 0) AS BIGINT) AS n_edges,
+         |  CAST(COALESCE(s2.n, 0) AS BIGINT) AS n_next,
+         |  CAST(COALESCE(com.nc, 0) AS BIGINT) AS n_common,
+         |  CASE WHEN COALESCE(s1.n, 0) + COALESCE(s2.n, 0) - COALESCE(com.nc, 0) > 0
+         |       THEN CAST(COALESCE(com.nc, 0) AS DOUBLE) /
+         |            CAST(COALESCE(s1.n, 0) + COALESCE(s2.n, 0) - COALESCE(com.nc, 0) AS DOUBLE)
+         |       ELSE 0.0 END AS jaccard
+         |FROM basef b
+         |LEFT JOIN s1 USING (frame_id)
+         |LEFT JOIN s2 USING (frame_id)
+         |LEFT JOIN com USING (frame_id)
+         |ORDER BY b.frame_id""".stripMargin),
     // mirror of g08: g06's ordered wedges + one left join against the
     // canonical first-activation edges for the closing edge
     "g08_triadic_closure" -> EventGraphSql.query(

@@ -100,6 +100,28 @@ class BpeSpec extends SparkSpec {
       (first.lhs, first.rhs, first.pairCount))
   }
 
+  test("tx13 per-doc BPE token counts match a driver-side re-encode") {
+    import spark.implicits._
+    val merges = TextQueries.trainedMerges(spark, dir)
+    val docToks = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", TextQueries.wsTokens($"text").as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val got = TextQueries.queries("tx13_bpe_encode")(spark, dir).collect()
+    assert(got.length == docToks.size)
+    got.foreach { r =>
+      val ts = docToks(r.getLong(0))
+      assert(r.getLong(1) == ts.length.toLong, s"ws_tokens for doc ${r.getLong(0)}")
+      val bpe = ts.map(w => BpeTrainer.encode(w, merges).length.toLong).sum
+      assert(r.getLong(2) == bpe, s"bpe_tokens for doc ${r.getLong(0)}")
+    }
+    // the trained merges FUSE on this corpus (they were argmaxed on it):
+    // corpus-wide BPE tokens strictly under the code-point total
+    val sumChars = docToks.values.flatten
+      .map(w => w.codePointCount(0, w.length).toLong).sum
+    val sumBpe = got.map(_.getLong(2)).sum
+    assert(sumBpe < sumChars, s"no merge ever applied: $sumBpe vs $sumChars")
+  }
+
   test("encode applies merges greedily and preserves the word's characters") {
     val merges = Seq(
       BpeTrainer.Merge(0, "e", "s", 9L),

@@ -170,6 +170,55 @@ class GraphMetricsSpec extends SparkSpec {
     assert(deg.values.toSet.size > 1)
   }
 
+  test("g09 frame turnover matches a driver-side recompute over the whole run") {
+    val g = GraphCache(spark, dir)
+    val byFrame = g.frameInteractions.select("frame_id", "actor1", "actor2")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSet }
+    val frames = g.frames.select("frame_id").collect().map(_.getLong(0))
+    val rows = GraphMetricsQueries.queries("g09_frame_turnover")(spark, dir).collect()
+    // one row per consecutive frame pair, empty slots included
+    assert(rows.length == frames.length - 1)
+    rows.foreach { r =>
+      val f = r.getLong(0)
+      val e1 = byFrame.getOrElse(f, Set.empty)
+      val e2 = byFrame.getOrElse(f + 1, Set.empty)
+      val nc = (e1 & e2).size.toLong
+      assert(r.getLong(1) == e1.size.toLong, s"n_edges at frame $f")
+      assert(r.getLong(2) == e2.size.toLong, s"n_next at frame $f")
+      assert(r.getLong(3) == nc, s"n_common at frame $f")
+      val un = e1.size.toLong + e2.size.toLong - nc
+      val jac = if (un > 0) nc.toDouble / un.toDouble else 0.0
+      assert(r.getDouble(4) == jac, s"jaccard at frame $f")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // the driver corpus has no cross-frame edge persistence at this sf, so
+    // the n_common/jaccard path needs a PLANTED corpus: hour 0 has the
+    // triangle {1,2,3}, hour 1 keeps only edge (1,2) -> jaccard 1/3
+    assert(rows.forall(_.getLong(3) == 0L))
+  }
+
+  test("g09 counts planted cross-frame persistence") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("g09-planted").toString
+    val t0 = 1700000000L
+    Seq(
+      (1L, t0, 1L, "x"), (2L, t0, 2L, "x"), (3L, t0, 3L, "x"),
+      (4L, t0 + 3600L, 1L, "x"), (5L, t0 + 3600L, 2L, "x"))
+      .toDF("event_id", "secs", "user_id", "event_type")
+      .select($"event_id", timestamp_seconds($"secs").as("ts"), $"user_id",
+        $"event_type", lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = GraphMetricsQueries.queries("g09_frame_turnover")(spark, tmp)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((0L, 3L, 1L, 1L)))
+    assert(r.getDouble(4) == 1.0 / 3.0)
+  }
+
   test("g03 components match the GraphX mirror") {
     val tg = TemporalGraph.fromEdges(
       dayEdges.select("frame_id", "actor1", "actor2", "weight"))
