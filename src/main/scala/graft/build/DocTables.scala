@@ -30,6 +30,10 @@ object DocTables {
   val Fingerprints = ("doc_fp", 1)
   val Sizes = ("doc_sizes", 1)
   val Postings = ("doc_postings", 1)
+  // partial count-min-sketch cells (tx14); SUM-decomposable, so appends
+  // write batch partials and reads fold. Depth/width are baked into the
+  // rows — changing TextQueries.CmsDepth/CmsWidth REQUIRES a bump here
+  val Cms = ("doc_cms", 1)
   val DupPairs = ("dup_pairs", 1)
   val DupClusters = ("dup_clusters", 1)
   val TemporalAdj = ("temporal_adj", 2)

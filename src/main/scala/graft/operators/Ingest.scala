@@ -36,6 +36,8 @@ object Ingest {
       DedupQueries.windowRowsOf(docs))
     DerivedCache.table(s, d, DocTables.Postings)(
       TextQueries.postingRowsOf(docs))
+    DerivedCache.table(s, d, DocTables.Cms)(
+      TextQueries.cmsRowsOf(docs))
     val pairs = DerivedCache.table(s, d, DocTables.DupPairs)(
       DedupQueries.dupPairRowsOf(sh, bd, fp, Some(sizes)))
     DerivedCache.table(s, d, DocTables.DupClusters)(
@@ -69,7 +71,7 @@ object Ingest {
   private[graft] def maintainedDocTables: Seq[(String, Int)] = Seq(
     DocTables.Shingles, DocTables.Minhash, DocTables.Bands,
     DocTables.Fingerprints, DocTables.Sizes, DocTables.Windows,
-    DocTables.Postings, DocTables.DupPairs, DocTables.DupClusters,
+    DocTables.Postings, DocTables.Cms, DocTables.DupPairs, DocTables.DupClusters,
     DedupQueries.PrefixTable, DedupQueries.PrefixDfTable,
     DedupQueries.PrefixMetaTable,
     PipelineQueries.OffsetsTable, PipelineQueries.OffsetsMetaTable)

@@ -41,6 +41,7 @@ object TextQueries {
   def warm(s: SparkSession, d: String): Unit = {
     postings(s, d)
     trainedMerges(s, d)
+    cmsCells(s, d)
     ()
   }
 
@@ -193,8 +194,13 @@ object TextQueries {
     * document batch only and file-append them (same caller contract: batch
     * doc_ids must not already be indexed). The daily ingest never
     * re-tokenizes the corpus. */
-  def appendDocuments(s: SparkSession, d: String, newDocs: DataFrame): Unit =
+  def appendDocuments(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
     DerivedCache.append(s, d, DocTables.Postings)(postingRowsOf(newDocs))
+    // the CMS is a MERGEABLE sketch: the batch's partial cells simply
+    // file-append, and reads fold by summation ([[cmsCells]]) — no
+    // read-modify-write, the cheapest maintained table in the set
+    DerivedCache.append(s, d, DocTables.Cms)(cmsRowsOf(newDocs))
+  }
 
   /** tx6: fulltext AND-search over the inverted index. The probe is
     * data-derived like every graph probe: the two highest-document-frequency
@@ -428,22 +434,40 @@ object TextQueries {
         16, 10).cast("long"),
       lit(CmsWidth.toLong))
 
-  /** tx14: count-min-sketch heavy hitters — the point-query sketch
-    * completing the repo's sketch trio (KMV cardinality p02, bloom
-    * membership q20, CMS frequency). The sketch is built in ONE pass with
-    * a keyspace bounded by depth×width (2048), so partial aggregation
-    * collapses it map-side and the shuffle is constant-size at any corpus
-    * scale; the exact top-[[CmsTopK]] pass exists to make the estimate's
-    * one-sided error a measured column (`overcount` ≥ 0 — the dd8
-    * estimate-vs-exact discipline), not because the sketch needs it.
-    * Deterministic md5 row hashes keep the DuckDB oracle hash-exact. */
-  private def tx14(s: SparkSession, d: String): DataFrame = {
+  /** Partial CMS cells of a document frame — one pass whose aggregation
+    * keyspace is depth×width, collapsed map-side by partial aggregation.
+    * SUM-decomposable: the cells of base ∪ delta are the per-key sums of
+    * the two frames' cells (CMS is a mergeable sketch), so the at-rest
+    * table holds batch PARTIALS and [[cmsCells]] folds them at read. */
+  private[graft] def cmsRowsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val toks = Tables.documentsWide(s, d).select(explode(wsTokens($"text")).as("t"))
-    val cells = toks
+    docs.select(explode(wsTokens($"text")).as("t"))
       .select(posexplode(array((0 until CmsDepth).map(i => cmsCell(i, $"t")): _*))
         .as(Seq("r", "c")))
       .groupBy($"r", $"c").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The folded at-rest sketch: ≤ depth×width rows after summing the
+    * batch partials (a few KB of input whatever the corpus size). */
+  private[operators] def cmsCells(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, DocTables.Cms) {
+      cmsRowsOf(Tables.documents(s, d))
+    }.groupBy("r", "c").agg(sum("cnt").as("cnt"))
+
+  /** tx14: count-min-sketch heavy hitters — the point-query sketch
+    * completing the repo's sketch trio (KMV cardinality p02, bloom
+    * membership q20, CMS frequency). The sketch is an at-rest MAINTAINED
+    * table ([[cmsRowsOf]], appended as batch partials by
+    * [[appendDocuments]] and folded at read by [[cmsCells]]); the exact
+    * top-[[CmsTopK]] pass exists to make the estimate's one-sided error a
+    * measured column (`overcount` ≥ 0 — the dd8 estimate-vs-exact
+    * discipline), not because the sketch needs it. Deterministic md5 row
+    * hashes keep the DuckDB oracle hash-exact. */
+  private def tx14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documentsWide(s, d).select(explode(wsTokens($"text")).as("t"))
+    val cells = cmsCells(s, d)
     val top = toks.groupBy($"t").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(desc("exact_cnt"), $"t").limit(CmsTopK)
     val cand = top.select($"t", $"exact_cnt",

@@ -75,11 +75,24 @@ class IncrementalIndexSpec extends SparkSpec {
 
     DerivedCache.table(spark, dd, DocTables.Postings)(
       TextQueries.postingRowsOf(base))
+    DerivedCache.table(spark, dd, DocTables.Cms)(
+      TextQueries.cmsRowsOf(base))
     TextQueries.appendDocuments(spark, dd, delta)
 
     assert(rows(DerivedCache.existing(spark, dd, DocTables.Postings))
         == rows(TextQueries.postingRowsOf(docs)),
       "appended posting index must equal the full rebuild")
+    // the CMS table holds batch PARTIALS: equality to a rebuild is the
+    // mergeable-sketch property, and holds only after the read-side fold
+    val folded = DerivedCache.existing(spark, dd, DocTables.Cms)
+      .groupBy("r", "c").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    assert(rows(folded) == rows(TextQueries.cmsRowsOf(docs)),
+      "folded appended CMS cells must equal the single-pass rebuild")
+    // and the partials really are partials (two builds present at rest)
+    assert(DerivedCache.existing(spark, dd, DocTables.Cms).count()
+        > TextQueries.cmsRowsOf(docs).count() ||
+      rows(DerivedCache.existing(spark, dd, DocTables.Cms)) != rows(folded),
+      "append must file-append partials, not rewrite the folded table")
   }
 
   test("append refuses a table whose base was never built") {
