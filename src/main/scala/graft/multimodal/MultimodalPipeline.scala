@@ -186,6 +186,52 @@ object MultimodalPipeline {
       }
   }
 
+  /** Absolute-difference stats of one consecutive video frame pair —
+    * `sad` = Σ |byte difference| over the raster (the classic
+    * shot-boundary metric), `maxd` = the largest single-byte jump. Integer
+    * end to end so the oracle reproduces the bytes from the generation
+    * formula. `frameIdx` is the EARLIER frame of the pair. */
+  final case class FrameDelta(
+      assetId: Long,
+      frameIdx: Int,
+      sad: Long,
+      maxd: Long)
+
+  /** Consecutive-frame raster deltas of every video container — the
+    * temporal-structure primitive under scene-cut detection (mm6) and
+    * keyframe selection. Same execution model as [[decodeCodec]]:
+    * repartition by asset, per-partition loop; each asset's work is its
+    * own frame count, so a million-video corpus parallelizes per asset
+    * with no shuffle after the repartition. Frames decode once each — the
+    * previous frame's raster is carried across the pair loop, never
+    * re-parsed. */
+  def frameDeltas(assets: Dataset[MediaAsset]): Dataset[FrameDelta] = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(col("modality") === "video")
+      .repartition(col("assetId"))
+      .mapPartitions { it =>
+        it.flatMap { a =>
+          val nf = Codec.grfvFrameCount(a.bytes)
+          var prev = Codec.parsePpm(Codec.readGrfvFrame(a.bytes, 0))._3
+          (0 until nf - 1).iterator.map { fi =>
+            val cur = Codec.parsePpm(Codec.readGrfvFrame(a.bytes, fi + 1))._3
+            var sad = 0L
+            var mx = 0L
+            var i = 0
+            while (i < prev.length) {
+              val dv = math.abs((prev(i) & 0xff) - (cur(i) & 0xff)).toLong
+              sad += dv
+              if (dv > mx) mx = dv
+              i += 1
+            }
+            prev = cur
+            FrameDelta(a.assetId, fi, sad, mx)
+          }
+        }
+      }
+  }
+
   /** One fixed-size analysis window of a decoded PCM16 stream — integer
     * stats only (sum, min, max, energy = Σ v²) so the DuckDB oracle can
     * reproduce them exactly from the generation formula. */

@@ -26,12 +26,20 @@ object MultimodalQueries {
   /** Tile grid for mm5 (16×16 PPMs → 2×2 grid of 8×8 tiles). */
   private val TileGrid = 2
 
+  /** mm6's cut threshold: the expected SAD of two INDEPENDENT uniform
+    * 192-byte rasters is 192·E|a−b| = 192·(255/3) = 16320 — a pair at or
+    * above the independent-content expectation is a shot boundary, below
+    * it is intra-scene motion. The md5-generated frames sit right at the
+    * expectation, so the declared query exercises both outcomes. */
+  private val CutSad = 16320L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_decode_stats" -> mm1,
     "mm2_resize_features" -> mm2,
     "mm3_codec_decode" -> mm3,
     "mm4_audio_windows" -> mm4,
-    "mm5_image_tiles" -> mm5)
+    "mm5_image_tiles" -> mm5,
+    "mm6_scene_cuts" -> mm6)
 
   /** mm1: per-modality decode statistics — asset/frame counts and mean
     * decoded dimensions after frame-sampling every 2nd frame. */
@@ -96,6 +104,24 @@ object MultimodalQueries {
         sum($"s2").as("sum2"),
         sum($"s3").as("sum3"))
       .orderBy($"modality")
+  }
+
+  /** mm6: scene-cut detection over the GRFV video containers — per
+    * consecutive frame pair, the raster sum-of-absolute-differences and a
+    * cut verdict at [[CutSad]] (the standard shot-boundary pipeline step
+    * that decides which video frames a training pipeline keeps). Every
+    * frame decodes ONCE ([[MultimodalPipeline.frameDeltas]] carries the
+    * previous raster across the pair loop), work is per-asset-parallel
+    * after one assetId repartition, and the stats are integers so the
+    * oracle rebuilds them from the generation formula without parsing a
+    * byte of container. */
+  private def mm6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = MultimodalPipeline.codecAssets(s, d)
+    MultimodalPipeline.frameDeltas(assets).toDF()
+      .select($"assetId".as("asset_id"), $"frameIdx".as("frame_idx"),
+        $"sad", $"maxd", ($"sad" >= CutSad).as("is_cut"))
+      .orderBy($"asset_id", $"frame_idx")
   }
 
   /** mm4: windowed audio features over the REAL WAV decode — per
@@ -350,5 +376,36 @@ object MultimodalQueries {
          |       CAST(SUM(f.s2) AS BIGINT) AS sum2,
          |       CAST(SUM(f.s3) AS BIGINT) AS sum3
          |FROM allf f JOIN assets a USING (asset_id)
-         |GROUP BY a.modality ORDER BY a.modality""".stripMargin)
+         |GROUP BY a.modality ORDER BY a.modality""".stripMargin,
+    // mm6: rebuild every video frame's 192 bytes from the md5 chain
+    // (12 blocks × 16 hex-decoded bytes), pair consecutive frames on the
+    // byte position, and aggregate |delta| — no stride: cuts need every
+    // frame boundary
+    "mm6_scene_cuts" ->
+      s"""WITH assets AS (
+         |  SELECT doc_id AS asset_id, n_chars FROM documents WHERE doc_id % 3 = 2
+         |),
+         |vidb AS (
+         |  SELECT asset_id, fi, b,
+         |         md5(CAST(asset_id AS VARCHAR) || '#vid#' || CAST(fi AS VARCHAR)
+         |             || '#' || CAST(b AS VARCHAR)) AS hx
+         |  FROM (SELECT asset_id,
+         |               unnest(generate_series(0, CAST(n_chars % 3 AS INTEGER) + 1)) AS fi
+         |        FROM assets) fz,
+         |       (SELECT unnest(generate_series(0, 11)) AS b) bb
+         |),
+         |vidv AS (
+         |  SELECT asset_id, fi, b * 16 + j AS pos, ${hexByte("hx", "j")} AS v
+         |  FROM vidb, (SELECT unnest(generate_series(0, 15)) AS j) jj
+         |),
+         |pairs AS (
+         |  SELECT a.asset_id, a.fi AS frame_idx,
+         |         CAST(SUM(ABS(a.v - b2.v)) AS BIGINT) AS sad,
+         |         CAST(MAX(ABS(a.v - b2.v)) AS BIGINT) AS maxd
+         |  FROM vidv a JOIN vidv b2
+         |    ON b2.asset_id = a.asset_id AND b2.fi = a.fi + 1 AND b2.pos = a.pos
+         |  GROUP BY a.asset_id, a.fi)
+         |SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx, sad, maxd,
+         |       sad >= $CutSad AS is_cut
+         |FROM pairs ORDER BY asset_id, frame_idx""".stripMargin)
 }

@@ -95,4 +95,41 @@ class MultimodalPipelineSpec extends SparkSpec {
       assert(ws.maxBy(_.winIdx).nSamples == 256 % 60)
     }
   }
+
+  test("frameDeltas: planted repeat is no cut, planted hard cut maxes out") {
+    // frames [A, A, B] with A = all 0x00 and B = all 0xff: the repeat pair
+    // has SAD 0 (no cut at ANY threshold) and the A->B pair is the maximal
+    // cut (192*255); a real corpus sits between the two
+    val w = 8; val h = 8
+    val black = Array.fill[Byte](w * h * 3)(0)
+    val white = Array.fill[Byte](w * h * 3)(0xff.toByte)
+    val planted = Seq(MediaAsset(7L, "video",
+      Codec.writeGrfv(Seq(black, black, white).map(Codec.writePpm(w, h, _))),
+      Map("n_frames" -> "3"))).toDS()
+    val ds = frameDeltas(planted).collect().sortBy(_.frameIdx)
+    assert(ds.length == 2)
+    assert(ds(0) == FrameDelta(7L, 0, 0L, 0L))
+    assert(ds(1) == FrameDelta(7L, 1, 192L * 255L, 255L))
+  }
+
+  test("frameDeltas matches a naive per-byte recompute on the real corpus") {
+    val ca = codecAssets(spark, dir)
+    val got = frameDeltas(ca).collect()
+      .map(d => (d.assetId, d.frameIdx) -> (d.sad, d.maxd)).toMap
+    val vids = ca.filter(_.modality == "video").collect()
+    var checked = 0
+    vids.foreach { a =>
+      val nf = Codec.grfvFrameCount(a.bytes)
+      val rasters = (0 until nf).map(fi =>
+        Codec.parsePpm(Codec.readGrfvFrame(a.bytes, fi))._3)
+      (0 until nf - 1).foreach { fi =>
+        val ds = rasters(fi).zip(rasters(fi + 1))
+          .map { case (x, y) => math.abs((x & 0xff) - (y & 0xff)).toLong }
+        assert(got((a.assetId, fi)) == ((ds.sum, ds.max)),
+          s"delta mismatch at asset ${a.assetId} pair $fi")
+        checked += 1
+      }
+    }
+    assert(checked > 0 && got.size == checked)
+  }
 }
