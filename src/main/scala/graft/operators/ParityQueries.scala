@@ -47,7 +47,8 @@ object ParityQueries {
     "c11a_ego_triangles" -> c11a,
     "c11b_ego_triangles_anchored" -> c11b,
     "c11c_ego_triangles_denorm" -> c11c,
-    "c13_contact_gaps" -> c13)
+    "c13_contact_gaps" -> c13,
+    "c14_contact_matrix" -> c14)
 
   /** The `other endpoint` of canonicalized undirected edges incident to the
     * literal probe actor — Cypher's 2-hop-via-hypernode pattern collapsed to
@@ -87,6 +88,27 @@ object ParityQueries {
         max($"gap").as("max_gap"),
         (sum($"gap").cast("double") / count($"gap")).as("mean_gap"))
       .orderBy($"actor_id")
+  }
+
+  /** c14: the aggregated weighted contact network — per canonical actor
+    * pair over the whole run, co-active frame count, cumulative contact
+    * weight, and the first/last activation frame. This is the
+    * time-collapsed summary the SocioPatterns line publishes as "the
+    * contact matrix" (the GRADES'13 paper's aggregated network; the
+    * per-frame `weight` the loader writes — `load_gexf_to_neo4j.py:248` —
+    * exists to be summed like this). One partial+final hash aggregate
+    * keyed on the pair: shuffle volume is |distinct pairs|, not
+    * |frame-edges|, the same map-side-combine shape as C4/C10. */
+  private def c14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = GraphCache(s, d)
+    g.frameInteractions
+      .groupBy($"actor1", $"actor2")
+      .agg(count(lit(1)).as("n_frames"),
+        sum($"weight").as("total_weight"),
+        min($"frame_id").as("first_frame"),
+        max($"frame_id").as("last_frame"))
+      .orderBy($"actor1", $"actor2")
   }
 
   /** C1/QUERY1: frames of the 9–12h window on the busiest (year, month, day)
@@ -419,6 +441,15 @@ object ParityQueries {
           |                                        ORDER BY frame_id) AS gap
           |  FROM fa) g
           |GROUP BY actor_id
-          |ORDER BY actor_id""".stripMargin))
+          |ORDER BY actor_id""".stripMargin),
+      "c14_contact_matrix" -> q(
+        """SELECT actor1, actor2,
+          |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+          |       CAST(SUM(weight) AS BIGINT) AS total_weight,
+          |       CAST(MIN(frame_id) AS BIGINT) AS first_frame,
+          |       CAST(MAX(frame_id) AS BIGINT) AS last_frame
+          |FROM fi
+          |GROUP BY actor1, actor2
+          |ORDER BY actor1, actor2""".stripMargin))
   }
 }

@@ -32,7 +32,8 @@ object PipelineQueries {
     "p04_leakfree_split" -> p04,
     "p05_token_offsets" -> p05,
     "p06_chunk_manifest" -> p06,
-    "p07_shard_manifest" -> p07)
+    "p07_shard_manifest" -> p07,
+    "p08_epoch_shuffle" -> p08)
 
   /** Quality gate: tx2's score ≥ [[MinQuality]] (which already zeroes
     * docs under 10 tokens) and a token-count ceiling. */
@@ -416,6 +417,56 @@ object PipelineQueries {
       .orderBy($"shard")
   }
 
+  /** p08's batch geometry: chunks per training batch, and the hash-space
+    * width of a rank bucket (2^20 → ≤ 4096 buckets over the 32-bit hash
+    * space — a BOUNDED ordered pass whatever the corpus size). */
+  private val BatchChunks = 8L
+  private val RankBucketWidth = 1L << 20
+
+  /** p08: deterministic EPOCH SHUFFLE of the packed chunks — the data-order
+    * randomization step of a training run, as a declared query: each chunk's
+    * position in epoch 0 is the rank of its salted md5 hash (ties broken by
+    * chunk_id — a total order), and its training batch is `pos div
+    * [[BatchChunks]]`. No RNG anywhere, so a retried task, a different
+    * cluster, or a resumed run reproduces the identical epoch order — and a
+    * different epoch salt reshuffles everything.
+    *
+    * Scale shape: the global rank is the p05 TWO-LEVEL formulation over
+    * hash-space buckets — per-bucket counts, ONE ≤ 4096-row ordered pass
+    * for bucket offsets (bounded by the fixed hash space, NOT the corpus),
+    * then a within-bucket `row_number` whose partitions are balanced by
+    * hash uniformity (never the skew of a data column). Chunk ids come
+    * from the maintained offsets table via the p06 span explode — the
+    * corpus text is never read. The oracle states the semantics as the
+    * naive single-window rank; the bucketed formulation must be
+    * value-identical (the p05 discipline). */
+  private def p08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val chunks = tokenOffsets(s, d).filter($"n_tokens" > 0)
+      .select(explode(sequence(expr(s"start_off div $SeqLen"),
+        expr(s"(start_off + n_tokens - 1) div $SeqLen"))).as("chunk_id"))
+      .distinct()
+    val hashed = chunks
+      .withColumn("h",
+        conv(substring(md5(concat(lit("p08epoch0:"), $"chunk_id".cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("bucket", expr(s"h div $RankBucketWidth"))
+      .repartition(n, $"bucket")
+    val bucketOffsets = hashed.groupBy($"bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boff",
+        coalesce(sum($"bn").over(
+          Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select($"bucket", $"boff")
+    val within = Window.partitionBy($"bucket").orderBy($"h", $"chunk_id")
+    hashed.join(bucketOffsets, "bucket")
+      .withColumn("pos", $"boff" + row_number().over(within).cast("long") - 1L)
+      .select($"chunk_id", $"pos", expr(s"pos div $BatchChunks").as("batch"))
+      .orderBy($"chunk_id")
+  }
+
   def oracleSql: Map[String, String] = {
     val wsTok = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
     val inStop = TextQueries.stop.map(w => s"t = '$w'").mkString("(", " OR ", ")")
@@ -537,6 +588,33 @@ object PipelineQueries {
            |  MIN(doc_id) AS min_doc,
            |  MAX(doc_id) AS max_doc
            |FROM t GROUP BY shard ORDER BY shard""".stripMargin
+      },
+      // the oracle states the SEMANTICS as the naive single-window global
+      // rank over the hash order — the bucketed two-level formulation must
+      // be value-identical (the p05 discipline)
+      "p08_epoch_shuffle" -> {
+        val h32 = (1 to 8).map { i =>
+          val pow = java.lang.Long.toString(1L << (4 * (8 - i)))
+          s"(strpos('0123456789abcdef', substring(md5('p08epoch0:' || CAST(chunk_id AS VARCHAR)), $i, 1)) - 1) * $pow"
+        }.mkString("(", "\n         + ", ")")
+        s"""WITH t AS (
+           |  SELECT doc_id, CAST(len($wsTok) AS BIGINT) AS n_tokens FROM documents),
+           |o AS (
+           |  SELECT doc_id, n_tokens,
+           |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+           |  FROM t WHERE n_tokens > 0),
+           |c AS (
+           |  SELECT DISTINCT gs.chunk_id
+           |  FROM o, LATERAL (SELECT unnest(generate_series(
+           |    o.start_off // $SeqLen, (o.start_off + o.n_tokens - 1) // $SeqLen))
+           |    AS chunk_id) gs),
+           |hpos AS (
+           |  SELECT chunk_id,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY CAST($h32 AS BIGINT), chunk_id) - 1 AS BIGINT) AS pos
+           |  FROM c)
+           |SELECT chunk_id, pos, pos // $BatchChunks AS batch
+           |FROM hpos ORDER BY chunk_id""".stripMargin
       },
       "p02_kmv_cardinality" -> {
         // shared sketch definition: the SQL mirror of Kmv.hashCol

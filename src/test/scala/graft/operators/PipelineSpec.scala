@@ -213,4 +213,29 @@ class PipelineSpec extends SparkSpec {
     // just pin that ranges are well-formed
     p07.foreach(r => assert(r.getLong(4) <= r.getLong(5)))
   }
+
+  test("p08 epoch positions are a permutation; batches fill in order") {
+    val rows = PipelineQueries.queries("p08_epoch_shuffle")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every chunk of the packing appears exactly once
+    val chunks = PipelineQueries.queries("p06_chunk_manifest")(spark, dir)
+      .select("chunk_id").collect().map(_.getLong(0)).sorted
+    assert(rows.map(_.getLong(0)).sorted.toSeq == chunks.toSeq)
+    // positions are a permutation of 0..C-1 (the defining shuffle property)
+    val pos = rows.map(_.getLong(1)).sorted
+    assert(pos.toSeq == rows.indices.map(_.toLong))
+    // batch = pos div BatchChunks: full batches except possibly the last
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(1) / 8L))
+    val perBatch = rows.groupBy(_.getLong(2)).view.mapValues(_.length).toMap
+    val lastBatch = perBatch.keys.max
+    perBatch.foreach { case (b, n) =>
+      if (b < lastBatch) assert(n == 8, s"batch $b not full")
+    }
+    // the order is a real shuffle, not the identity: some chunk moved
+    assert(rows.exists(r => r.getLong(0) != r.getLong(1)),
+      "epoch order must differ from chunk order")
+    // and deterministic: a second evaluation reproduces it bit-for-bit
+    val again = PipelineQueries.queries("p08_epoch_shuffle")(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
