@@ -336,6 +336,52 @@ abstract class PlanAuditBase extends SparkSpec {
     assert(!p.split("ReadSchema: ").exists(_.contains("text:string")),
       "p07 must never read the text column")
   }
+
+  test("tx14 sketch side reads the maintained cells, one corpus scan total") {
+    val p = plan(TextQueries.queries("tx14_cms_topk")(spark, dir))
+    // the sketch estimates fold the at-rest doc_cms partials (a
+    // ≤ depth×width×files input), never a second pass over the corpus
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<r:int,c:bigint,cnt:bigint")),
+      s"tx14 must read the at-rest cms cells:\n${p.take(1200)}")
+    // the one corpus scan is the EXACT top-k companion pass (the measured
+    // error column), so exactly one text read appears in the plan
+    assert(p.split("ReadSchema: ").count(_.contains("text:string")) == 1,
+      "exactly one corpus scan (the exact-count pass) is allowed")
+  }
+
+  test("g09 persistence window is edge-partitioned; frame aggs broadcast") {
+    val df = GraphMetricsQueries.queries("g09_frame_turnover")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the lead window must be partitioned by the canonical edge — an
+    // unpartitioned window here would move the whole incidence list to
+    // one task
+    assert("""Window \[lead\(frame_id""".r.findFirstIn(p).isDefined, "lead window present")
+    assert(p.linesIterator.filter(_.contains("Window [lead"))
+        .forall(l => l.contains("actor1") && l.contains("actor2")),
+      s"the persistence window must partition by (actor1, actor2):\n${p.take(1200)}")
+    // per-frame aggregate tables are frame-count-bounded: they broadcast
+    // into the dense frame spine rather than shuffling it
+    assert(p.contains("BroadcastHashJoin"), "frame-keyed aggs should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p08 ranks off the maintained offsets; corpus text never read") {
+    val p = plan(PipelineQueries.queries("p08_epoch_shuffle")(spark, dir))
+    // chunk ids derive from the at-rest offsets rows (the p06 span
+    // explode; doc_id itself prunes away) — the documents table does not
+    // appear in the plan at all
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<n_tokens:bigint,start_off:bigint")),
+      s"chunks must derive from the maintained offsets table:\n${p.take(1200)}")
+    assert(!p.split("ReadSchema: ").exists(_.contains("text:string")),
+      "p08 must never read the corpus text")
+    // the within-bucket rank is partitioned; the ONE unpartitioned window
+    // is the bucket-offset pass, bounded at 4096 rows by the fixed hash
+    // space (the documented p05-style exception)
+    val unpartitioned = p.linesIterator
+      .filter(l => l.contains("Window [") && !l.contains("bucket")).toSeq
+    assert(unpartitioned.isEmpty,
+      s"every window must be bucket-scoped:\n${unpartitioned.mkString("\n")}")
+  }
 }
 
 /** Plan audits at the tiny scale — the fast default. */
