@@ -896,6 +896,97 @@ object DedupQueries {
     }
   }
 
+  /** Delete previously-ingested documents from the per-document dedup
+    * indexes — the right-to-be-forgotten mirror of [[appendDocuments]].
+    * Each per-document table pays one staged filter-rewrite (anti-join on
+    * the id set — the compaction cost class: a columnar scan+filter+write,
+    * embarrassingly parallel, amortized by batching deletes exactly like
+    * appends). The df-ranked prefix family keeps its FROZEN ranks —
+    * correctness is rank-independent ([[prefixRowsOf]]): stale ranks cost
+    * join width, never a missed pair — and re-ranks once the corpus
+    * SHRINKS past the same configured fraction growth re-ranks at.
+    * Caller contract: ids were previously ingested. Pair/cluster repair is
+    * [[deleteDupClusters]] — call it AFTER this, so the recomputed region
+    * reads post-delete indexes (the append ordering, mirrored). */
+  def deleteDocuments(s: SparkSession, d: String, ids: DataFrame): Unit = {
+    import s.implicits._
+    val idSet = ids.select($"doc_id").distinct()
+    def purge(t: (String, Int), key: String = "doc_id"): Unit = {
+      val cur = DerivedCache.existing(s, d, t)
+      // the using-column join moves the key first; re-select the stored
+      // column order so the rewrite is layout-identical to a fresh build
+      DerivedCache.replace(s, d, t)(
+        cur.join(idSet.withColumnRenamed("doc_id", key), Seq(key), "left_anti")
+          .select(cur.columns.map(col): _*))
+    }
+    purge(DocTables.Shingles)
+    purge(DocTables.Minhash)
+    purge(DocTables.Bands)
+    purge(DocTables.Fingerprints)
+    purge(DocTables.Sizes)
+    purge(DocTables.Windows)
+    if (DerivedCache.isBuilt(s, d, PrefixTable)) {
+      purge(PrefixTable, "d1")
+      val atRank = DerivedCache.existing(s, d, PrefixMetaTable).head.getLong(0)
+      val now = docSizes(s, d).count()
+      val growth = s.conf.getOption(PrefixRerankGrowthKey).map(_.toDouble)
+        .getOrElse(PrefixRerankGrowthDefault)
+      if (now < atRank * (1.0 - growth)) rerankPrefix(s, d)
+    }
+  }
+
+  /** Pair/cluster maintenance under deletion — [[appendDupClusters]]'s
+    * mirror, with the subtlety that makes naive endpoint-purging WRONG:
+    * deleting a document can SPLIT its cluster, and the at-rest pair graph
+    * stores exact-duplicate groups as STARS centered on the group's min id
+    * (`dupPairRowsOf`), so deleting a star center would disconnect
+    * documents that are still duplicates of each other. The affected
+    * clusters' surviving members therefore get their pair subgraph
+    * RECOMPUTED from the already-purged per-document indexes (band
+    * candidates + exact-Jaccard verify + fp stars re-centered on the new
+    * min — cost ∝ touched clusters, never the corpus) and are relabeled by
+    * the same min-label fixpoint as day 0. Pairs never cross cluster
+    * boundaries, so the affected region is closed by construction and
+    * unaffected clusters are untouched. */
+  def deleteDupClusters(s: SparkSession, d: String, ids: DataFrame): Unit = {
+    import s.implicits._
+    val idSet = ids.select($"doc_id").distinct()
+    val clusters = DerivedCache.existing(s, d, DocTables.DupClusters)
+    val affected = clusters.join(idSet, "doc_id")
+      .select($"cluster_id").distinct()
+    val members = clusters.join(affected, Seq("cluster_id"), "left_semi")
+      .select($"doc_id")
+    val survivorIds = members.join(idSet, Seq("doc_id"), "left_anti").persist()
+    val subPairs = dupPairRowsOf(
+      DerivedCache.existing(s, d, DocTables.Shingles).join(survivorIds, "doc_id"),
+      DerivedCache.existing(s, d, DocTables.Bands).join(survivorIds, "doc_id"),
+      DerivedCache.existing(s, d, DocTables.Fingerprints).join(survivorIds, "doc_id"),
+      Some(DerivedCache.existing(s, d, DocTables.Sizes).join(survivorIds, "doc_id")))
+      .persist()
+    try {
+      // every pair touching an affected cluster has BOTH endpoints in
+      // members ∪ deleted; drop that region wholesale, splice the
+      // recomputed subgraph back in
+      val gone = members.unionAll(idSet).distinct()
+      val kept = DerivedCache.existing(s, d, DocTables.DupPairs)
+        .join(gone.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_anti")
+        .join(gone.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_anti")
+        .select($"d1", $"d2")
+      DerivedCache.replace(s, d, DocTables.DupPairs)(kept.unionAll(subPairs))
+      val relabeled = clusterRowsOf(survivorIds, subPairs,
+        "post-delete dup-cluster relabeling")
+        .withColumnRenamed("label", "cluster_id")
+      val untouched = clusters.join(affected, Seq("cluster_id"), "left_anti")
+        .select($"doc_id", $"cluster_id")
+      DerivedCache.replace(s, d, DocTables.DupClusters)(
+        untouched.unionAll(relabeled.select($"doc_id", $"cluster_id")))
+    } finally {
+      subPairs.unpersist()
+      survivorIds.unpersist()
+      ()
+    }
+  }
+
   private val shSql =
     """sh AS (
       |  SELECT DISTINCT doc_id, sg FROM (

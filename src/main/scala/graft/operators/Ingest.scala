@@ -64,6 +64,34 @@ object Ingest {
     ()
   }
 
+  /** Delete a batch of previously-ingested documents from every at-rest
+    * document index — the right-to-be-forgotten path every large training
+    * pipeline eventually runs (user opt-outs, licensing takedowns),
+    * mirroring [[appendDocumentBatch]]. Caller contract: the batch rows
+    * are the ORIGINAL ingested rows (doc_id + text) — the text is needed
+    * so per-document derivations (the CMS's negated partial cells) never
+    * re-read the corpus.
+    *
+    * Cost model (deletes are BATCHED like appends): each per-document
+    * table pays one staged filter-rewrite (the compaction cost class — a
+    * parallel columnar scan+filter+write); the linear CMS sketch pays only
+    * an appended negative partial; the order-dependent packing offsets
+    * re-prefix from their narrow at-rest rows; dup-cluster repair is
+    * bounded by the touched clusters (with exact-dup stars re-centered —
+    * see [[DedupQueries.deleteDupClusters]]); the df-ranked prefix family
+    * keeps its frozen ranks until the shrink trigger, per the
+    * frozen-until-drift discipline every trained artifact here follows
+    * (prefix ranks, k-means centroids, BPE merges). */
+  def deleteDocumentBatch(s: SparkSession, d: String, batch: DataFrame): Unit = {
+    val ids = batch.select("doc_id")
+    DedupQueries.deleteDocuments(s, d, ids)
+    TextQueries.deleteDocuments(s, d, batch)
+    DedupQueries.deleteDupClusters(s, d, ids)
+    PipelineQueries.deleteOffsets(s, d, ids)
+    compactIfNeeded(s, d)
+    ()
+  }
+
   /** ONE list of every at-rest table the document-batch path maintains —
     * the compaction sweep's worklist (replace-maintained tables are listed
     * too: replace rewrites wholesale so they rarely trip the threshold,

@@ -328,6 +328,25 @@ object PipelineQueries {
     }
   }
 
+  /** Remove deleted documents from the packing — the interior-backfill
+    * path in reverse: every document after the earliest deleted id shifts
+    * left, so the prefix is recomputed over the REMAINING at-rest narrow
+    * (doc_id, n_tokens) rows (the corpus text is never re-read or
+    * re-tokenized) and staged-replaced together with the meta total. */
+  private[operators] def deleteOffsets(s: SparkSession, d: String,
+      ids: DataFrame): Unit = {
+    import s.implicits._
+    val idSet = ids.select($"doc_id").distinct()
+    val remaining = DerivedCache.existing(s, d, OffsetsTable)
+      .join(idSet, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_tokens")
+    DerivedCache.replace(s, d, OffsetsTable)(prefixRowsOf(remaining, 0L))
+    DerivedCache.replace(s, d, OffsetsMetaTable)(
+      DerivedCache.existing(s, d, OffsetsTable).agg(
+        coalesce(max($"start_off" + $"n_tokens"), lit(0L)).as("total_tokens"),
+        coalesce(max($"doc_id"), lit(-1L)).as("max_doc_id")))
+  }
+
   /** The at-rest offsets for the driver corpus (lazy day-0 build). */
   private def tokenOffsets(s: SparkSession, d: String): DataFrame =
     buildOffsets(s, d, Tables.documents(s, d))

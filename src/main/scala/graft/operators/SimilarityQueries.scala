@@ -579,6 +579,65 @@ object SimilarityQueries {
     ()
   }
 
+  /** Delete previously-ingested vectors from every at-rest vector index —
+    * [[appendEmbeddings]]'s right-to-be-forgotten mirror (the embedding
+    * side of [[Ingest.deleteDocumentBatch]]'s contract). Per-vector tables
+    * pay one staged filter-rewrite. The DERIVED quantizers need care: the
+    * fixed IVF centroids and the PQ codebook are the index's LOWEST-ID
+    * vectors, so deleting an anchor vector changes the derived quantizer —
+    * the assignments/codes then REBUILD against the new anchors from the
+    * remaining at-rest embeddings (one assignment pass over the narrow
+    * index, never a source re-read); a non-anchor delete is purge-only.
+    * The TRAINED k-means family is a stored frozen artifact, so its
+    * assignments purge and the quantizer retrains only past the same
+    * configured drift fraction, now from the shrink side — stale trained
+    * cells cost recall, never correctness. */
+  def deleteEmbeddings(s: SparkSession, d: String, ids: DataFrame): Unit = {
+    import s.implicits._
+    val nc = cells(s)
+    val idSet = ids.select($"vec_id").distinct()
+    // anchor test runs BEFORE the purge (the anchors are the pre-delete
+    // lowest ids; count() executes it eagerly)
+    val anchorHit = DerivedCache.existing(s, d, DocTables.EmbIndex)
+      .orderBy($"vec_id").limit(math.max(nc, PqKs))
+      .join(idSet, "vec_id").count() > 0
+    def purge(t: (String, Int)): Unit = if (DerivedCache.isBuilt(s, d, t)) {
+      val cur = DerivedCache.existing(s, d, t)
+      DerivedCache.replace(s, d, t)(
+        cur.join(idSet, Seq("vec_id"), "left_anti")
+          .select(cur.columns.map(col): _*))
+    }
+    purge(DocTables.EmbIndex)
+    purge(DocTables.EmbSq)
+    purge(kmAssignTable(nc))
+    if (anchorHit) {
+      val remaining = DerivedCache.existing(s, d, DocTables.EmbIndex)
+        .select($"vec_id", $"embedding")
+      if (DerivedCache.isBuilt(s, d, ivfTable(nc))) {
+        val centRows = remaining.orderBy($"vec_id").limit(nc)
+          .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+        val cents = s.createDataFrame(
+          java.util.Arrays.asList(centRows.collect(): _*), centRows.schema)
+        DerivedCache.replace(s, d, ivfTable(nc))(ivfAssignRowsOf(remaining, cents))
+      }
+      if (DerivedCache.isBuilt(s, d, pqTable))
+        DerivedCache.replace(s, d, pqTable)(
+          pqCodeRowsOf(remaining, pqCodebookOf(remaining)))
+    } else {
+      purge(ivfTable(nc))
+      purge(pqTable)
+    }
+    if (DerivedCache.isBuilt(s, d, kmMetaTable(nc))) {
+      val trainedN = DerivedCache.existing(s, d, kmMetaTable(nc)).head.getLong(0)
+      val now = DerivedCache.existing(s, d, DocTables.EmbIndex).count()
+      val growth = s.conf.getOption(KmRetrainGrowthKey).map(_.toDouble)
+        .getOrElse(KmRetrainGrowthDefault)
+      if (now < trainedN * (1.0 - growth)) retrainQuantizer(s, d, nc)
+    }
+    Ingest.compactTables(s, d, maintainedVectorTables(s))
+    ()
+  }
+
   /** Full retrain of the ss5 trained-quantizer family from the CURRENT
     * at-rest index — the periodic rebuild that restores cell quality after
     * corpus drift, normally triggered by [[appendEmbeddings]]'s growth

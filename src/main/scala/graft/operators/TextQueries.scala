@@ -202,6 +202,26 @@ object TextQueries {
     DerivedCache.append(s, d, DocTables.Cms)(cmsRowsOf(newDocs))
   }
 
+  /** Delete previously-ingested documents from the text indexes —
+    * [[appendDocuments]]'s right-to-be-forgotten mirror. The posting index
+    * pays one staged filter-rewrite; the CMS cells need NO rewrite at all:
+    * the sketch is LINEAR, so deletion appends the batch's NEGATED partial
+    * cells and the read-side fold cancels them exactly ([[cmsCells]] drops
+    * fully-cancelled cells, so the folded sketch equals a rebuild over the
+    * remaining corpus). Needs the original rows (doc_id + text) so the
+    * negative partials derive without re-reading the corpus — the same
+    * per-document-derivation contract the append side carries. */
+  def deleteDocuments(s: SparkSession, d: String, batch: DataFrame): Unit = {
+    import s.implicits._
+    val ids = batch.select($"doc_id").distinct()
+    DerivedCache.replace(s, d, DocTables.Postings)(
+      DerivedCache.existing(s, d, DocTables.Postings)
+        .join(ids, Seq("doc_id"), "left_anti")
+        .select($"t", $"doc_id", $"tf"))
+    DerivedCache.append(s, d, DocTables.Cms)(
+      cmsRowsOf(batch).withColumn("cnt", -$"cnt"))
+  }
+
   /** tx6: fulltext AND-search over the inverted index. The probe is
     * data-derived like every graph probe: the two highest-document-frequency
     * non-stopword tokens (ties → lexicographic), resolved with one tiny
@@ -449,11 +469,15 @@ object TextQueries {
   }
 
   /** The folded at-rest sketch: ≤ depth×width rows after summing the
-    * batch partials (a few KB of input whatever the corpus size). */
+    * batch partials (a few KB of input whatever the corpus size). Cells
+    * fully cancelled by deletion's negative partials are dropped — absent
+    * and zero are the same cell state, and dropping them keeps the folded
+    * sketch identical to a rebuild over the remaining corpus. */
   private[operators] def cmsCells(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, DocTables.Cms) {
       cmsRowsOf(Tables.documents(s, d))
     }.groupBy("r", "c").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") =!= 0L)
 
   /** tx14: count-min-sketch heavy hitters — the point-query sketch
     * completing the repo's sketch trio (KMV cardinality p02, bloom
