@@ -71,6 +71,57 @@ class StreamingDocumentIngestSpec extends SparkSpec {
     }
   }
 
+  test("CDC stream (adds + deletes) == the batch append/delete sequence") {
+    implicit val sqlCtx = spark.sqlContext
+    val dBatch = s"/stream-cdc-batch/${java.util.UUID.randomUUID()}"
+    val dStream = s"/stream-cdc-stream/${java.util.UUID.randomUUID()}"
+    // deletions span an old (base) doc and a just-streamed (delta1) doc
+    val delIds = Set(ids.head, ids(ids.length / 2 + 1))
+    val dels = docs.filter($"doc_id".isInCollection(delIds))
+    assert(dels.count() == 2)
+
+    Ingest.buildDocumentIndexes(spark, dBatch, base)
+    Ingest.appendDocumentBatch(spark, dBatch, delta1)
+    Ingest.appendDocumentBatch(spark, dBatch, delta2)
+    Ingest.deleteDocumentBatch(spark, dBatch, dels)
+
+    Ingest.buildDocumentIndexes(spark, dStream, base)
+    val in = MemoryStream[(Long, String, String, String, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-cdc").toString
+    val q = StreamingDocumentIngest.startCdc(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars", "op"),
+      dStream, ckpt)
+    try {
+      def feed(delta: DataFrame, op: String): Unit = {
+        in.addData(asTuples(delta).map(t => (t._1, t._2, t._3, t._4, t._5, op)))
+        q.processAllAvailable()
+      }
+      feed(delta1, "add")
+      feed(delta2, "add")
+      feed(dels, "delete")
+    } finally q.stop()
+
+    for (t <- Ingest.maintainedDocTables) {
+      assert(rows(DerivedCache.existing(spark, dStream, t))
+          == rows(DerivedCache.existing(spark, dBatch, t)),
+        s"CDC-streamed ${t._1} must equal the batch sequence")
+    }
+  }
+
+  test("a CDC batch adding and deleting the same doc_id is rejected") {
+    val d = s"/stream-cdc-bad/${java.util.UUID.randomUUID()}"
+    Ingest.buildDocumentIndexes(spark, d, base)
+    val bad = asTuples(delta1).take(1).flatMap(t =>
+      Seq((t._1, t._2, t._3, t._4, t._5, "add"),
+        (t._1, t._2, t._3, t._4, t._5, "delete")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "op")
+    val ckpt = s"/stream-cdc-bad-ckpt/${java.util.UUID.randomUUID()}"
+    val e = intercept[IllegalArgumentException] {
+      StreamingDocumentIngest.foldCdcBatch(spark, d, ckpt)(bad, 0L)
+    }
+    assert(e.getMessage.contains("must not add AND delete"))
+  }
+
   test("a replayed batch id is skipped — no double-append") {
     val d = s"/stream-doc-replay/${java.util.UUID.randomUUID()}"
     Ingest.buildDocumentIndexes(spark, d, base)
