@@ -407,18 +407,20 @@ object TextQueries {
     *
     * Scale shape: encoding is NEVER applied to corpus rows — the greedy
     * merge fold runs once per DISTINCT word (vocabulary-sized typed map
-    * with the 8-row merge table in the closure), and documents join the
-    * encoded lengths on the pre-aggregated (doc_id, word, count) table, so
-    * the per-word work is paid |vocab| times, not |corpus| times. The
-    * oracle replays training AND encoding as one chained-CTE DuckDB query
-    * (the tx12 unroll, carrying the word through every round), so the
-    * trained-then-applied artifact is hash-checked end to end. */
+    * with the 8-row merge table in the closure), joined onto the AT-REST
+    * posting index, which already is the (doc, word, count) table this
+    * query needs — so the corpus text is never read (byte mass comes from
+    * the narrow (doc_id, n_chars) documents projection; plan-audited).
+    * The oracle replays training AND encoding as one chained-CTE DuckDB
+    * query (the tx12 unroll, carrying the word through every round), so
+    * the trained-then-applied artifact is hash-checked end to end. */
   private def tx13(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documentsWide(s, d)
     val merges = trainedMerges(s, d)
-    val dw = docs.select($"doc_id", explode(wsTokens($"text")).as("t"))
-      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("cnt"))
+    // the at-rest posting index IS the (doc, word, count) table this
+    // query needs — the corpus text is never read: the byte mass comes
+    // from the documents table's narrow (doc_id, n_chars) projection
+    val dw = postings(s, d).select($"doc_id", $"t", $"tf".as("cnt"))
     val enc = dw.select($"t").distinct().as[String]
       .map(w => (w, BpeTrainer.encode(w, merges).length.toLong))
       .toDF("t", "bpe_len")
@@ -426,14 +428,14 @@ object TextQueries {
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("ws_tokens"),
         sum($"cnt" * $"bpe_len").as("bpe_tokens"))
-    docs.select($"doc_id", $"text")
+    Tables.documents(s, d).select($"doc_id", $"n_chars")
       .join(agg, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"ws_tokens", lit(0L)).as("ws_tokens"),
         coalesce($"bpe_tokens", lit(0L)).as("bpe_tokens"),
-        length($"text").cast("long").as("n_chars"),
+        $"n_chars",
         when(coalesce($"bpe_tokens", lit(0L)) > 0,
-          length($"text").cast("double") / $"bpe_tokens")
+          $"n_chars".cast("double") / $"bpe_tokens")
           .otherwise(lit(0.0)).as("chars_per_token"))
       .orderBy($"doc_id")
   }
@@ -490,9 +492,10 @@ object TextQueries {
     * hashes keep the DuckDB oracle hash-exact. */
   private def tx14(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.documentsWide(s, d).select(explode(wsTokens($"text")).as("t"))
     val cells = cmsCells(s, d)
-    val top = toks.groupBy($"t").agg(count(lit(1)).as("exact_cnt"))
+    // exact counts come from the at-rest posting index too (Σ tf per
+    // term) — the whole query runs off maintained tables, zero text reads
+    val top = postings(s, d).groupBy($"t").agg(sum($"tf").as("exact_cnt"))
       .orderBy(desc("exact_cnt"), $"t").limit(CmsTopK)
     val cand = top.select($"t", $"exact_cnt",
       posexplode(array((0 until CmsDepth).map(i => cmsCell(i, $"t")): _*))
@@ -613,9 +616,9 @@ object TextQueries {
              |SELECT d.doc_id,
              |  COALESCE(ws_tokens, 0) AS ws_tokens,
              |  COALESCE(bpe_tokens, 0) AS bpe_tokens,
-             |  CAST(length(d.text) AS BIGINT) AS n_chars,
+             |  d.n_chars AS n_chars,
              |  CASE WHEN COALESCE(bpe_tokens, 0) > 0
-             |       THEN CAST(length(d.text) AS DOUBLE) / bpe_tokens
+             |       THEN CAST(d.n_chars AS DOUBLE) / bpe_tokens
              |       ELSE 0.0 END AS chars_per_token
              |FROM documents d LEFT JOIN agg USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin

@@ -337,16 +337,29 @@ abstract class PlanAuditBase extends SparkSpec {
       "p07 must never read the text column")
   }
 
-  test("tx14 sketch side reads the maintained cells, one corpus scan total") {
+  test("tx14 runs entirely off maintained tables — zero text reads") {
     val p = plan(TextQueries.queries("tx14_cms_topk")(spark, dir))
     // the sketch estimates fold the at-rest doc_cms partials (a
-    // ≤ depth×width×files input), never a second pass over the corpus
+    // ≤ depth×width×files input)...
     assert(p.split("ReadSchema: ").exists(_.startsWith("struct<r:int,c:bigint,cnt:bigint")),
       s"tx14 must read the at-rest cms cells:\n${p.take(1200)}")
-    // the one corpus scan is the EXACT top-k companion pass (the measured
-    // error column), so exactly one text read appears in the plan
-    assert(p.split("ReadSchema: ").count(_.contains("text:string")) == 1,
-      "exactly one corpus scan (the exact-count pass) is allowed")
+    // ...and the exact top-k companion pass aggregates the at-rest
+    // posting index (Σ tf per term; doc_id prunes away) — the corpus
+    // text never appears
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<t:string,tf:bigint")),
+      "exact counts must come from the posting index")
+    assert(!p.split("ReadSchema: ").exists(_.contains("text:string")),
+      "tx14 must never read the corpus text")
+  }
+
+  test("tx13 encodes off the posting index — zero text reads") {
+    val p = plan(TextQueries.queries("tx13_bpe_encode")(spark, dir))
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<t:string,doc_id:bigint,tf:bigint")),
+      s"tx13's (doc, word, count) table is the at-rest posting index:\n${p.take(1200)}")
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<doc_id:bigint,n_chars:bigint")),
+      "byte mass must come from the narrow (doc_id, n_chars) projection")
+    assert(!p.split("ReadSchema: ").exists(_.contains("text:string")),
+      "tx13 must never read the corpus text")
   }
 
   test("g09 persistence window is edge-partitioned; frame aggs broadcast") {
