@@ -315,6 +315,67 @@ object MultimodalPipeline {
       }
   }
 
+  /** Perceptual hash of one image asset — 64-bit row-wise difference hash
+    * (dHash): the decoded raster collapses to integer grayscale (r+g+b per
+    * pixel, no division — exact), block-sums down to an 8×8 grid, and each
+    * grid row yields 8 bits comparing horizontally adjacent cells (with
+    * wraparound, so every row is a full byte). The hash is brightness- and
+    * contrast-shift invariant (uniform pixel shifts preserve every
+    * comparison), which is what makes it a near-dup signal rather than a
+    * checksum. `bands` are the 8 row bytes — the LSH banding unit for the
+    * candidate join (two near-dup images agree on most rows, so they
+    * collide on at least one band; the dd3/ss3 banding argument in
+    * Hamming space). `hLo`/`hHi` pack bands 0–3 / 4–7 little-endian, both
+    * non-negative, so cross-engine `bit_count(xor(..))` needs no sign
+    * handling. */
+  final case class ImageHash(
+      assetId: Long,
+      hLo: Long,
+      hHi: Long,
+      bands: Array[Int])
+
+  /** dHash every image asset (REAL codec path — PPM parse, not the stub).
+    * Dimensions must divide 8×8 (loud failure otherwise). Same execution
+    * model as [[decodeCodec]]: repartition by asset, per-partition loop,
+    * each image decoded exactly once; output is one narrow 26-byte row per
+    * image, the at-rest shape the candidate join scans. */
+  def imageHashes(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(col("modality") === "image")
+      .repartition(col("assetId"))
+      .mapPartitions { it =>
+        it.map { a =>
+          val (w, h, rgb) = Codec.parsePpm(a.bytes)
+          require(w % 8 == 0 && h % 8 == 0,
+            s"dims ${w}x$h not divisible into the 8x8 dHash grid")
+          val (bw, bh) = (w / 8, h / 8)
+          val cell = new Array[Long](64)
+          var p = 0
+          while (p < w * h) {
+            val x = p % w; val y = p / w
+            cell((y / bh) * 8 + x / bw) +=
+              (rgb(3 * p) & 0xff) + (rgb(3 * p + 1) & 0xff) + (rgb(3 * p + 2) & 0xff)
+            p += 1
+          }
+          val bands = new Array[Int](8)
+          var cy = 0
+          while (cy < 8) {
+            var b = 0; var cx = 0
+            while (cx < 8) {
+              if (cell(cy * 8 + cx) > cell(cy * 8 + (cx + 1) % 8)) b |= 1 << cx
+              cx += 1
+            }
+            bands(cy) = b
+            cy += 1
+          }
+          val hLo = (0 until 4).map(j => bands(j).toLong << (8 * j)).sum
+          val hHi = (4 until 8).map(j => bands(j).toLong << (8 * (j - 4))).sum
+          ImageHash(a.assetId, hLo, hHi, bands)
+        }
+      }
+  }
+
   /** Demo/test asset source: wraps document texts as fake binary payloads
     * (videos get an n_frames metadata entry derived from doc length). */
   def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {

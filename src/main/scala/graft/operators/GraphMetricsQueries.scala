@@ -72,7 +72,8 @@ object GraphMetricsQueries {
     "g06_temporal_brokerage" -> g06,
     "g07_assortativity" -> g07,
     "g08_triadic_closure" -> g08,
-    "g09_frame_turnover" -> g09)
+    "g09_frame_turnover" -> g09,
+    "g10_component_evolution" -> g10)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -111,10 +112,25 @@ object GraphMetricsQueries {
           (lit(1.0) / $"deg".cast("double")).as("wz"))
     }
 
+  /** Day-keyed canonical edge table over the WHOLE run (dkey =
+    * year·10⁴ + month·10² + day) — g10's input, built once at ingest like
+    * [[dayEdges]]. One distinct shuffle over the frame-edge list at build;
+    * every per-day structural sweep starts from this |days × distinct
+    * pairs| table instead of re-scanning frame granularity. */
+  private def edgesByDay(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, "edges_by_day", 1) {
+      import s.implicits._
+      GraphCache(s, d).frameInteractions
+        .select(($"year" * 10000 + $"month" * 100 + $"day").cast("long").as("dkey"),
+          $"actor1", $"actor2")
+        .distinct()
+    }
+
   /** Force at-rest probe-day edge materialization (untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
     dayEdges(s, d)
     dayAdj(s, d)
+    edgesByDay(s, d)
     ()
   }
 
@@ -417,6 +433,67 @@ object GraphMetricsQueries {
           .as("assortativity"))
   }
 
+  /** One memoized count of (day, actor) label rows decides g10's state-side
+    * join mode — the whole-run sibling of [[dayVertices]]. */
+  private def allDayVertices(s: SparkSession, d: String): Long =
+    EpochMemo.scalar(s, "graph.allDayVertices", d) {
+      val e = edgesByDay(s, d)
+      e.select(col("dkey"), col("actor1").as("a"))
+        .unionAll(e.select(col("dkey"), col("actor2").as("a")))
+        .distinct().count()
+    }
+
+  /** g10: component evolution — connected components of EVERY day's contact
+    * graph in one pass, rolled up to the per-day structure curve
+    * (actors, edges, component count, giant-component size) that
+    * dynamic-network studies plot to find fragmentation/consolidation
+    * breakpoints (the whole-run generalization of g03's single-window
+    * components). The fixpoint runs ONCE over all days simultaneously:
+    * labels are keyed (dkey, actor), propagation joins on (dkey, src), so
+    * round count is the MAX component diameter across days — not the sum —
+    * and each round is one equi-join + one hash agg exactly like g03. At
+    * 100 TB the day-keyed edge table stays partitioned on (dkey, src) and
+    * the label table broadcasts under the [[StateBroadcastMaxKey]] ceiling
+    * (counted over all days by [[allDayVertices]]), degrading to a keyed
+    * shuffle join above it. The DuckDB oracle runs the same semantics as a
+    * day-scoped recursive CTE; GraphMetricsSpec differentially checks a
+    * driver-side union-find recompute. */
+  private def g10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = edgesByDay(s, d)
+    val und = e.select($"dkey", $"actor1".as("src"), $"actor2".as("dst"))
+      .unionAll(e.select($"dkey", $"actor2".as("src"), $"actor1".as("dst")))
+      .localCheckpoint(eager = false)
+    val init = und.select($"dkey", $"src".as("actor_id")).distinct()
+      .select($"dkey", $"actor_id", $"actor_id".as("label"))
+    val ceiling = s.conf.getOption(StateBroadcastMaxKey)
+      .map(_.toLong).getOrElse(StateBroadcastMaxDefault)
+    val broadcastState = allDayVertices(s, d) <= ceiling
+    // labels only decrease, so (count, Σ label) is strictly monotone
+    val state = Fixpoint.iterate(init, MaxRounds, "per-day component labeling") { df =>
+      val r = df.agg(count(lit(1)), sum($"label")).collect()(0)
+      Seq(r.getLong(0), r.getLong(1))
+    } { (st, _) =>
+      // explicit state-side aliases: state descends from `und`, so unaliased
+      // column refs would lean on self-join disambiguation
+      val stA = st.select($"dkey".as("s_dkey"), $"actor_id".as("s_actor"), $"label")
+      val hinted = if (broadcastState) broadcast(stA) else stA.hint("shuffle_hash")
+      val cand = und.join(hinted, $"dkey" === $"s_dkey" && $"src" === $"s_actor")
+        .select($"dkey", $"dst".as("actor_id"), $"label")
+      st.unionAll(cand)
+        .groupBy($"dkey", $"actor_id").agg(min($"label").as("label"))
+    }
+    val sizes = state.groupBy($"dkey", $"label").agg(count(lit(1)).as("sz"))
+    val comps = sizes.groupBy($"dkey").agg(
+      sum($"sz").as("n_actors"),
+      count(lit(1)).as("n_components"),
+      max($"sz").as("largest"))
+    val edges = e.groupBy($"dkey").agg(count(lit(1)).as("n_edges"))
+    comps.join(edges, "dkey")
+      .select($"dkey", $"n_actors", $"n_edges", $"n_components", $"largest")
+      .orderBy($"dkey")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   /** Distinct canonical edges on the probe date (matches [[dayEdges]]). */
@@ -500,6 +577,45 @@ object GraphMetricsQueries {
         |            ELSE 0.0 END AS lcc
         |FROM deg d LEFT JOIN tpv t USING (actor_id)
         |ORDER BY d.actor_id""".stripMargin),
+    // g10: the g03 recursive-enumeration shape with the day key carried
+    // through seed, propagation, and rollup — per-day component labels,
+    // rolled up to the evolution curve
+    "g10_component_evolution" -> EventGraphSql.query(
+      s""", de AS MATERIALIZED (
+         |  SELECT DISTINCT f.year * 10000 + f.month * 100 + f.day AS dkey,
+         |         fi.actor1, fi.actor2
+         |  FROM fi JOIN frames f USING (frame_id)
+         |),
+         |comp AS (
+         |  WITH RECURSIVE r(dkey, actor_id, label) AS (
+         |    SELECT dkey, actor_id, actor_id FROM (
+         |      SELECT dkey, actor1 AS actor_id FROM de
+         |      UNION SELECT dkey, actor2 FROM de) seeds
+         |    UNION
+         |    SELECT r.dkey,
+         |           CASE WHEN e.actor1 = r.actor_id THEN e.actor2 ELSE e.actor1 END,
+         |           r.label
+         |    FROM r JOIN de e
+         |      ON e.dkey = r.dkey AND (e.actor1 = r.actor_id OR e.actor2 = r.actor_id)
+         |  )
+         |  SELECT dkey, actor_id, MIN(label) AS label FROM r GROUP BY dkey, actor_id
+         |),
+         |sizes AS (
+         |  SELECT dkey, label, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM comp GROUP BY dkey, label
+         |),
+         |rollup2 AS (
+         |  SELECT dkey, CAST(SUM(sz) AS BIGINT) AS n_actors,
+         |         CAST(COUNT(*) AS BIGINT) AS n_components,
+         |         CAST(MAX(sz) AS BIGINT) AS largest
+         |  FROM sizes GROUP BY dkey
+         |),
+         |ec AS (
+         |  SELECT dkey, CAST(COUNT(*) AS BIGINT) AS n_edges FROM de GROUP BY dkey
+         |)
+         |SELECT r2.dkey, r2.n_actors, ec.n_edges, r2.n_components, r2.largest
+         |FROM rollup2 r2 JOIN ec USING (dkey)
+         |ORDER BY r2.dkey""".stripMargin),
     // same recursive-enumeration shape as the g01 oracle: (actor, label)
     // pairs spread along day edges, UNION-deduped, min label per actor
     "g03_components" -> EventGraphSql.query(

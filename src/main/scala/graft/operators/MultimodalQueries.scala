@@ -33,13 +33,20 @@ object MultimodalQueries {
     * expectation, so the declared query exercises both outcomes. */
   private val CutSad = 16320L
 
+  /** mm7's near-dup verdict threshold: ≤ [[DupMaxHamming]] differing bits
+    * of 64 (the usual dHash operating point — identical content with mild
+    * brightness/noise edits lands at 0–10, unrelated images center at
+    * ~32). */
+  private val DupMaxHamming = 12
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_decode_stats" -> mm1,
     "mm2_resize_features" -> mm2,
     "mm3_codec_decode" -> mm3,
     "mm4_audio_windows" -> mm4,
     "mm5_image_tiles" -> mm5,
-    "mm6_scene_cuts" -> mm6)
+    "mm6_scene_cuts" -> mm6,
+    "mm7_image_phash" -> mm7)
 
   /** mm1: per-modality decode statistics — asset/frame counts and mean
     * decoded dimensions after frame-sampling every 2nd frame. */
@@ -158,6 +165,45 @@ object MultimodalQueries {
         $"w".cast("long").as("tile_w"), $"h".cast("long").as("tile_h"),
         $"sR".as("s_r"), $"sG".as("s_g"), $"sB".as("s_b"))
       .orderBy($"asset_id", $"tile_idx")
+  }
+
+  /** mm7: image near-dup candidates via perceptual hashing — dHash every
+    * image once ([[MultimodalPipeline.imageHashes]]: real PPM decode →
+    * integer grayscale → 8×8 block grid → 64 row-difference bits), then
+    * find candidate pairs by LSH BANDING on the 8 row bytes (equi-join on
+    * (band_idx, band_val) — Σ per-bucket products candidate mass, the
+    * dd3/ss2 discipline, never an image×image cross join) and verify each
+    * candidate with the exact 64-bit Hamming distance (`bit_count(xor)` on
+    * the two packed halves — the dd4 machinery). `is_dup` applies the
+    * [[DupMaxHamming]] verdict; the driver corpus's md5 rasters are
+    * mutually unrelated so every verdict is false here, while
+    * ImagePhashSpec plants brightness-shifted and noise-edited copies and
+    * pins that banding finds them at hamming ≤ threshold. At 100 TB the
+    * hash table is a 26-byte-per-image at-rest scan and the band join is
+    * AQE-skew-splittable; nothing ever rescans a raster. */
+  private def mm7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = MultimodalPipeline.codecAssets(s, d)
+    // one narrow row per image, decoded once; referenced three times below
+    // (band explode + two hash join-backs) so snapshot the tiny table
+    val hashes = MultimodalPipeline.imageHashes(assets).toDF()
+      .localCheckpoint(eager = false)
+    val bands = hashes.select($"assetId", posexplode($"bands").as(Seq("band_idx", "band_val")))
+    val cand = bands.select($"assetId".as("asset_a"), $"band_idx", $"band_val")
+      .join(bands.select($"assetId".as("asset_b"), $"band_idx", $"band_val"),
+        Seq("band_idx", "band_val"))
+      .filter($"asset_a" < $"asset_b")
+      .groupBy($"asset_a", $"asset_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val ham = (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)")).cast("long")
+    cand
+      .join(hashes.select($"assetId".as("asset_a"), $"hLo".as("lo_a"), $"hHi".as("hi_a")),
+        "asset_a")
+      .join(hashes.select($"assetId".as("asset_b"), $"hLo".as("lo_b"), $"hHi".as("hi_b")),
+        "asset_b")
+      .select($"asset_a", $"asset_b", $"n_shared_bands",
+        ham.as("hamming"), (ham <= DupMaxHamming).as("is_dup"))
+      .orderBy($"asset_a", $"asset_b")
   }
 
   /** Hex-pair byte value (0..255) at byte index `j` of md5-hex `hx`. */
@@ -377,6 +423,62 @@ object MultimodalQueries {
          |       CAST(SUM(f.s3) AS BIGINT) AS sum3
          |FROM allf f JOIN assets a USING (asset_id)
          |GROUP BY a.modality ORDER BY a.modality""".stripMargin,
+    // mm7: rebuild every image's 768 raster bytes from the md5 chain
+    // (mm5's reconstruction), re-derive grayscale → 8×8 block sums → the
+    // 64 dHash bits → packed halves + row-byte bands, then the same banded
+    // candidate join and bit_count(xor) Hamming verify — a transposed bit,
+    // mis-packed band, or asymmetric comparison anywhere breaks the hash
+    // match
+    "mm7_image_phash" ->
+      s"""WITH assets AS (
+         |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 0
+         |),
+         |bytes AS (
+         |  SELECT asset_id, j,
+         |         ${hexByte("md5(CAST(asset_id AS VARCHAR) || '#img#' || CAST(j // 16 AS VARCHAR))", "j % 16")} AS v
+         |  FROM assets, (SELECT unnest(generate_series(0, 767)) AS j) jj
+         |),
+         |cells AS (
+         |  SELECT asset_id, ((j // 3) // 16) // 2 AS cy, ((j // 3) % 16) // 2 AS cx,
+         |         SUM(v) AS s
+         |  FROM bytes GROUP BY 1, 2, 3
+         |),
+         |bits AS (
+         |  SELECT a.asset_id, a.cy * 8 + a.cx AS k,
+         |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+         |  FROM cells a JOIN cells b
+         |    ON b.asset_id = a.asset_id AND b.cy = a.cy AND b.cx = (a.cx + 1) % 8
+         |),
+         |hashes AS (
+         |  SELECT asset_id,
+         |         CAST(SUM(CASE WHEN k < 32
+         |              THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS h_lo,
+         |         CAST(SUM(CASE WHEN k >= 32
+         |              THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS h_hi
+         |  FROM bits GROUP BY asset_id
+         |),
+         |bands AS (
+         |  SELECT asset_id, bj,
+         |         CASE WHEN bj < 4 THEN (h_lo >> (8 * bj)) & 255
+         |              ELSE (h_hi >> (8 * (bj - 4))) & 255 END AS bv
+         |  FROM hashes, (SELECT unnest(generate_series(0, 7)) AS bj) bb
+         |),
+         |cand AS (
+         |  SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON b.bj = a.bj AND b.bv = a.bv AND a.asset_id < b.asset_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.asset_a, c.asset_b, c.n_shared_bands,
+         |       CAST(bit_count(xor(ha.h_lo, hb.h_lo))
+         |          + bit_count(xor(ha.h_hi, hb.h_hi)) AS BIGINT) AS hamming,
+         |       (bit_count(xor(ha.h_lo, hb.h_lo))
+         |          + bit_count(xor(ha.h_hi, hb.h_hi))) <= $DupMaxHamming AS is_dup
+         |FROM cand c
+         |JOIN hashes ha ON ha.asset_id = c.asset_a
+         |JOIN hashes hb ON hb.asset_id = c.asset_b
+         |ORDER BY c.asset_a, c.asset_b""".stripMargin,
     // mm6: rebuild every video frame's 192 bytes from the md5 chain
     // (12 blocks × 16 hex-decoded bytes), pair consecutive frames on the
     // byte position, and aggregate |delta| — no stride: cuts need every

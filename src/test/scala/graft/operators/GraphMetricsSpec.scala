@@ -229,4 +229,34 @@ class GraphMetricsSpec extends SparkSpec {
     assert(relational == graphx)
     assert(relational.nonEmpty)
   }
+
+  test("g10 per-day evolution matches a driver-side union-find recompute") {
+    val got = GraphMetricsQueries.queries("g10_component_evolution")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.size > 1, "expected a multi-day evolution curve")
+
+    // independent recompute: distinct day edges collected, per-day union-find
+    val edges = GraphCache(spark, dir).frameInteractions
+      .select((col("year") * 10000 + col("month") * 100 + col("day")).cast("long").as("dkey"),
+        col("actor1"), col("actor2"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDay = edges.groupBy(_._1)
+    assert(got.keySet == byDay.keySet)
+    byDay.foreach { case (dkey, es) =>
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (_, a, b) => parent(find(a)) = find(b) }
+      val actors = es.flatMap(e => Seq(e._2, e._3)).distinct
+      val comps = actors.groupBy(find)
+      val expected = (actors.size.toLong, es.length.toLong,
+        comps.size.toLong, comps.values.map(_.size).max.toLong)
+      assert(got(dkey) == expected, s"day $dkey: got ${got(dkey)} expected $expected")
+    }
+  }
 }
