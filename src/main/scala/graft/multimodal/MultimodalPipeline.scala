@@ -376,6 +376,58 @@ object MultimodalPipeline {
       }
   }
 
+  /** Acoustic fingerprint of one audio asset — the energy-difference
+    * fingerprint (the Haitsma–Kalker '02 construction reduced to one band):
+    * the PCM16 stream splits into fixed windows, each window's integer
+    * energy Σ v² is computed, and bit w records whether window w's energy
+    * exceeds its successor's (wraparound, so the bit count equals the
+    * window count). Sign-of-difference bits are amplitude-scale invariant
+    * (uniform gain preserves every comparison), which is what makes this a
+    * re-encode/volume-robust near-dup signal. `bands` are consecutive
+    * 8-bit slices of `fp` — the LSH banding unit, exactly mm7's layout. */
+  final case class AudioFingerprint(
+      assetId: Long,
+      fp: Long,
+      bands: Array[Int])
+
+  /** Fingerprint every audio asset (REAL codec path — RIFF chunk walk, not
+    * the stub). The stream must split into 8..64 whole windows in whole
+    * bands (loud failure otherwise — partial windows would make the last
+    * bit depend on padding policy). Same execution model as
+    * [[decodeCodec]]: repartition by asset, per-partition loop, each WAV
+    * parsed exactly once; output is one narrow row per asset. */
+  def audioFingerprints(assets: Dataset[MediaAsset], win: Int = 8): Dataset[AudioFingerprint] = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(col("modality") === "audio")
+      .repartition(col("assetId"))
+      .mapPartitions { it =>
+        it.map { a =>
+          val (_, samples) = Codec.parseWav(a.bytes)
+          require(samples.length % win == 0,
+            s"${samples.length} samples not whole $win-sample windows")
+          val nw = samples.length / win
+          require(nw % 8 == 0 && nw >= 8 && nw <= 64,
+            s"$nw windows not packable into whole 8-bit bands of one long")
+          val e = new Array[Long](nw)
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            e(i / win) += v * v
+            i += 1
+          }
+          var fp = 0L
+          var w = 0
+          while (w < nw) {
+            if (e(w) > e((w + 1) % nw)) fp |= 1L << w
+            w += 1
+          }
+          AudioFingerprint(a.assetId, fp,
+            Array.tabulate(nw / 8)(j => ((fp >>> (8 * j)) & 255L).toInt))
+        }
+      }
+  }
+
   /** Demo/test asset source: wraps document texts as fake binary payloads
     * (videos get an n_frames metadata entry derived from doc length). */
   def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {

@@ -46,7 +46,8 @@ object MultimodalQueries {
     "mm4_audio_windows" -> mm4,
     "mm5_image_tiles" -> mm5,
     "mm6_scene_cuts" -> mm6,
-    "mm7_image_phash" -> mm7)
+    "mm7_image_phash" -> mm7,
+    "mm8_audio_fingerprint" -> mm8)
 
   /** mm1: per-modality decode statistics — asset/frame counts and mean
     * decoded dimensions after frame-sampling every 2nd frame. */
@@ -203,6 +204,46 @@ object MultimodalQueries {
         "asset_b")
       .select($"asset_a", $"asset_b", $"n_shared_bands",
         ham.as("hamming"), (ham <= DupMaxHamming).as("is_dup"))
+      .orderBy($"asset_a", $"asset_b")
+  }
+
+  /** mm8's near-dup verdict threshold: ≤ [[AudioMaxHamming]] of the 32
+    * energy-difference bits (same operating-point logic as mm7 at half the
+    * bit budget — gain-changed/re-encoded copies land near 0, unrelated
+    * audio centers at ~16). */
+  private val AudioMaxHamming = 6
+
+  /** mm8: audio near-dup candidates via acoustic fingerprinting — the
+    * audio sibling of mm7 and the third member of the modality dedup
+    * family (text dd1–dd13, image mm7, audio mm8). Every WAV fingerprints
+    * once ([[MultimodalPipeline.audioFingerprints]]: real RIFF parse →
+    * 8-sample window energies → 32 wraparound sign-of-difference bits,
+    * amplitude-scale invariant), candidates come from LSH banding on the
+    * 4 fingerprint bytes, and each candidate is verified with the exact
+    * `bit_count(xor)` Hamming distance on the packed fingerprint. The
+    * driver corpus's md5 streams are mutually unrelated so every verdict
+    * is false here; AudioFingerprintSpec plants gain-scaled and
+    * sample-edited copies and pins that banding finds them under the
+    * threshold. Scale shape identical to mm7: narrow at-rest fingerprint
+    * rows, Σ per-bucket-product candidate mass, no raster/stream rescans. */
+  private def mm8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = MultimodalPipeline.codecAssets(s, d)
+    val fps = MultimodalPipeline.audioFingerprints(assets).toDF()
+      .localCheckpoint(eager = false)
+    val bands = fps.select($"assetId", posexplode($"bands").as(Seq("band_idx", "band_val")))
+    val cand = bands.select($"assetId".as("asset_a"), $"band_idx", $"band_val")
+      .join(bands.select($"assetId".as("asset_b"), $"band_idx", $"band_val"),
+        Seq("band_idx", "band_val"))
+      .filter($"asset_a" < $"asset_b")
+      .groupBy($"asset_a", $"asset_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val ham = expr("bit_count(fp_a ^ fp_b)").cast("long")
+    cand
+      .join(fps.select($"assetId".as("asset_a"), $"fp".as("fp_a")), "asset_a")
+      .join(fps.select($"assetId".as("asset_b"), $"fp".as("fp_b")), "asset_b")
+      .select($"asset_a", $"asset_b", $"n_shared_bands",
+        ham.as("hamming"), (ham <= AudioMaxHamming).as("is_dup"))
       .orderBy($"asset_a", $"asset_b")
   }
 
@@ -423,6 +464,53 @@ object MultimodalQueries {
          |       CAST(SUM(f.s3) AS BIGINT) AS sum3
          |FROM allf f JOIN assets a USING (asset_id)
          |GROUP BY a.modality ORDER BY a.modality""".stripMargin,
+    // mm8: rebuild the 256 PCM16 samples from the md5 chain (mm4's
+    // reconstruction — window w's 8 samples ARE block w), re-derive window
+    // energies → 32 wraparound sign bits → packed fingerprint + byte
+    // bands, then the same banded candidate join and bit_count(xor) verify
+    "mm8_audio_fingerprint" ->
+      s"""WITH assets AS (
+         |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 1
+         |),
+         |audb AS (
+         |  SELECT asset_id, b,
+         |         md5(CAST(asset_id AS VARCHAR) || '#aud#' || CAST(b AS VARCHAR)) AS hx
+         |  FROM assets, (SELECT unnest(generate_series(0, 31)) AS b) bb
+         |),
+         |eb AS (
+         |  SELECT asset_id, b, SUM(v * v) AS e FROM (
+         |    SELECT asset_id, b,
+         |           ${hexByte("hx", "2 * m")} * 256 + ${hexByte("hx", "2 * m + 1")} - 32768 AS v
+         |    FROM audb, (SELECT unnest(generate_series(0, 7)) AS m) mm) z
+         |  GROUP BY asset_id, b
+         |),
+         |bits AS (
+         |  SELECT a.asset_id, a.b AS w, CASE WHEN a.e > n.e THEN 1 ELSE 0 END AS bit
+         |  FROM eb a JOIN eb n ON n.asset_id = a.asset_id AND n.b = (a.b + 1) % 32
+         |),
+         |fps AS (
+         |  SELECT asset_id,
+         |         CAST(SUM(bit * (CAST(1 AS BIGINT) << w)) AS BIGINT) AS fp
+         |  FROM bits GROUP BY asset_id
+         |),
+         |bands AS (
+         |  SELECT asset_id, bj, (fp >> (8 * bj)) & 255 AS bv
+         |  FROM fps, (SELECT unnest(generate_series(0, 3)) AS bj) bb
+         |),
+         |cand AS (
+         |  SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON b.bj = a.bj AND b.bv = a.bv AND a.asset_id < b.asset_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.asset_a, c.asset_b, c.n_shared_bands,
+         |       CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming,
+         |       bit_count(xor(fa.fp, fb.fp)) <= $AudioMaxHamming AS is_dup
+         |FROM cand c
+         |JOIN fps fa ON fa.asset_id = c.asset_a
+         |JOIN fps fb ON fb.asset_id = c.asset_b
+         |ORDER BY c.asset_a, c.asset_b""".stripMargin,
     // mm7: rebuild every image's 768 raster bytes from the md5 chain
     // (mm5's reconstruction), re-derive grayscale → 8×8 block sums → the
     // 64 dHash bits → packed halves + row-byte bands, then the same banded

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.build.{DerivedCache, DocTables}
@@ -33,7 +34,8 @@ object TextQueries {
     "tx11_bpe_pairs" -> tx11,
     "tx12_bpe_merges" -> tx12,
     "tx13_bpe_encode" -> tx13,
-    "tx14_cms_topk" -> tx14)
+    "tx14_cms_topk" -> tx14,
+    "tx15_length_profile" -> tx15)
 
   /** Force at-rest posting-index materialization and BPE merge-table
     * training (untimed in Bench — training is ingest-time work like ss5's
@@ -508,6 +510,50 @@ object TextQueries {
       .orderBy(desc("exact_cnt"), $"term")
   }
 
+  /** tx15's quantile positions (nearest-rank / percentile_disc). 0.25/0.5/
+    * 0.75 are exact binary fractions; 0.95/0.99 are not, but both engines
+    * compute rank = ceil(n · q) with the same IEEE double product, so the
+    * cut rows agree bit-for-bit. */
+  private val ProfileQs = Seq(25, 50, 75, 95, 99)
+
+  /** tx15: corpus length profile — EXACT nearest-rank quantiles (min, max,
+    * p25/p50/p75/p95/p99, mean) of document char and whitespace-token
+    * counts, the length-distribution audit every curation run reports
+    * (truncation budgeting, packing-length choice, outlier cut lines).
+    *
+    * The scale-honest formulation: quantiles are read off a VALUE-KEYED
+    * HISTOGRAM (one hash agg over the corpus, shuffle = |distinct
+    * lengths|), then a cumulative window over histogram rows. The window
+    * partitions are bounded by the metric's value domain (≤ max document
+    * length, a corpus constant independent of row count), so no
+    * corpus-sized window partition exists — same boundedness argument as
+    * p05's bucket pass, and the reason this never uses Spark's
+    * `percentile` (whose sort-based exact path moves per-ROW data, and
+    * whose approx path is un-oracle-able). Mean is exact integer sums with
+    * ONE final division (the tx9/tx10 discipline). */
+  private def tx15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.documentsWide(s, d).select(
+      length($"text").cast("long").as("chars"),
+      size(wsTokens($"text")).cast("long").as("tokens"))
+    val hist = m.select(expr("stack(2, 'chars', chars, 'tokens', tokens) AS (metric, v)"))
+      .groupBy($"metric", $"v").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(
+        Window.partitionBy($"metric").orderBy($"v")))
+      .withColumn("tot", sum($"cnt").over(Window.partitionBy($"metric")))
+    val qCols = ProfileQs.map { q =>
+      min(when($"cum" >= ceil($"tot" * lit(q / 100.0)), $"v")).as(s"p$q")
+    }
+    val aggs = Seq(
+      min($"v").as("v_min"),
+      max($"v").as("v_max"),
+      (sum($"v" * $"cnt").cast("double") / max($"tot").cast("double")).as("mean")) ++ qCols
+    cum.groupBy($"metric")
+      .agg(max($"tot").as("n_docs"), aggs: _*)
+      .orderBy($"metric")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
@@ -535,6 +581,33 @@ object TextQueries {
            |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re_tokens,
            |  CAST(length(text) AS BIGINT) AS n_chars
            |FROM documents ORDER BY doc_id""".stripMargin,
+      // tx15: same histogram → cumulative-rank construction; quantile rank
+      // literals use the e0 suffix so DuckDB multiplies in DOUBLE (never
+      // its decimal arithmetic), matching Spark's IEEE product bit-for-bit
+      "tx15_length_profile" ->
+        s"""WITH m AS (
+           |  SELECT 'chars' AS metric, CAST(length(text) AS BIGINT) AS v FROM documents
+           |  UNION ALL
+           |  SELECT 'tokens', CAST(len($wsTokSql) AS BIGINT) FROM documents
+           |),
+           |hist AS (
+           |  SELECT metric, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM m GROUP BY 1, 2
+           |),
+           |cum AS (
+           |  SELECT metric, v, cnt,
+           |         CAST(SUM(cnt) OVER (PARTITION BY metric ORDER BY v) AS BIGINT) AS cum,
+           |         CAST(SUM(cnt) OVER (PARTITION BY metric) AS BIGINT) AS tot
+           |  FROM hist
+           |)
+           |SELECT metric,
+           |  CAST(MAX(tot) AS BIGINT) AS n_docs,
+           |  MIN(v) AS v_min,
+           |  MAX(v) AS v_max,
+           |  CAST(SUM(v * cnt) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS mean,
+           |${ProfileQs.map(q =>
+              s"  MIN(CASE WHEN cum >= ceil(tot * ${q / 100.0}e0) THEN v END) AS p$q")
+              .mkString(",\n")}
+           |FROM cum GROUP BY metric ORDER BY metric""".stripMargin,
       "tx2_quality_score" ->
         s"""WITH t AS (
            |  SELECT doc_id,
