@@ -235,7 +235,7 @@ object DedupQueries {
     }
 
   /** At-rest fingerprint index (doc_id, fp) — see [[fpRowsOf]]. */
-  private def docFp(s: SparkSession, d: String): DataFrame =
+  private[operators] def docFp(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, DocTables.Fingerprints) {
       fpRowsOf(Tables.documents(s, d))
     }

@@ -33,7 +33,8 @@ object PipelineQueries {
     "p05_token_offsets" -> p05,
     "p06_chunk_manifest" -> p06,
     "p07_shard_manifest" -> p07,
-    "p08_epoch_shuffle" -> p08)
+    "p08_epoch_shuffle" -> p08,
+    "p09_dataset_card" -> p09)
 
   /** Quality gate: tx2's score ≥ [[MinQuality]] (which already zeroes
     * docs under 10 tokens) and a token-count ceiling. */
@@ -486,10 +487,62 @@ object PipelineQueries {
       .orderBy($"chunk_id")
   }
 
+  /** p09: the dataset card — the one-row corpus summary every dataset
+    * release ships (docs, chars, languages, tokens, exact-dup count,
+    * vocabulary size, vector count), served ENTIRELY from maintained
+    * at-rest tables (offsets meta for tokens, fingerprint index for dup
+    * rate, posting index for vocabulary) plus two pruned narrow scans
+    * (documents' (lang, n_chars) columns, embeddings' vec_id) — at 100 TB
+    * the card costs a handful of narrow aggregations, never a text
+    * re-tokenization. The five inputs are one-row aggregates cross-joined
+    * (broadcast nested loop over single rows — bounded by construction).
+    * The oracle recomputes every figure from the RAW corpus, so the
+    * declared query doubles as a standing consistency gate between the
+    * maintained state and the data it indexes. */
+  private def p09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tokenOffsets(s, d) // ensure the offsets meta exists
+    val base = Tables.documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_chars").as("total_chars"),
+      countDistinct($"lang").as("n_langs"))
+    val tok = DerivedCache.existing(s, d, OffsetsMetaTable).select($"total_tokens")
+    val uniq = DedupQueries.docFp(s, d).agg(countDistinct($"fp").as("n_unique_docs"))
+    val vocab = TextQueries.postings(s, d).agg(countDistinct($"t").as("n_terms"))
+    val emb = Tables.embeddings(s, d).agg(count(lit(1)).as("n_vectors"))
+    base.crossJoin(tok).crossJoin(uniq).crossJoin(vocab).crossJoin(emb)
+      .select($"n_docs", $"total_chars", $"n_langs", $"total_tokens",
+        $"n_unique_docs", ($"n_docs" - $"n_unique_docs").as("n_exact_dup_docs"),
+        $"n_terms", $"n_vectors")
+  }
+
   def oracleSql: Map[String, String] = {
     val wsTok = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
     val inStop = TextQueries.stop.map(w => s"t = '$w'").mkString("(", " OR ", ")")
     Map(
+      // p09: every card figure recomputed from the RAW corpus — the
+      // maintained tables the Spark side reads must agree or the hash breaks
+      "p09_dataset_card" ->
+        s"""WITH base AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+           |  FROM documents),
+           |tok AS (
+           |  SELECT CAST(COALESCE(SUM(len($wsTok)), 0) AS BIGINT) AS total_tokens
+           |  FROM documents),
+           |uniq AS (
+           |  SELECT CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_unique_docs
+           |  FROM documents),
+           |vocab AS (
+           |  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_terms
+           |  FROM (SELECT unnest($wsTok) AS t FROM documents) z),
+           |emb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings)
+           |SELECT base.n_docs, base.total_chars, base.n_langs, tok.total_tokens,
+           |       uniq.n_unique_docs,
+           |       base.n_docs - uniq.n_unique_docs AS n_exact_dup_docs,
+           |       vocab.n_terms, emb.n_vectors
+           |FROM base, tok, uniq, vocab, emb""".stripMargin,
       "p01_curation" ->
         s"""WITH sig AS (
            |  SELECT doc_id, source, text,

@@ -556,7 +556,7 @@ object TextQueries {
 
   // ---------------------------------------------------------------- oracle --
 
-  private val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
+  private[operators] val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
   private def inSet(v: String, ws: Seq[String]) =
     ws.map(w => s"$v = '$w'").mkString("(", " OR ", ")")
 

@@ -238,4 +238,27 @@ class PipelineSpec extends SparkSpec {
     val again = PipelineQueries.queries("p08_epoch_shuffle")(spark, dir).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("p09 card figures agree with independent raw-corpus recomputes") {
+    import spark.implicits._
+    val card = PipelineQueries.queries("p09_dataset_card")(spark, dir).collect()
+    assert(card.length == 1)
+    val r = card(0)
+    val docs = graft.sources.Tables.documents(spark, dir).cache()
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("total_chars") ==
+      docs.agg(sum($"n_chars")).collect()(0).getLong(0))
+    assert(r.getAs[Long]("n_langs") == docs.select($"lang").distinct().count())
+    // tokens from the maintained meta == a fresh whitespace re-tokenization
+    val freshTokens = docs
+      .select(expr("size(filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0))")
+        .cast("long").as("n"))
+      .agg(sum($"n")).collect()(0).getLong(0)
+    assert(r.getAs[Long]("total_tokens") == freshTokens)
+    assert(r.getAs[Long]("n_unique_docs") + r.getAs[Long]("n_exact_dup_docs") ==
+      r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("n_vectors") ==
+      graft.sources.Tables.embeddings(spark, dir).count())
+    docs.unpersist()
+  }
 }
