@@ -44,6 +44,7 @@ object SparkEntry {
     SessionQueries.warm(spark, dir)
     ReachabilityQueries.warm(spark, dir)
     TextQueries.warm(spark, dir)
+    MultimodalQueries.warm(spark, dir)
     RelationalQueries.warm(spark, dir)
     GraphMetricsQueries.warm(spark, dir)
     PipelineQueries.warm(spark, dir)

@@ -36,5 +36,9 @@ object DocTables {
   val Cms = ("doc_cms", 1)
   val DupPairs = ("dup_pairs", 1)
   val DupClusters = ("dup_clusters", 1)
+  // per-document media fingerprints (mm7 dHash + mm8 acoustic fp) — one
+  // narrow row per image/audio asset; the band layout is baked into the
+  // rows, so changing the hash construction REQUIRES a bump here
+  val MediaFp = ("media_fp", 1)
   val TemporalAdj = ("temporal_adj", 2)
 }

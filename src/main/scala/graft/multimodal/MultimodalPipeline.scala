@@ -111,6 +111,28 @@ object MultimodalPipeline {
       s2: Long,
       s3: Long)
 
+  /** Single-asset generators for the REAL-codec corpus — the ONE place the
+    * (doc key → media bytes) derivation lives, shared by the full corpus
+    * source ([[codecAssets]]) and the ingest-time fingerprint derivation
+    * ([[graft.operators.MultimodalQueries]]'s maintained table), so the
+    * two can never drift. Modality is doc_id mod 3 (0 image, 1 audio,
+    * 2 video). */
+  def imageAsset(id: Long): MediaAsset =
+    MediaAsset(id, "image",
+      Codec.writePpm(16, 16, Codec.contentBytes(s"$id#img", 768)), Map.empty)
+
+  def audioAsset(id: Long): MediaAsset =
+    MediaAsset(id, "audio",
+      Codec.writeWav(8000, Codec.contentSamples(s"$id#aud", 256)), Map.empty)
+
+  def videoAsset(id: Long, nChars: Long): MediaAsset = {
+    val nf = (nChars % 3 + 2).toInt
+    val frames = (0 until nf).map(f =>
+      Codec.writePpm(8, 8, Codec.contentBytes(s"$id#vid#$f", 192)))
+    MediaAsset(id, "video", Codec.writeGrfv(frames),
+      Map("n_frames" -> nf.toString))
+  }
+
   /** REAL-format asset source: actual PPM images, PCM16 WAVs and GRFV frame
     * containers ([[Codec]]), content deterministically derived from the
     * document keys so the decode oracle is end-to-end checkable. */
@@ -121,20 +143,9 @@ object MultimodalPipeline {
       .as[(Long, Long)]
       .map { case (id, n) =>
         (id % 3) match {
-          case 0 =>
-            MediaAsset(id, "image",
-              Codec.writePpm(16, 16, Codec.contentBytes(s"$id#img", 768)),
-              Map.empty)
-          case 1 =>
-            MediaAsset(id, "audio",
-              Codec.writeWav(8000, Codec.contentSamples(s"$id#aud", 256)),
-              Map.empty)
-          case _ =>
-            val nf = (n % 3 + 2).toInt
-            val frames = (0 until nf).map(f =>
-              Codec.writePpm(8, 8, Codec.contentBytes(s"$id#vid#$f", 192)))
-            MediaAsset(id, "video", Codec.writeGrfv(frames),
-              Map("n_frames" -> nf.toString))
+          case 0 => imageAsset(id)
+          case 1 => audioAsset(id)
+          case _ => videoAsset(id, n)
         }
       }
   }

@@ -38,6 +38,8 @@ object Ingest {
       TextQueries.postingRowsOf(docs))
     DerivedCache.table(s, d, DocTables.Cms)(
       TextQueries.cmsRowsOf(docs))
+    DerivedCache.table(s, d, DocTables.MediaFp)(
+      MultimodalQueries.mediaFpRowsOf(docs))
     val pairs = DerivedCache.table(s, d, DocTables.DupPairs)(
       DedupQueries.dupPairRowsOf(sh, bd, fp, Some(sizes)))
     DerivedCache.table(s, d, DocTables.DupClusters)(
@@ -58,6 +60,7 @@ object Ingest {
   def appendDocumentBatch(s: SparkSession, d: String, batch: DataFrame): Unit = {
     DedupQueries.appendDocuments(s, d, batch)
     TextQueries.appendDocuments(s, d, batch)
+    MultimodalQueries.appendDocuments(s, d, batch)
     DedupQueries.appendDupClusters(s, d, batch)
     PipelineQueries.appendOffsets(s, d, batch)
     compactIfNeeded(s, d)
@@ -86,6 +89,7 @@ object Ingest {
     val ids = batch.select("doc_id")
     DedupQueries.deleteDocuments(s, d, ids)
     TextQueries.deleteDocuments(s, d, batch)
+    MultimodalQueries.deleteDocuments(s, d, ids)
     DedupQueries.deleteDupClusters(s, d, ids)
     PipelineQueries.deleteOffsets(s, d, ids)
     compactIfNeeded(s, d)
@@ -99,7 +103,8 @@ object Ingest {
   private[graft] def maintainedDocTables: Seq[(String, Int)] = Seq(
     DocTables.Shingles, DocTables.Minhash, DocTables.Bands,
     DocTables.Fingerprints, DocTables.Sizes, DocTables.Windows,
-    DocTables.Postings, DocTables.Cms, DocTables.DupPairs, DocTables.DupClusters,
+    DocTables.Postings, DocTables.Cms, DocTables.MediaFp,
+    DocTables.DupPairs, DocTables.DupClusters,
     DedupQueries.PrefixTable, DedupQueries.PrefixDfTable,
     DedupQueries.PrefixMetaTable,
     PipelineQueries.OffsetsTable, PipelineQueries.OffsetsMetaTable)

@@ -3,8 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.build.{DerivedCache, DocTables}
 import graft.functions.Exact.{dsum, sqlSum}
 import graft.multimodal.MultimodalPipeline
+import graft.sources.Tables
 
 /** Declared, oracle-checked query over the multimodal pipeline (SURVEY.md §7
   * extensions; round-1 verdict item 9): the full asset → decode →
@@ -168,6 +170,65 @@ object MultimodalQueries {
       .orderBy($"asset_id", $"tile_idx")
   }
 
+  /** Per-document media fingerprint rows (doc_id, modality, sig_lo,
+    * sig_hi, bands) for a documents frame — mm7's image dHash and mm8's
+    * acoustic fingerprint in ONE narrow table (audio packs into sig_lo,
+    * sig_hi 0). Derivations need only the doc key (assets regenerate from
+    * it; a real deployment would read the media store once instead), and
+    * rows are strictly per-document, so the table is append-exact under
+    * batches like the shingle/posting families. */
+  private[operators] def mediaFpRowsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val assets = docs.select($"doc_id").as[Long]
+      .filter((id: Long) => id % 3 == 0 || id % 3 == 1)
+      .map { id =>
+        if (id % 3 == 0) MultimodalPipeline.imageAsset(id)
+        else MultimodalPipeline.audioAsset(id)
+      }
+    val img = MultimodalPipeline.imageHashes(assets).toDF()
+      .select($"assetId".as("doc_id"), lit("image").as("modality"),
+        $"hLo".as("sig_lo"), $"hHi".as("sig_hi"), $"bands")
+    val aud = MultimodalPipeline.audioFingerprints(assets).toDF()
+      .select($"assetId".as("doc_id"), lit("audio").as("modality"),
+        $"fp".as("sig_lo"), lit(0L).as("sig_hi"), $"bands")
+    img.unionAll(aud)
+  }
+
+  /** At-rest media fingerprint table — built once at ingest like every
+    * maintained index ([[graft.operators.Ingest.buildDocumentIndexes]]),
+    * so mm7/mm8's candidate joins scan 26-byte rows and never re-decode a
+    * raster or PCM stream at query time. */
+  private[operators] def mediaFp(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, DocTables.MediaFp)(
+      mediaFpRowsOf(Tables.documents(s, d)))
+
+  /** Incremental maintenance — the media sibling of `TextQueries.
+    * appendDocuments`: fingerprint the NEW batch only and file-append
+    * (per-document rows, so append == rebuild by construction; proven
+    * table-for-table with the rest of the family in DeletionSpec /
+    * StreamingDocumentIngestSpec sweeps). */
+  def appendDocuments(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
+    DerivedCache.append(s, d, DocTables.MediaFp)(mediaFpRowsOf(newDocs))
+    ()
+  }
+
+  /** Deletion mirror — staged anti-join filter-rewrite, the per-document
+    * table treatment (`DedupQueries.deleteDocuments`'s purge shape). */
+  def deleteDocuments(s: SparkSession, d: String, ids: DataFrame): Unit = {
+    val idSet = ids.select(col("doc_id")).distinct()
+    val cur = DerivedCache.existing(s, d, DocTables.MediaFp)
+    DerivedCache.replace(s, d, DocTables.MediaFp)(
+      cur.join(idSet, Seq("doc_id"), "left_anti")
+        .select(cur.columns.map(col): _*))
+  }
+
+  /** Force at-rest fingerprint materialization (untimed in Bench). */
+  def warm(s: SparkSession, d: String): Unit = {
+    mediaFp(s, d)
+    ()
+  }
+
   /** mm7: image near-dup candidates via perceptual hashing — dHash every
     * image once ([[MultimodalPipeline.imageHashes]]: real PPM decode →
     * integer grayscale → 8×8 block grid → 64 row-difference bits), then
@@ -184,11 +245,10 @@ object MultimodalQueries {
     * AQE-skew-splittable; nothing ever rescans a raster. */
   private def mm7(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = MultimodalPipeline.codecAssets(s, d)
-    // one narrow row per image, decoded once; referenced three times below
-    // (band explode + two hash join-backs) so snapshot the tiny table
-    val hashes = MultimodalPipeline.imageHashes(assets).toDF()
-      .localCheckpoint(eager = false)
+    // pushed modality predicate over the maintained at-rest fingerprint
+    // table — nothing re-decodes a raster at query time
+    val hashes = mediaFp(s, d).filter($"modality" === "image")
+      .select($"doc_id".as("assetId"), $"sig_lo", $"sig_hi", $"bands")
     val bands = hashes.select($"assetId", posexplode($"bands").as(Seq("band_idx", "band_val")))
     val cand = bands.select($"assetId".as("asset_a"), $"band_idx", $"band_val")
       .join(bands.select($"assetId".as("asset_b"), $"band_idx", $"band_val"),
@@ -198,9 +258,9 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_shared_bands"))
     val ham = (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)")).cast("long")
     cand
-      .join(hashes.select($"assetId".as("asset_a"), $"hLo".as("lo_a"), $"hHi".as("hi_a")),
+      .join(hashes.select($"assetId".as("asset_a"), $"sig_lo".as("lo_a"), $"sig_hi".as("hi_a")),
         "asset_a")
-      .join(hashes.select($"assetId".as("asset_b"), $"hLo".as("lo_b"), $"hHi".as("hi_b")),
+      .join(hashes.select($"assetId".as("asset_b"), $"sig_lo".as("lo_b"), $"sig_hi".as("hi_b")),
         "asset_b")
       .select($"asset_a", $"asset_b", $"n_shared_bands",
         ham.as("hamming"), (ham <= DupMaxHamming).as("is_dup"))
@@ -228,9 +288,8 @@ object MultimodalQueries {
     * rows, Σ per-bucket-product candidate mass, no raster/stream rescans. */
   private def mm8(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = MultimodalPipeline.codecAssets(s, d)
-    val fps = MultimodalPipeline.audioFingerprints(assets).toDF()
-      .localCheckpoint(eager = false)
+    val fps = mediaFp(s, d).filter($"modality" === "audio")
+      .select($"doc_id".as("assetId"), $"sig_lo".as("fp"), $"bands")
     val bands = fps.select($"assetId", posexplode($"bands").as(Seq("band_idx", "band_val")))
     val cand = bands.select($"assetId".as("asset_a"), $"band_idx", $"band_val")
       .join(bands.select($"assetId".as("asset_b"), $"band_idx", $"band_val"),
