@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exact.{dsum, sqlSum}
 import graft.sources.Tables
 
 /** Declared queries over the [[AsOf]] operator, on the `events` table:
@@ -23,7 +25,8 @@ object AsOfQueries {
     "a01_asof_attribution" -> a01,
     "a04_next_conversion" -> a04,
     "a06_nearest_join" -> a06,
-    "a07_funnel" -> a07)
+    "a07_funnel" -> a07,
+    "a08_time_weighted_avg" -> a08)
 
   private def a01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -105,7 +108,67 @@ object AsOfQueries {
       .orderBy($"event_id")
   }
 
+  /** a08 (interval aggregation): per-user TIME-WEIGHTED average of `value`
+    * — the step-function mean every IoT/market/telemetry pipeline computes
+    * over irregular samples: each event's value holds until the user's next
+    * event, so the mean weights by the holding duration, not the sample
+    * count (a plain AVG over-weights bursts). One `lead` window per user
+    * (the a02/a04 single-shuffle shape; per-user partitions are bounded by
+    * per-user event counts) yields exact integer-microsecond durations;
+    * the weighted sum uses the library's decimal-exact double aggregation
+    * ([[graft.functions.Exact]]) so the result is association-order
+    * independent — identical bits on any cluster size AND on the DuckDB
+    * oracle's different accumulation order. The summand is
+    * `value · (dur/span)` — weights NORMALIZED per row (two IEEE ops,
+    * bit-identical on both engines) rather than `value · dur_µs` summed
+    * then divided, because a µs-weighted product (~1e12) carries more
+    * decimal digits than a double holds, putting the DECIMAL(28,10)
+    * rounding outside the cross-engine-exact regime; the normalized
+    * summand is O(value) where Dec10's rounding is proven bit-stable.
+    * Users whose events all share one instant have zero span and are
+    * excluded (a TWA is undefined there), matching the oracle's HAVING. */
+  private def a08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val steps = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("nxt_us", lead($"us", 1).over(w))
+      .filter($"nxt_us".isNotNull)
+      .withColumn("dur", $"nxt_us" - $"us")
+      .withColumn("span_us", sum($"dur").over(Window.partitionBy($"user_id")))
+      .filter($"span_us" > 0)
+    steps.groupBy($"user_id")
+      .agg(
+        (count(lit(1)) + 1).as("n_events"),
+        max($"span_us").as("span_us"),
+        dsum($"value" * ($"dur".cast("double") / $"span_us".cast("double")))
+          .as("twa"))
+      .select($"user_id", $"n_events", $"span_us", $"twa")
+      .orderBy($"user_id")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "a08_time_weighted_avg" ->
+      s"""WITH st AS (
+         |  SELECT user_id, value, epoch_us(ts) AS us,
+         |         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
+         |  FROM events
+         |),
+         |steps AS (
+         |  SELECT user_id, value, nxt_us - us AS dur FROM st WHERE nxt_us IS NOT NULL
+         |),
+         |spanned AS (
+         |  SELECT user_id, value, dur,
+         |         SUM(dur) OVER (PARTITION BY user_id) AS span_us
+         |  FROM steps
+         |)
+         |SELECT user_id,
+         |       CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+         |       CAST(MAX(span_us) AS BIGINT) AS span_us,
+         |       ${sqlSum("value * (CAST(dur AS DOUBLE) / CAST(span_us AS DOUBLE))")} AS twa
+         |FROM spanned WHERE span_us > 0 GROUP BY user_id
+         |ORDER BY user_id""".stripMargin,
     "a01_asof_attribution" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id, value,

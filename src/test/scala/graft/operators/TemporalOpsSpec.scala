@@ -231,4 +231,48 @@ class TemporalOpsSpec extends SparkSpec {
     assert(f === n, "range-dedup decomposition must equal the naive count")
     assert(f.nonEmpty)
   }
+
+  test("a08 TWA == naive driver-side step-function recompute; constant user is exact") {
+    import spark.implicits._
+    val got = AsOfQueries.queries("a08_time_weighted_avg")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+
+    // naive recompute straight from the definition (collected, per user)
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val steps = sorted.zip(sorted.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      val span = steps.map(_._2).sum
+      if (span > 0) {
+        val (n, s, twa) = got(u)
+        assert(n == rows.length.toLong, s"user $u n_events")
+        assert(s == span, s"user $u span")
+        val expected = steps.map { case (v, dur) => v * (dur.toDouble / span.toDouble) }.sum
+        assert(math.abs(twa - expected) < 1e-9, s"user $u twa $twa vs $expected")
+      } else assert(!got.contains(u), s"zero-span user $u must be excluded")
+    }
+
+    // a constant-valued step function's TWA is that constant, exactly —
+    // weights sum to 1 only up to rounding, so check through the operator
+    val const = Seq((1L, 10L, 1000000L, 7.5), (1L, 11L, 3000000L, 7.5),
+      (1L, 12L, 9000000L, 7.5))
+      .toDF("user_id", "event_id", "us", "value")
+      .select($"user_id", $"event_id",
+        timestamp_micros($"us").as("ts"), $"value")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val steps2 = const
+      .withColumn("nxt", lead(unix_micros($"ts"), 1).over(w))
+      .filter($"nxt".isNotNull)
+      .withColumn("dur", $"nxt" - unix_micros($"ts"))
+      .withColumn("span", sum($"dur").over(Window.partitionBy($"user_id")))
+    val twaConst = steps2.groupBy($"user_id")
+      .agg(graft.functions.Exact.dsum(
+        $"value" * ($"dur".cast("double") / $"span".cast("double"))).as("twa"))
+      .collect()(0).getDouble(1)
+    assert(twaConst == 7.5)
+  }
 }
