@@ -395,6 +395,46 @@ abstract class PlanAuditBase extends SparkSpec {
     assert(unpartitioned.isEmpty,
       s"every window must be bucket-scoped:\n${unpartitioned.mkString("\n")}")
   }
+
+  test("mm7/mm8 scan the at-rest fingerprint table; no decode in the query plan") {
+    for (q <- Seq("mm7_image_phash", "mm8_audio_fingerprint")) {
+      val p = plan(MultimodalQueries.queries(q)(spark, dir))
+      // the candidate join's ONLY input is the narrow maintained media_fp
+      // scan with the modality predicate pushed — re-decoding rasters/PCM
+      // at query time would show up as an object-serialization stage
+      assert(p.split("ReadSchema: ").exists(_.startsWith("struct<doc_id:bigint,modality:string,sig_lo:bigint")),
+        s"$q must read the at-rest media_fp table:\n${p.take(1200)}")
+      assert(p.split("PushedFilters: ").exists(_.contains("EqualTo(modality")),
+        s"$q's modality predicate must push to the scan")
+      assert(!p.contains("SerializeFromObject") && !p.contains("MapPartitions"),
+        s"$q must not decode media at query time:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"$q candidates must come from the band equi-join")
+    }
+  }
+
+  test("tx15 profiles from ONE corpus scan; windows are metric-scoped") {
+    val df = TextQueries.queries("tx15_length_profile")(spark, dir)
+    val p = plan(df)
+    // both metrics derive from a single pass over the text column
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"tx15 must scan the corpus exactly once:\n${p.take(1200)}")
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<doc_id:bigint,text:string")),
+      "the one scan reads only (doc_id, text) — doc_id is documentsWide's compute-spread key")
+    // cumulative windows partition by metric — partitions are bounded by
+    // the value domain, never corpus-sized
+    assert(p.linesIterator.filter(_.contains("Window [")).forall(_.contains("metric")),
+      s"tx15 windows must be metric-partitioned:\n${p.take(1200)}")
+  }
+
+  test("a08 step window is user-partitioned over one events scan") {
+    val p = plan(AsOfQueries.queries("a08_time_weighted_avg")(spark, dir))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"a08 must scan events exactly once:\n${p.take(1200)}")
+    assert(p.linesIterator.filter(_.contains("Window [")).forall(_.contains("user_id")),
+      s"a08 windows must partition by user_id:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "a08 is a pure window+agg plan, no joins")
+  }
 }
 
 /** Plan audits at the tiny scale — the fast default. */
