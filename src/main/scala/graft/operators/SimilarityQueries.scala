@@ -151,7 +151,8 @@ object SimilarityQueries {
     "ss11_range_search" -> ss11,
     "ss12_ivfpq_topk" -> ss12,
     "ss13_filtered_topk" -> ss13,
-    "ss14_hybrid_search" -> ss14)
+    "ss14_hybrid_search" -> ss14,
+    "ss15_range_join" -> ss15)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -846,6 +847,43 @@ object SimilarityQueries {
         (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
       .filter($"cosine" >= RangeTau)
       .orderBy(desc("cosine"), $"vec_id")
+  }
+
+  /** ss15: range JOIN — ss11's radius semantics for a whole QUERY BATCH
+    * (every within-[[RangeTau]] pair between the vec_id%10 batch and the
+    * corpus side), completing the single-probe/batch symmetry the top-k
+    * family already has (ss2 ↔ ss9). The shape is ss9's compressed-domain
+    * scan — batch sigs broadcast under [[KnnBroadcastMaxRowsKey]], the
+    * corpus side streamed — but admission is ss11's STATIC Hamming bound
+    * (a pure per-pair filter, derived at mean + 3.5 sd under the
+    * hyperplane collision model), so unlike the kNN join there is NO
+    * per-query window anywhere: the scan is fully pipelined, and the
+    * float payload is fetched only for admitted pairs through plain
+    * equi-joins that AQE sizes. Output cardinality is radius-dependent
+    * by design (that is what a range join is); the Hamming prefilter is
+    * what keeps the verified fraction ∝ the true result density rather
+    * than batch × corpus. */
+  private def ss15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = index(s, d)
+    val qsig = idx.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"sig".as("qsig"))
+    val csig = idx.filter($"vec_id" % 10 =!= 0)
+      .select($"vec_id".as("nid"), $"sig".as("nsig"))
+    val maxRows = s.conf.getOption(KnnBroadcastMaxRowsKey)
+      .map(_.toLong).getOrElse(KnnBroadcastMaxRowsDefault)
+    val nBatch = EpochMemo.scalar(s, "ss9_batch_rows", d)(qsig.count())
+    val qside = if (nBatch <= maxRows) broadcast(qsig) else qsig
+    val cand = csig.crossJoin(qside)
+      .filter(hammingDist($"nsig", $"qsig") <= RangeHamMax)
+      .select($"qid", $"nid")
+    cand
+      .join(idx.select($"vec_id".as("qid"), $"embedding".as("qe"), $"nsq".as("qn")), "qid")
+      .join(idx.select($"vec_id".as("nid"), $"embedding".as("ne"), $"nsq".as("nn")), "nid")
+      .select($"qid", $"nid",
+        (dotExact($"qe", $"ne") / (sqrt($"qn") * sqrt($"nn"))).as("cosine"))
+      .filter($"cosine" >= RangeTau)
+      .orderBy($"qid", $"nid")
   }
 
   // ------------------------------------------- product quantization (ss7) --
@@ -1735,6 +1773,34 @@ object SimilarityQueries {
          |SELECT v1, v2, dot / (n1 * n2) AS cosine FROM agg
          |WHERE dot / (n1 * n2) >= $Tau
          |ORDER BY v1, v2""".stripMargin,
+    // ss15: ss9's batch × corpus sig pairing with ss11's static Hamming
+    // admission instead of a pool window, exact cosine + radius on the
+    // admitted pairs
+    "ss15_range_join" ->
+      s"""WITH $evSql,
+         |$rsigSql,
+         |cand AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM rsig a JOIN rsig b
+         |    ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+         |  WHERE hamming(a.sig, b.sig) <= $RangeHamMax
+         |),
+         |pairs AS (
+         |  SELECT c.qid, c.nid, a.pos, a.e AS e1, b.e AS e2
+         |  FROM cand c
+         |  JOIN ev a ON a.vec_id = c.qid
+         |  JOIN ev b ON b.vec_id = c.nid AND b.pos = a.pos
+         |),
+         |agg AS (
+         |  SELECT qid, nid,
+         |         ${sqlSum("e1 * e2")} AS dot,
+         |         sqrt(${sqlSum("e1 * e1")}) AS n1,
+         |         sqrt(${sqlSum("e2 * e2")}) AS n2
+         |  FROM pairs GROUP BY qid, nid
+         |)
+         |SELECT qid, nid, dot / (n1 * n2) AS cosine
+         |FROM agg WHERE dot / (n1 * n2) >= $RangeTau
+         |ORDER BY qid, nid""".stripMargin,
     // ss9's oracle: identical per-query Hamming pool (hamming over the
     // rank signature, (ham, nid) ties, KnnPool cut), exact cosine on the
     // pooled pairs, per-query row_number top-k — the same double values

@@ -157,7 +157,27 @@ object RecallAudit {
     val r11 = if (exact11.isEmpty) 1.0
       else approx11.intersect(exact11).size.toDouble / exact11.size
 
-    (single :+ ("ss9_knn_join" -> r9) :+ ("ss11_range_search" -> r11)).toMap
+    // ss15 range join: PAIR-LEVEL set recall vs the exact batch × corpus
+    // radius — ss11's loss axis (Hamming admission can miss an in-radius
+    // pair, bounded ≈ 2e-4 per pair by the 3.5-sd derivation) measured on
+    // the batch shape; precision is 1 by construction (exact verify).
+    val q15 = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), normSqExact($"embedding").as("qn"))
+    val c15 = emb.filter($"vec_id" % 10 =!= 0)
+      .select($"vec_id".as("nid"), $"embedding".as("ne"), normSqExact($"embedding").as("nn"))
+    val exact15 = q15.crossJoin(c15)
+      .select($"qid", $"nid",
+        (dotExact($"qe", $"ne") / (sqrt($"qn") * sqrt($"nn"))).as("c"))
+      .filter($"c" >= SimilarityQueries.RangeTau)
+      .select($"qid", $"nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx15 = qs("ss15_range_join")(s, d)
+      .select($"qid", $"nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r15 = if (exact15.isEmpty) 1.0
+      else approx15.intersect(exact15).size.toDouble / exact15.size
+
+    (single :+ ("ss9_knn_join" -> r9) :+ ("ss11_range_search" -> r11) :+
+      ("ss15_range_join" -> r15)).toMap
   }
 
   /** Recall@[[K]] of the two IVF families as a function of the

@@ -29,6 +29,9 @@ class RecallAuditSpec extends SparkSpec {
     // range search admits to mean + 3.5 sd at the radius (per-vector miss
     // ≈ 2e-4 one-sided), so set recall must sit essentially at 1
     assert(r("ss11_range_search") >= 0.95, s"ss11 range recall = ${r("ss11_range_search")}")
+    // the batch range join shares ss11's admission bound, measured at
+    // pair level over the whole batch
+    assert(r("ss15_range_join") >= 0.95, s"ss15 range recall = ${r("ss15_range_join")}")
     // the IVF-PQ composition is bounded below by min(ss4, ss7)'s floors
     assert(r("ss12_ivfpq_topk") >= 0.8, s"ss12 recall@10 = ${r("ss12_ivfpq_topk")}")
   }
