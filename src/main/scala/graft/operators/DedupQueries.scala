@@ -57,7 +57,8 @@ object DedupQueries {
     "dd12_dup_doc_filter" -> dd12,
     // SemDeDup lives with the vector machinery it composes (trained
     // k-means cells + exact cosine) but belongs to the dedup family
-    "dd13_semdedup" -> SimilarityQueries.semDedup)
+    "dd13_semdedup" -> SimilarityQueries.semDedup,
+    "dd14_online_semdedup" -> SimilarityQueries.semDedupOnline)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -1176,6 +1177,7 @@ object DedupQueries {
 
   def oracleSql: Map[String, String] = Map(
     "dd13_semdedup" -> SimilarityQueries.semDedupOracleSql,
+    "dd14_online_semdedup" -> SimilarityQueries.semDedupOnlineOracleSql,
     "dd11_dup_spans" ->
       s"""WITH $spanSql
          |SELECT doc_id, span_start, span_end, span_len, n_windows

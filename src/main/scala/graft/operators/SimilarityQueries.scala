@@ -1230,6 +1230,58 @@ object SimilarityQueries {
       .orderBy($"vec_id")
   }
 
+  /** dd14: ONLINE SemDeDup — dd13's ingest-day shape, completing the
+    * online dedup family (dd9 lexical, dd10 containment, dd14 semantic):
+    * for each vector of the arriving batch (the vec_id % 10 = 0
+    * convention dd9/ss9 use), its trained cell and the max cosine to any
+    * ALREADY-INDEXED cell-mate (batch × corpus only, like the declared
+    * dd9 — intra-batch resolution is the cluster-append path's job), with
+    * the drop verdict at [[SemTau]]. Cost is batch × cell-occupancy, not
+    * corpus²/k: the batch assigns against the frozen trained centroids
+    * (the maintained ss5 family — no new state), probes only its own
+    * cells' members through one cid equi-join, and aggregates one max per
+    * batch vector. The driver corpus plants no semantic dups, so testdata
+    * verdicts are all false and `max_sim` carries the verified signal;
+    * SemDedupSpec's planted clusters pin the online drop semantics. */
+  private[operators] def semDedupOnline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = kmAssign(s, d, DefaultCells)
+      .join(index(s, d).select($"vec_id", $"embedding"), "vec_id")
+    val batch = m.filter($"vec_id" % 10 === 0)
+    val corpus = m.filter($"vec_id" % 10 =!= 0)
+      .select($"cid", $"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    val sims = batch.join(corpus, "cid")
+      .select($"vec_id", cosineExact($"embedding", $"c_emb").as("cos"))
+      .groupBy($"vec_id").agg(max($"cos").as("max_sim"))
+    kmAssign(s, d, DefaultCells).filter($"vec_id" % 10 === 0)
+      .join(sims, Seq("vec_id"), "left")
+      .select($"vec_id", $"cid", $"max_sim",
+        ($"max_sim".isNotNull && $"max_sim" >= SemTau).as("is_dup"))
+      .orderBy($"vec_id")
+  }
+
+  /** dd14's oracle: [[kmSql]]'s assignment with the pair set restricted to
+    * batch × corpus within a cell. */
+  private[operators] def semDedupOnlineOracleSql: String =
+    s"""WITH $evSql,
+       |$kmSql,
+       |pair AS (
+       |  SELECT b.vec_id, a.vec_id AS c_id,
+       |         ${sqlSum("ea.e * eb.e")} /
+       |           (sqrt(${sqlSum("ea.e * ea.e")}) * sqrt(${sqlSum("eb.e * eb.e")})) AS cos
+       |  FROM af a
+       |  JOIN af b ON a.cid = b.cid AND a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+       |  JOIN ev ea ON ea.vec_id = a.vec_id
+       |  JOIN ev eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
+       |  GROUP BY b.vec_id, a.vec_id
+       |),
+       |sims AS (SELECT vec_id, MAX(cos) AS max_sim FROM pair GROUP BY vec_id)
+       |SELECT af.vec_id, af.cid, s.max_sim,
+       |       (s.max_sim IS NOT NULL AND s.max_sim >= $SemTau) AS is_dup
+       |FROM af LEFT JOIN sims s USING (vec_id)
+       |WHERE af.vec_id % 10 = 0
+       |ORDER BY af.vec_id""".stripMargin
+
   /** dd13's DuckDB oracle — [[kmSql]]'s final assignment (`af`) + the
     * within-cell pairwise exact cosines, max'd per higher id. Exposed to
     * [[DedupQueries]], which declares the query under the dedup family. */

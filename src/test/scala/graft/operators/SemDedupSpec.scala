@@ -81,4 +81,18 @@ class SemDedupSpec extends SparkSpec {
       assert(kept == expMax.forall(_ < 0.9), s"keep decision of $id")
     }
   }
+
+  test("dd14 online verdicts: batch dups of INDEXED content drop; batch-only ignored") {
+    val out = DedupQueries.queries("dd14_online_semdedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // only vec_id % 10 == 0 rows are the batch
+    assert(out.keySet.forall(_ % 10 == 0))
+    // planted bases 100/200/300 are batch rows whose near-dups (101/102,
+    // 201, 301) are corpus-side: each must be flagged as an arriving dup
+    assert(out(100L) && out(200L) && out(300L),
+      "batch vectors duplicating indexed content must be flagged")
+    // spread batch rows (0/10/20/30) are orthogonal to everything — clean
+    assert(Seq(0L, 10L, 20L, 30L).forall(id => !out(id)),
+      "semantically unique batch vectors must pass")
+  }
 }
