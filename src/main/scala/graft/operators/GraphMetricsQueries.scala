@@ -54,6 +54,14 @@ object GraphMetricsQueries {
   /** Label-propagation round cap (component diameter bound). */
   private val MaxRounds = 50
 
+  /** g10's round cap — must match its oracle's unroll depth (the g02
+    * MaxPeel contract): the oracle unrolls exactly this many min-label
+    * rounds as CTEs (propagation is idempotent at the fixpoint, so extra
+    * unrolled rounds are harmless) and the Spark loop THROWS past it.
+    * Within-day contact graphs have single-digit diameters; 24 is a wide
+    * margin that keeps the generated SQL bounded. */
+  private val G10Rounds = 24
+
   /** Fixed power-iteration count for the DECLARED g04 query (the oracle
     * unrolls exactly this many rounds; convergence-threshold stopping would
     * make the oracle's unroll depth data-dependent). */
@@ -470,7 +478,8 @@ object GraphMetricsQueries {
       .map(_.toLong).getOrElse(StateBroadcastMaxDefault)
     val broadcastState = allDayVertices(s, d) <= ceiling
     // labels only decrease, so (count, Σ label) is strictly monotone
-    val state = Fixpoint.iterate(init, MaxRounds, "per-day component labeling") { df =>
+    val state = Fixpoint.iterate(init, G10Rounds,
+      "per-day component labeling (deeper than the oracle unroll — raise G10Rounds in code AND oracle)") { df =>
       val r = df.agg(count(lit(1)), sum($"label")).collect()(0)
       Seq(r.getLong(0), r.getLong(1))
     } { (st, _) =>
@@ -577,29 +586,40 @@ object GraphMetricsQueries {
         |            ELSE 0.0 END AS lcc
         |FROM deg d LEFT JOIN tpv t USING (actor_id)
         |ORDER BY d.actor_id""".stripMargin),
-    // g10: the g03 recursive-enumeration shape with the day key carried
-    // through seed, propagation, and rollup — per-day component labels,
-    // rolled up to the evolution curve
+    // g10: UNROLLED min-label propagation (the g02/g04 unroll discipline)
+    // with the day key carried through every round — each round is one
+    // linear join+agg over the day-keyed undirected edge list, so the
+    // oracle stays tractable at every sf (the g03-style recursive
+    // (label, actor) enumeration is Σ_c |c|² per day and melts down on
+    // sf0.1's near-connected day graphs). Propagation is idempotent at
+    // the fixpoint; the Spark loop throws past G10Rounds, matching.
     "g10_component_evolution" -> EventGraphSql.query(
       s""", de AS MATERIALIZED (
          |  SELECT DISTINCT f.year * 10000 + f.month * 100 + f.day AS dkey,
          |         fi.actor1, fi.actor2
          |  FROM fi JOIN frames f USING (frame_id)
          |),
-         |comp AS (
-         |  WITH RECURSIVE r(dkey, actor_id, label) AS (
-         |    SELECT dkey, actor_id, actor_id FROM (
-         |      SELECT dkey, actor1 AS actor_id FROM de
-         |      UNION SELECT dkey, actor2 FROM de) seeds
-         |    UNION
-         |    SELECT r.dkey,
-         |           CASE WHEN e.actor1 = r.actor_id THEN e.actor2 ELSE e.actor1 END,
-         |           r.label
-         |    FROM r JOIN de e
-         |      ON e.dkey = r.dkey AND (e.actor1 = r.actor_id OR e.actor2 = r.actor_id)
-         |  )
-         |  SELECT dkey, actor_id, MIN(label) AS label FROM r GROUP BY dkey, actor_id
+         |und AS MATERIALIZED (
+         |  SELECT dkey, actor1 AS src, actor2 AS dst FROM de
+         |  UNION ALL SELECT dkey, actor2, actor1 FROM de
          |),
+         |r0 AS MATERIALIZED (
+         |  SELECT DISTINCT dkey, src AS actor_id, src AS label FROM und
+         |)""".stripMargin +
+        (1 to G10Rounds).map { i =>
+          s""",
+             |r$i AS MATERIALIZED (
+             |  SELECT dkey, actor_id, MIN(label) AS label FROM (
+             |    SELECT dkey, actor_id, label FROM r${i - 1}
+             |    UNION ALL
+             |    SELECT e.dkey, e.dst AS actor_id, r.label
+             |    FROM und e JOIN r${i - 1} r
+             |      ON r.dkey = e.dkey AND r.actor_id = e.src
+             |  ) z GROUP BY dkey, actor_id
+             |)""".stripMargin
+        }.mkString +
+      s""",
+         |comp AS (SELECT dkey, actor_id, label FROM r$G10Rounds),
          |sizes AS (
          |  SELECT dkey, label, CAST(COUNT(*) AS BIGINT) AS sz
          |  FROM comp GROUP BY dkey, label
