@@ -35,7 +35,8 @@ object TextQueries {
     "tx12_bpe_merges" -> tx12,
     "tx13_bpe_encode" -> tx13,
     "tx14_cms_topk" -> tx14,
-    "tx15_length_profile" -> tx15)
+    "tx15_length_profile" -> tx15,
+    "tx16_collocations" -> tx16)
 
   /** Force at-rest posting-index materialization and BPE merge-table
     * training (untimed in Bench — training is ingest-time work like ss5's
@@ -554,6 +555,48 @@ object TextQueries {
       .orderBy($"metric")
   }
 
+  /** tx16's inclusion floor (rare pairs have unstable lift) and result
+    * cap (total order makes the cut deterministic). */
+  private val CollMinPair = 5L
+  private val CollTopK = 50
+
+  /** tx16: collocation mining — the phrase-discovery pass (tokenizer
+    * vocabulary work, index phrase tables) ranking adjacent word pairs by
+    * LIFT, the ln-free PMI: `N·c(ab) / (c(a)·c(b))` (PMI's exp — ranks
+    * identically since log is monotone, and the no-`ln` discipline keeps
+    * the oracle hash-exact: the score is two IEEE double products and ONE
+    * division of exact integer counts). Bigram counts pay the corpus scan
+    * (the tx8 shape: one explode + hash agg, Σ tokens rows); unigram
+    * counts and the token total come from the MAINTAINED posting index —
+    * no second text pass. The two unigram joins are term-keyed equi-joins
+    * on the ≥ [[CollMinPair]]-filtered pair table (hot stopword heads are
+    * AQE-splittable, the tx9 argument); the token total is a one-row
+    * cross join. */
+  private def tx16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = wsTokens($"text")
+    val pairs = when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val big = Tables.documentsWide(s, d)
+      .select(explode(pairs).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= CollMinPair)
+    val uni = postings(s, d).groupBy($"t").agg(sum($"tf").as("c"))
+    val tot = uni.agg(sum($"c").as("n_tokens"))
+    big
+      .join(uni.select($"t".as("w1"), $"c".as("c_a")), "w1")
+      .join(uni.select($"t".as("w2"), $"c".as("c_b")), "w2")
+      .crossJoin(tot)
+      .select($"w1", $"w2", $"c_ab", $"c_a", $"c_b",
+        (($"n_tokens".cast("double") * $"c_ab") /
+          ($"c_a".cast("double") * $"c_b")).as("lift"))
+      .orderBy(desc("lift"), $"w1", $"w2")
+      .limit(CollTopK)
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private[operators] val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
@@ -783,6 +826,24 @@ object TextQueries {
            |  FROM (SELECT $wsTokSql AS w FROM documents) z) y
            |GROUP BY bigram
            |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+      // tx16: DuckDB zips the two shifted unnests positionally (same
+      // generate_series length), counts mirror the posting construction,
+      // and the lift is the same two-products-one-division double chain
+      "tx16_collocations" ->
+        s"""WITH toks AS (SELECT unnest($wsTokSql) AS t FROM documents),
+           |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t),
+           |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+           |big AS (
+           |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM (
+           |    SELECT unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+           |           unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+           |    FROM (SELECT $wsTokSql AS w FROM documents) z) y
+           |  GROUP BY w1, w2 HAVING COUNT(*) >= $CollMinPair
+           |)
+           |SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+           |       (CAST(tot.n AS DOUBLE) * b.c_ab) / (CAST(ua.c AS DOUBLE) * ub.c) AS lift
+           |FROM big b JOIN uni ua ON ua.t = b.w1 JOIN uni ub ON ub.t = b.w2, tot
+           |ORDER BY lift DESC, b.w1, b.w2 LIMIT $CollTopK""".stripMargin,
       "tx9_tfidf_terms" ->
         s"""WITH p AS (
            |  SELECT t, doc_id, COUNT(*) AS tf FROM (
