@@ -169,6 +169,58 @@ object MultimodalPipeline {
     * header validation, chunk walking, frame-index extraction), emit
     * integer frame stats. Same execution model as [[decode]]: repartition
     * by asset, per-partition batch loop. */
+  /** One structural-integrity verdict per asset (mm9): container parsed
+    * with the REAL codec, measured byte/frame/unit counts emitted, `ok`
+    * false (with −1 counts) on any malformed container instead of a
+    * failed job — a corrupt blob in a 100-TB ingest must become a row in
+    * a quarantine report, never a dead executor. */
+  final case class IntegrityRow(
+      assetId: Long,
+      modality: String,
+      nBytes: Long,
+      nFrames: Long,
+      nUnits: Long,
+      ok: Boolean)
+
+  /** Parse every asset's container structure and measure it: bytes on the
+    * wire, frames indexed, payload units decoded (pixels / samples).
+    * Per-asset-parallel after one assetId repartition, like every decode
+    * pass here. */
+  def integrity(assets: Dataset[MediaAsset]): Dataset[IntegrityRow] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(col("assetId"))
+      .map { a =>
+        try {
+          a.modality match {
+            case "image" =>
+              val (w, h, _) = Codec.parsePpm(a.bytes)
+              IntegrityRow(a.assetId, a.modality, a.bytes.length.toLong, 1L,
+                w.toLong * h, ok = true)
+            case "audio" =>
+              val (_, samples) = Codec.parseWav(a.bytes)
+              IntegrityRow(a.assetId, a.modality, a.bytes.length.toLong, 1L,
+                samples.length.toLong, ok = true)
+            case _ =>
+              val nf = Codec.grfvFrameCount(a.bytes)
+              var units = 0L
+              var i = 0
+              while (i < nf) {
+                val (w, h, _) = Codec.parsePpm(Codec.readGrfvFrame(a.bytes, i))
+                units += w.toLong * h
+                i += 1
+              }
+              IntegrityRow(a.assetId, a.modality, a.bytes.length.toLong,
+                nf.toLong, units, ok = true)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            IntegrityRow(a.assetId, a.modality, a.bytes.length.toLong, -1L, -1L,
+              ok = false)
+        }
+      }
+  }
+
   def decodeCodec(assets: Dataset[MediaAsset], stride: Int = 1): Dataset[CodecFrame] = {
     import assets.sparkSession.implicits._
     assets

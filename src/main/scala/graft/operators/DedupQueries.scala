@@ -58,7 +58,8 @@ object DedupQueries {
     // SemDeDup lives with the vector machinery it composes (trained
     // k-means cells + exact cosine) but belongs to the dedup family
     "dd13_semdedup" -> SimilarityQueries.semDedup,
-    "dd14_online_semdedup" -> SimilarityQueries.semDedupOnline)
+    "dd14_online_semdedup" -> SimilarityQueries.semDedupOnline,
+    "dd15_band_profile" -> dd15)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -390,6 +391,34 @@ object DedupQueries {
     import s.implicits._
     dupStatsOf(Tables.documents(s, d), spanRowsOf(windows(s, d)))
       .orderBy($"doc_id")
+  }
+
+  /** dd15: band-index skew profile — the occupancy histogram of the
+    * MAINTAINED LSH band index, the diagnostic a 100-TB operator reads
+    * BEFORE launching any banded join (dd3/dd9/ss3): per (band,
+    * occupancy) the bucket count and its candidate-pair contribution
+    * `n_buckets · occ·(occ−1)/2`, whose total IS the exact shuffle mass
+    * of the band-bucket self-join (the quantity BandSkewSpec's AQE
+    * argument is about — a hot bucket shows up here as a high-occ row
+    * long before it shows up as a straggler task). Two keyed hash aggs
+    * over the narrow at-rest index, zero text reads; output is bounded by
+    * |bands| × |distinct occupancies|, corpus-size-free. All-integer, so
+    * hash-exact. */
+  private def dd15(s: SparkSession, d: String): DataFrame =
+    bandProfileOf(minhashBands(s, d))
+
+  /** The dd15 histogram over any (doc_id, band, bh) band frame — split out
+    * so the spec can check it against a directly-counted candidate join. */
+  private[operators] def bandProfileOf(bands: DataFrame): DataFrame = {
+    val s = bands.sparkSession
+    import s.implicits._
+    bands
+      .groupBy($"band".cast("long").as("band"), $"bh")
+      .agg(count(lit(1)).as("occ"))
+      .groupBy($"band", $"occ")
+      .agg(count(lit(1)).as("n_buckets"))
+      .withColumn("cand_pairs", $"n_buckets" * expr("occ * (occ - 1) div 2"))
+      .orderBy($"band", $"occ")
   }
 
   /** dd9: ONLINE dedup — match an ingest batch against the ALREADY-INDEXED
@@ -1015,10 +1044,10 @@ object DedupQueries {
        |WHERE CAST(s.shared AS DOUBLE) / (s1.n + s2.n - s.shared) >= $Tau
        |ORDER BY s.d1, s.d2""".stripMargin
 
-  /** The shared MinHash CTE chain (shingles → per-hash signatures → band
-    * hashes → candidate pairs under `pairPred`) — prefix of dd3's oracle,
-    * reused by dd8 (canonical `d1 < d2` pairs) and dd9 (batch × corpus). */
-  private def mhCandSqlFor(pairPred: String): String =
+  /** The shingles → per-hash signatures → band hashes CTE prefix — the
+    * at-rest band index rebuilt in SQL, shared by the candidate chain
+    * ([[mhCandSqlFor]]) and dd15's occupancy profile. */
+  private lazy val bandsSql: String =
     s"""$shSql,
        |idx AS (SELECT unnest(generate_series(0, ${K - 1})) AS i),
        |mh AS (
@@ -1029,7 +1058,13 @@ object DedupQueries {
        |  SELECT doc_id, i // $BandWidth AS band,
        |         md5(array_to_string(list_sort(list(lpad(CAST(i AS VARCHAR), 2, '0') || ':' || mh)), '|')) AS bh
        |  FROM mh GROUP BY doc_id, i // $BandWidth
-       |),
+       |)""".stripMargin
+
+  /** The shared MinHash CTE chain (shingles → per-hash signatures → band
+    * hashes → candidate pairs under `pairPred`) — prefix of dd3's oracle,
+    * reused by dd8 (canonical `d1 < d2` pairs) and dd9 (batch × corpus). */
+  private def mhCandSqlFor(pairPred: String): String =
+    s"""$bandsSql,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b
@@ -1211,6 +1246,17 @@ object DedupQueries {
     "dd3_minhash_lsh" -> dd3Sql,
     "dd8_minhash_estimate" -> dd8Sql,
     "dd9_online_dedup" -> dd9Sql,
+    // dd15: the oracle rebuilds the band index from raw text (the bands
+    // CTE is dd3's own prefix) and derives the same integer histogram
+    "dd15_band_profile" ->
+      s"""WITH $bandsSql,
+         |occ AS (
+         |  SELECT CAST(band AS BIGINT) AS band, bh, CAST(COUNT(*) AS BIGINT) AS occ
+         |  FROM bands GROUP BY band, bh
+         |)
+         |SELECT band, occ, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |       CAST(COUNT(*) AS BIGINT) * (occ * (occ - 1) // 2) AS cand_pairs
+         |FROM occ GROUP BY band, occ ORDER BY band, occ""".stripMargin,
     // SimHash64 reconstruction: bit b of a token's hash = bit (b mod 4) of
     // the hex nibble at 1-based position 16 - b/4 of md5(token)'s first 16
     // chars (big-endian 8-byte prefix, exactly graft.functions.SimHash.hash64).

@@ -49,7 +49,8 @@ object MultimodalQueries {
     "mm5_image_tiles" -> mm5,
     "mm6_scene_cuts" -> mm6,
     "mm7_image_phash" -> mm7,
-    "mm8_audio_fingerprint" -> mm8)
+    "mm8_audio_fingerprint" -> mm8,
+    "mm9_integrity_audit" -> mm9)
 
   /** mm1: per-modality decode statistics — asset/frame counts and mean
     * decoded dimensions after frame-sampling every 2nd frame. */
@@ -306,6 +307,25 @@ object MultimodalQueries {
       .orderBy($"asset_a", $"asset_b")
   }
 
+  /** mm9: container integrity audit — parse every asset's REAL container
+    * structure ([[MultimodalPipeline.integrity]]: PPM header vs raster,
+    * RIFF chunk walk, GRFV frame index) and emit measured byte / frame /
+    * payload-unit counts plus a per-asset `ok` verdict (malformed blobs
+    * become quarantine rows, never failed jobs). The oracle states what
+    * the bytes MUST measure from the generation formula alone (closed-form
+    * header+payload sizes, no byte parsed), so the hash match proves the
+    * on-wire containers are structurally exactly what the pipeline
+    * believes it wrote — the standing corpus-corruption gate, the
+    * multimodal sibling of p09's maintained-state-vs-raw check. */
+  private def mm9(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    MultimodalPipeline.integrity(MultimodalPipeline.codecAssets(s, d)).toDF()
+      .select($"assetId".as("asset_id"), $"modality",
+        $"nBytes".as("n_bytes"), $"nFrames".as("n_frames"),
+        $"nUnits".as("n_units"), $"ok")
+      .orderBy($"asset_id")
+  }
+
   /** Hex-pair byte value (0..255) at byte index `j` of md5-hex `hx`. */
   private def hexByte(hx: String, j: String) =
     s"((strpos('0123456789abcdef', substring($hx, 2 * ($j) + 1, 1)) - 1) * 16" +
@@ -316,6 +336,25 @@ object MultimodalQueries {
     * 2; dims from the first 4 hex chars of md5(text || "#" || frameIdx),
     * exactly `MultimodalPipeline.decodeStub`. */
   def oracleSql: Map[String, String] = Map(
+    // mm9: closed-form expected sizes from the generation formula — image
+    // PPM = "P6\n16 16\n255\n"(13) + 768 raster; audio WAV = 44-byte
+    // header + 256·2 PCM bytes; video GRFV = 8 + nf·(4 + 11 + 192) with
+    // nf = n_chars%3 + 2. Nothing here parses a byte — the engine side
+    // measures real containers, the oracle derives what they must be.
+    "mm9_integrity_audit" ->
+      s"""WITH assets AS (
+         |  SELECT doc_id AS asset_id,
+         |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |         n_chars
+         |  FROM documents
+         |)
+         |SELECT asset_id, modality,
+         |  CAST(CASE modality WHEN 'image' THEN 781 WHEN 'audio' THEN 556
+         |       ELSE 8 + 207 * (n_chars % 3 + 2) END AS BIGINT) AS n_bytes,
+         |  CAST(CASE modality WHEN 'video' THEN n_chars % 3 + 2 ELSE 1 END AS BIGINT) AS n_frames,
+         |  CAST(CASE modality WHEN 'video' THEN 64 * (n_chars % 3 + 2) ELSE 256 END AS BIGINT) AS n_units,
+         |  TRUE AS ok
+         |FROM assets ORDER BY asset_id""".stripMargin,
     "mm1_decode_stats" ->
       s"""WITH assets AS (
          |  SELECT doc_id AS asset_id,

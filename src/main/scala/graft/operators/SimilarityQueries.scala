@@ -152,7 +152,8 @@ object SimilarityQueries {
     "ss12_ivfpq_topk" -> ss12,
     "ss13_filtered_topk" -> ss13,
     "ss14_hybrid_search" -> ss14,
-    "ss15_range_join" -> ss15)
+    "ss15_range_join" -> ss15,
+    "ss16_cell_profile" -> ss16)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -1140,6 +1141,33 @@ object SimilarityQueries {
       assignTo(evRows(s, d), kmCentroids(s, d, nc))
     }
 
+  /** ss16: cell-occupancy profile of the TRAINED IVF index — dd15's vector
+    * sibling, the balance diagnostic a 100-TB operator reads before
+    * trusting the index: per trained cell the member count, corpus share,
+    * and within-cell pair mass `n·(n−1)/2` (whose total IS dd13's exact
+    * verify cost, and whose max IS the ss5 per-probe scan worst case — a
+    * degenerate quantizer shows up here as one giant cell long before it
+    * shows up as a straggler). One narrow scan of the maintained
+    * assignment table + a cells-bounded agg; zero vector math at query
+    * time. Integers + one division per row, hash-exact; the oracle
+    * re-trains the quantizer in SQL (ss5's `kmSql`) and recounts. */
+  private def ss16(s: SparkSession, d: String): DataFrame =
+    cellProfileOf(kmAssign(s, d, DefaultCells))
+
+  /** The ss16 profile over any (vec_id, cid) assignment frame — split out
+    * so the spec can drive it with planted skewed assignments. */
+  private[operators] def cellProfileOf(assign: DataFrame): DataFrame = {
+    val s = assign.sparkSession
+    import s.implicits._
+    val occ = assign.groupBy($"cid").agg(count(lit(1)).as("n_vecs"))
+    val tot = occ.agg(sum($"n_vecs").as("n"))
+    occ.crossJoin(tot)
+      .select($"cid", $"n_vecs",
+        ($"n_vecs".cast("double") / $"n").as("share"),
+        expr("n_vecs * (n_vecs - 1) div 2").as("cell_pairs"))
+      .orderBy($"cid")
+  }
+
   /** ss5: IVF ANN top-k over the TRAINED quantizer — same query shape as
     * ss4 (rank nProbe cells, exact cosine only inside them), but cells come
     * from [[kmCentroids]] instead of the fixed lowest-id quantizer. The
@@ -1667,6 +1695,17 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, cosine FROM cos, probe WHERE vec_id <> pid
          |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
+    // ss16: retrain the quantizer in SQL (ss5's chain) and recount its
+    // final assignment — integers + one division per row
+    "ss16_cell_profile" ->
+      s"""WITH $evSql,
+         |$kmSql,
+         |occ AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM af GROUP BY cid),
+         |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n FROM occ)
+         |SELECT cid, n_vecs,
+         |       CAST(n_vecs AS DOUBLE) / tot.n AS share,
+         |       n_vecs * (n_vecs - 1) // 2 AS cell_pairs
+         |FROM occ, tot ORDER BY cid""".stripMargin,
     // identical quantization math: scale = max |e|, q = floor(e·127/scale
     // + 0.5), integer dot exact, one fixed double-rescale operation order
     "ss6_sq_rerank" ->

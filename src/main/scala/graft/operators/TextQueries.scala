@@ -36,7 +36,8 @@ object TextQueries {
     "tx13_bpe_encode" -> tx13,
     "tx14_cms_topk" -> tx14,
     "tx15_length_profile" -> tx15,
-    "tx16_collocations" -> tx16)
+    "tx16_collocations" -> tx16,
+    "tx17_zipf_head" -> tx17)
 
   /** Force at-rest posting-index materialization and BPE merge-table
     * training (untimed in Bench — training is ingest-time work like ss5's
@@ -597,6 +598,37 @@ object TextQueries {
       .limit(CollTopK)
   }
 
+  /** Head size of the tx17 rank-frequency profile. */
+  private val ZipfK = 100
+
+  /** tx17: Zipf rank-frequency head — the corpus frequency-distribution
+    * profile (top-[[ZipfK]] terms with rank, count, cumulative coverage,
+    * and the per-term Zipf constant `rank·freq/N`) every curation run
+    * eyeballs before setting stopword/boilerplate thresholds, read off the
+    * MAINTAINED posting index (no text pass). The global top-K is a
+    * `TakeOrderedAndProject` over the term aggregate (never a full sort);
+    * the rank/cumulative window then runs on the ALREADY-LIMITED ≤ K rows,
+    * so the one unpartitioned window here is bounded by construction (the
+    * ss10 discipline). Doubles are each ONE division of exact integers
+    * (coverage = cum/N; zipf_c = (freq·rank)/N with the product exact in
+    * IEEE double), so the oracle stays hash-exact. */
+  private def tx17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val uni = postings(s, d).groupBy($"t").agg(sum($"tf").as("cnt"))
+    val tot = uni.agg(sum($"cnt").as("n_tokens"))
+    val top = uni.orderBy(desc("cnt"), $"t").limit(ZipfK)
+    val w = Window.orderBy(desc("cnt"), $"t")
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt",
+        sum($"cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(tot)
+      .select($"rank", $"t", $"cnt", $"cum_cnt",
+        ($"cum_cnt".cast("double") / $"n_tokens").as("coverage"),
+        (($"cnt".cast("double") * $"rank") / $"n_tokens").as("zipf_c"))
+      .orderBy($"rank")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private[operators] val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
@@ -844,6 +876,23 @@ object TextQueries {
            |       (CAST(tot.n AS DOUBLE) * b.c_ab) / (CAST(ua.c AS DOUBLE) * ub.c) AS lift
            |FROM big b JOIN uni ua ON ua.t = b.w1 JOIN uni ub ON ub.t = b.w2, tot
            |ORDER BY lift DESC, b.w1, b.w2 LIMIT $CollTopK""".stripMargin,
+      // tx17: the oracle recomputes term counts from the raw text (the
+      // posting index is engine state); same deterministic total order,
+      // same one-division doubles over exact integer counts
+      "tx17_zipf_head" ->
+        s"""WITH toks AS (SELECT unnest($wsTokSql) AS t FROM documents),
+           |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY t),
+           |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM uni),
+           |top AS (
+           |  SELECT t, cnt,
+           |         CAST(row_number() OVER (ORDER BY cnt DESC, t) AS BIGINT) AS rank
+           |  FROM uni ORDER BY cnt DESC, t LIMIT $ZipfK
+           |)
+           |SELECT rank, t, cnt,
+           |       CAST(SUM(cnt) OVER (ORDER BY rank) AS BIGINT) AS cum_cnt,
+           |       CAST(SUM(cnt) OVER (ORDER BY rank) AS DOUBLE) / tot.n_tokens AS coverage,
+           |       (CAST(cnt AS DOUBLE) * rank) / tot.n_tokens AS zipf_c
+           |FROM top, tot ORDER BY rank""".stripMargin,
       "tx9_tfidf_terms" ->
         s"""WITH p AS (
            |  SELECT t, doc_id, COUNT(*) AS tf FROM (

@@ -435,6 +435,52 @@ abstract class PlanAuditBase extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       "a08 is a pure window+agg plan, no joins")
   }
+
+  test("a09 anomaly is one events scan + user-partitioned windows, no joins") {
+    val p = plan(SessionQueries.queries("a09_activity_anomaly")(spark, dir))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"a09 must scan events exactly once:\n${p.take(1200)}")
+    assert(p.linesIterator.filter(_.contains("Window [")).forall(_.contains("user_id")),
+      s"a09 windows must partition by user_id:\n${p.take(1200)}")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "a09 is a pure agg+window plan, no joins")
+  }
+
+  test("dd15 profiles the maintained band index — corpus text never read") {
+    val p = plan(DedupQueries.queries("dd15_band_profile")(spark, dir))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"dd15 must scan only the at-rest band table:\n${p.take(1200)}")
+    assert(!p.contains("text:string"), "dd15 must never read document text")
+    assert(p.contains("HashAggregate"), "occupancy/histogram are hash aggs")
+  }
+
+  test("ss16 profiles the maintained assignment table — no vector math in-plan") {
+    val p = plan(SimilarityQueries.queries("ss16_cell_profile")(spark, dir))
+    // the occupancy and total branches each scan the at-rest table; both
+    // must be the column-pruned cid projection of the ASSIGNMENT parquet,
+    // never the embeddings corpus
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("graft-cache")),
+      s"ss16 must scan only at-rest state:\n${p.take(1200)}")
+    assert(p.split("ReadSchema: ").drop(1).forall(_.startsWith("struct<cid:bigint")),
+      s"every scan must prune to the cid column:\n${p.take(1200)}")
+    assert(!p.contains("embedding"), "ss16 must never touch embedding vectors")
+  }
+
+  test("tx17 head reads the posting index only; top-K is TakeOrdered") {
+    val p = plan(TextQueries.queries("tx17_zipf_head")(spark, dir))
+    assert(!p.contains("text:string"), "tx17 must never read document text")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the head must be a map-side partial top-K, never a full sort")
+  }
+
+  test("mm9 integrity audit reads only (doc_id, n_chars) — one narrow scan") {
+    val p = plan(MultimodalQueries.queries("mm9_integrity_audit")(spark, dir))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"mm9 must scan documents exactly once:\n${p.take(1200)}")
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<doc_id:bigint,n_chars:bigint")),
+      s"asset generation needs only (doc_id, n_chars):\n${p.take(1200)}")
+  }
 }
 
 /** Plan audits at the tiny scale — the fast default. */

@@ -1,0 +1,160 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.multimodal.MultimodalPipeline
+
+/** Specs for the round-9 profile/audit batch: a09 (activity anomaly), dd15
+  * (band-index skew profile), ss16 (IVF cell profile), tx17 (Zipf head),
+  * mm9 (container integrity — here its QUARANTINE path, which the
+  * all-well-formed driver corpus and its oracle can never exercise). Each
+  * operator gets a planted fixture pinning its semantics plus, where the
+  * real corpus exercises it, a naive-recompute differential. */
+class ProfileOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ts(day: Int, h: Int): Timestamp =
+    Timestamp.valueOf(f"2024-03-$day%02d $h%02d:00:00")
+
+  test("a09: planted spike flagged; constant and short histories are not") {
+    // user 1: 15 quiet days (2 events) + 1 spike day (40 events). A lone
+    // spike among n otherwise-EQUAL days has z² = n−1 exactly, whatever
+    // its magnitude (all the variance is the spike's own), so n = 16 puts
+    // it at z² = 15 > 9 — and n = 10 would sit exactly AT the 3σ boundary,
+    // where the strict inequality correctly refuses to flag.
+    // user 2: 10 identical days (variance 0 — never anomalous)
+    // user 3: 2 days, one huge — below AnomMinDays, must stay unflagged
+    val rows =
+      (1 to 15).flatMap(d => Seq.fill(2)((1L, ts(d, 1)))) ++
+        Seq.fill(40)((1L, ts(16, 1))) ++
+        (1 to 10).flatMap(d => Seq.fill(5)((2L, ts(d, 2)))) ++
+        Seq.fill(3)((3L, ts(1, 3))) ++ Seq.fill(99)((3L, ts(2, 3)))
+    val ev = rows.toDF("user_id", "ts")
+    val out = SessionQueries.anomalyOf(ev).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getBoolean(5)))
+    val flagged = out.filter(_._3).map(t => (t._1, t._2)).toSet
+    assert(flagged === Set((1L, "2024-03-16")),
+      s"exactly the planted spike must be flagged, got $flagged")
+    assert(out.length === 28, "every (user, day) row is emitted with its verdict")
+
+    // the boundary case pinned explicitly: 9 quiet + 1 spike lands exactly
+    // at z² = 9 and must NOT be flagged (strict >)
+    val boundary = ((1 to 9).flatMap(d => Seq.fill(2)((7L, ts(d, 1)))) ++
+      Seq.fill(1000)((7L, ts(10, 1)))).toDF("user_id", "ts")
+    assert(!SessionQueries.anomalyOf(boundary).collect().exists(_.getBoolean(5)),
+      "a lone spike among 10 days sits exactly at 3σ — strict inequality holds")
+  }
+
+  test("a09: integer 3-sigma verdicts == BigInt naive recompute (real corpus)") {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val got = SessionQueries.anomalyOf(ev).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> r.getBoolean(5)).toMap
+    val daily = ev.select($"user_id", to_date($"ts").cast("string").as("day"))
+      .groupBy($"user_id", $"day").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val naive = daily.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+      val n = BigInt(ds.length)
+      val sum = ds.map(d => BigInt(d._3)).sum
+      val sumSq = ds.map(d => BigInt(d._3) * BigInt(d._3)).sum
+      ds.toSeq.map { case (u, day, cnt) =>
+        val dev = n * cnt - sum
+        (u, day) -> (ds.length >= 3 && dev * dev > 9 * (n * sumSq - sum * sum))
+      }
+    }.toMap
+    assert(got === naive, "engine verdicts must equal the exact BigInt recompute")
+    assert(got.values.exists(identity) || got.size > 300,
+      "fixture sanity: the corpus produced rows")
+  }
+
+  test("dd15: sum(cand_pairs) == the band-bucket self-join's true pair count") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val bands = DedupQueries.bandRowsOf(
+      DedupQueries.minhashRowsOf(DedupQueries.shingleRowsOf(docs))).cache()
+    try {
+      val prof = DedupQueries.bandProfileOf(bands).collect()
+      val totalPairs = prof.map(_.getLong(3)).sum
+      val totalRows = prof.map(r => r.getLong(1) * r.getLong(2)).sum
+      val joinPairs = bands.select($"doc_id".as("d1"), $"band", $"bh")
+        .join(bands.select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
+        .filter($"d1" < $"d2").count()
+      assert(totalPairs === joinPairs,
+        "the histogram's pair mass must equal the actual candidate join size")
+      assert(totalRows === bands.count(), "occupancy mass must conserve band rows")
+    } finally { bands.unpersist(); () }
+  }
+
+  test("ss16: planted skewed assignment profiles exactly; shares sum to 1") {
+    val assign = ((1L to 90L).map(v => (v, 100L)) ++
+      (91L to 99L).map(v => (v, 200L)) ++ Seq((100L, 300L)))
+      .toDF("vec_id", "cid")
+    val prof = SimilarityQueries.cellProfileOf(assign).collect()
+    val byCell = prof.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(byCell(100L) === ((90L, 0.9, 90L * 89L / 2)))
+    assert(byCell(200L) === ((9L, 0.09, 36L)))
+    assert(byCell(300L) === ((1L, 0.01, 0L)))
+    assert(math.abs(prof.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+  }
+
+  test("tx17: head == naive full-sort recompute over the posting rows") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val counts = TextQueries.postingRowsOf(docs)
+      .groupBy($"t").agg(sum($"tf").as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = counts.map(_._2).sum
+    val sorted = counts.sortBy { case (t, c) => (-c, t) }.take(100)
+    val expected = sorted.zipWithIndex.map { case ((t, c), i) =>
+      val cum = sorted.take(i + 1).map(_._2).sum
+      (i + 1L, t, c, cum, cum.toDouble / n, c.toDouble * (i + 1) / n)
+    }
+    val got = TextQueries.queries("tx17_zipf_head")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.nonEmpty && got.last._5 >= got.head._5,
+      "coverage must be monotone non-decreasing")
+  }
+
+  test("mm9: corrupt containers quarantine as ok=false rows, never failures") {
+    val good = Seq(
+      MultimodalPipeline.imageAsset(3L),
+      MultimodalPipeline.audioAsset(4L),
+      MultimodalPipeline.videoAsset(5L, 7L))
+    val bad = Seq(
+      // truncated raster: header promises 16x16x3 bytes that are not there
+      MultimodalPipeline.imageAsset(30L)
+        .copy(assetId = 6L, bytes = MultimodalPipeline.imageAsset(30L).bytes.dropRight(10)),
+      // wrong magic
+      MultimodalPipeline.audioAsset(40L)
+        .copy(assetId = 7L, bytes = "JUNK".getBytes ++ MultimodalPipeline.audioAsset(40L).bytes.drop(4)),
+      // video whose frame index overruns the payload
+      MultimodalPipeline.videoAsset(50L, 8L)
+        .copy(assetId = 8L, bytes = MultimodalPipeline.videoAsset(50L, 8L).bytes.dropRight(50)))
+    val out = MultimodalPipeline.integrity(spark.createDataset(good ++ bad))
+      .collect().map(r => r.assetId -> r).toMap
+    assert(Seq(3L, 4L, 5L).forall(out(_).ok), "well-formed assets pass")
+    assert(out(3L).nUnits === 256 && out(4L).nUnits === 256)
+    assert(out(5L).nFrames === (7 % 3 + 2) && out(5L).nUnits === (7 % 3 + 2) * 64)
+    assert(Seq(6L, 7L, 8L).forall(a => !out(a).ok && out(a).nUnits === -1L),
+      "malformed assets must become quarantine rows")
+  }
+
+  test("mm9: measured sizes equal the generation formula (engine-side oracle mirror)") {
+    val got = MultimodalQueries.queries("mm9_integrity_audit")(spark, dir).collect()
+    assert(got.forall(_.getBoolean(5)), "driver corpus is all well-formed")
+    got.foreach { r =>
+      val (id, mod, nb, nf, nu) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      mod match {
+        case "image" => assert((nb, nf, nu) === ((781L, 1L, 256L)), s"asset $id")
+        case "audio" => assert((nb, nf, nu) === ((556L, 1L, 256L)), s"asset $id")
+        case _ =>
+          assert(nb === 8 + 207 * nf && nu === 64 * nf, s"asset $id")
+      }
+    }
+  }
+}
