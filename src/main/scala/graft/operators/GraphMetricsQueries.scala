@@ -81,7 +81,8 @@ object GraphMetricsQueries {
     "g07_assortativity" -> g07,
     "g08_triadic_closure" -> g08,
     "g09_frame_turnover" -> g09,
-    "g10_component_evolution" -> g10)
+    "g10_component_evolution" -> g10,
+    "g11_degree_histogram" -> g11)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -503,6 +504,32 @@ object GraphMetricsQueries {
       .orderBy($"dkey")
   }
 
+  /** g11: degree-distribution histogram + CCDF — the scale-free check
+    * (Barabási–Albert power-law eyeball) every network study runs first,
+    * and the skew forecast for every per-vertex operator here (a fat tail
+    * in this table is why g05's wedge joins and c11's triangle pyramids
+    * need their guards). Value-keyed histogram like tx15: the degree agg
+    * shuffles |actors| rows once, the histogram is |distinct degrees|
+    * rows, and the CCDF window runs over that value-domain-bounded set —
+    * never corpus-sized. `cum_ge` counts actors with degree ≥ the row's
+    * (the CCDF numerator); `frac_ge` is its one exact division. */
+  private def g11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = GraphCache(s, d)
+    val endpoints = g.interactions.select($"actor1".as("actor_id"))
+      .unionAll(g.interactions.select($"actor2".as("actor_id")))
+    val hist = endpoints.groupBy($"actor_id").agg(count(lit(1)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_actors"))
+    val tot = hist.agg(sum($"n_actors").as("n_total"))
+    val w = Window.orderBy(desc("degree"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_ge", sum($"n_actors").over(w))
+      .crossJoin(tot)
+      .select($"degree", $"n_actors", $"cum_ge",
+        ($"cum_ge".cast("double") / $"n_total").as("frac_ge"))
+      .orderBy($"degree")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   /** Distinct canonical edges on the probe date (matches [[dayEdges]]). */
@@ -700,6 +727,22 @@ object GraphMetricsQueries {
          |       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) /
          |       (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS assortativity
          |FROM agg""".stripMargin),
+    // g11: same endpoint-explode degree as c10, value-keyed histogram,
+    // CCDF window over distinct degrees (RANGE == ROWS: keys are unique)
+    "g11_degree_histogram" -> EventGraphSql.query(
+      """, hist AS (
+        |  SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_actors FROM (
+        |    SELECT actor_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        |      SELECT actor1 AS actor_id FROM inter
+        |      UNION ALL SELECT actor2 FROM inter) e
+        |    GROUP BY actor_id) d
+        |  GROUP BY degree
+        |)
+        |SELECT degree, n_actors,
+        |       CAST(SUM(n_actors) OVER (ORDER BY degree DESC) AS BIGINT) AS cum_ge,
+        |       CAST(SUM(n_actors) OVER (ORDER BY degree DESC) AS DOUBLE)
+        |         / CAST(SUM(n_actors) OVER () AS DOUBLE) AS frac_ge
+        |FROM hist ORDER BY degree""".stripMargin),
     // mirror of g09: per-frame edge-set sizes + a consecutive-frame
     // self-join for the intersection, over the dense frame axis
     "g09_frame_turnover" -> EventGraphSql.query(

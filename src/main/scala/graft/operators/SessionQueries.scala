@@ -44,7 +44,8 @@ object SessionQueries {
     "a02_sessionize" -> a02,
     "a03_session_copresence" -> a03,
     "a05_overlap_join" -> a05,
-    "a09_activity_anomaly" -> a09)
+    "a09_activity_anomaly" -> a09,
+    "a10_retention_cohorts" -> a10)
 
   /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
     * dur_sec), session breaking when the gap to the previous event exceeds
@@ -251,6 +252,33 @@ object SessionQueries {
       .orderBy($"user_id", $"day")
   }
 
+  private def a10(s: SparkSession, d: String): DataFrame =
+    retentionOf(Tables.events(s, d))
+
+  /** a10: retention cohort matrix — the engagement curve behind every
+    * "day-N retention" metric: users bucketed by FIRST-activity day
+    * (cohort), then for each (cohort, day offset) the distinct users still
+    * active, with retention as the one exact division by the cohort's own
+    * day-0 size (present for every cohort by construction — a user's first
+    * day is active). Three keyed shuffles, all on user/day keys
+    * (distinct → first-day agg → equi-join back); output is bounded by
+    * days², never event volume. Integers + one division, hash-exact. */
+  private[operators] def retentionOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val daily = ev.select($"user_id", to_date($"ts").as("day")).distinct()
+    val first = daily.groupBy($"user_id").agg(min($"day").as("cohort"))
+    val r = daily.join(first, "user_id")
+      .groupBy($"cohort", datediff($"day", $"cohort").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+    val day0 = r.filter($"day_offset" === 0L)
+      .select($"cohort", $"n_users".as("cohort_n"))
+    r.join(day0, "cohort")
+      .select($"cohort", $"day_offset", $"n_users", $"cohort_n",
+        ($"n_users".cast("double") / $"cohort_n").as("retention"))
+      .orderBy($"cohort", $"day_offset")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val sessionsSql =
@@ -317,6 +345,22 @@ object SessionQueries {
          |          > 9 * (CAST(n_days AS HUGEINT) * sum_sq
          |                 - CAST(sum_cnt AS HUGEINT) * sum_cnt)) AS is_outlier
          |FROM st ORDER BY user_id, day""".stripMargin,
+    // a10: identical cohort derivation; day-0 self-join supplies the
+    // denominator of the one retention division
+    "a10_retention_cohorts" ->
+      """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fst AS (SELECT user_id, MIN(day) AS cohort FROM daily GROUP BY user_id),
+        |r AS (
+        |  SELECT cohort, CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+        |         CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |  FROM daily d JOIN fst f USING (user_id)
+        |  GROUP BY 1, 2
+        |),
+        |c AS (SELECT cohort, n_users AS cohort_n FROM r WHERE day_offset = 0)
+        |SELECT r.cohort, r.day_offset, r.n_users, c.cohort_n,
+        |       CAST(r.n_users AS DOUBLE) / c.cohort_n AS retention
+        |FROM r JOIN c USING (cohort)
+        |ORDER BY r.cohort, r.day_offset""".stripMargin,
     "a03_session_copresence" -> EventGraphSql.query(
       s""", $sessionsSql,
          |sf AS (

@@ -474,6 +474,24 @@ abstract class PlanAuditBase extends SparkSpec {
       "the head must be a map-side partial top-K, never a full sort")
   }
 
+  test("a10 retention joins stay keyed; events read narrow (user_id, ts)") {
+    val p = plan(SessionQueries.queries("a10_retention_cohorts")(spark, dir))
+    assert(p.split("ReadSchema: ").drop(1).forall(r =>
+        r.startsWith("struct<ts:timestamp") || r.startsWith("struct<user_id:bigint")),
+      s"a10 scans must prune to (user_id, ts):\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cohort joins are keyed equi-joins")
+  }
+
+  test("g11 histogram reads at-rest interactions; CCDF window is histogram-sized") {
+    val p = plan(GraphMetricsQueries.queries("g11_degree_histogram")(spark, dir))
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("graft-cache")),
+      s"g11 must scan only the at-rest graph tables:\n${p.take(1200)}")
+    assert(!p.contains("text:string") && !p.contains("events"),
+      "g11 touches only the interaction table")
+  }
+
   test("mm9 integrity audit reads only (doc_id, n_chars) — one narrow scan") {
     val p = plan(MultimodalQueries.queries("mm9_integrity_audit")(spark, dir))
     assert(p.linesIterator.count(_.contains("FileScan")) == 1,

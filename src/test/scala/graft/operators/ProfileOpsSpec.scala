@@ -119,6 +119,53 @@ class ProfileOpsSpec extends SparkSpec {
       "coverage must be monotone non-decreasing")
   }
 
+  test("a10: planted cohorts retain exactly as constructed") {
+    // cohort 2024-03-01: users 1,2,3; user 1 returns d2 and d3, user 2
+    // returns d3 only; cohort 2024-03-02: user 4, never returns
+    val rows = Seq(
+      (1L, ts(1, 1)), (2L, ts(1, 2)), (3L, ts(1, 3)),
+      (1L, ts(2, 1)), (1L, ts(3, 1)), (2L, ts(3, 2)),
+      (4L, ts(2, 4)))
+    val out = SessionQueries.retentionOf(rows.toDF("user_id", "ts")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      ("2024-03-01", 0L) -> ((3L, 3L, 1.0)),
+      ("2024-03-01", 1L) -> ((1L, 3L, 1.0 / 3)),
+      ("2024-03-01", 2L) -> ((2L, 3L, 2.0 / 3)),
+      ("2024-03-02", 0L) -> ((1L, 1L, 1.0))))
+  }
+
+  test("a10: day-0 retention is 1.0 and cohorts conserve users (real corpus)") {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val out = SessionQueries.retentionOf(ev).collect()
+    assert(out.nonEmpty)
+    assert(out.filter(_.getLong(1) == 0L).forall(_.getDouble(4) == 1.0),
+      "every cohort's day-0 retention is exactly 1.0")
+    assert(out.forall(r => r.getLong(2) <= r.getLong(3)),
+      "no offset can retain more users than the cohort started with")
+    val cohortUsers = out.filter(_.getLong(1) == 0L).map(_.getLong(3)).sum
+    val distinctUsers = ev.select("user_id").distinct().count()
+    assert(cohortUsers === distinctUsers,
+      "cohort day-0 sizes must partition the user population")
+  }
+
+  test("g11: handshake lemma and CCDF invariants (real corpus)") {
+    val out = GraphMetricsQueries.queries("g11_degree_histogram")(spark, dir)
+      .collect()
+    val degreeMass = out.map(r => r.getLong(0) * r.getLong(1)).sum
+    val nInteractions = graft.build.GraphCache(spark, dir).interactions.count()
+    assert(degreeMass === 2 * nInteractions,
+      "sum(degree * n_actors) must equal 2|E| (handshake lemma)")
+    // rows ordered by degree asc; cum_ge counts actors with degree >= row's
+    val cums = out.map(_.getLong(2))
+    assert(cums.zip(cums.drop(1)).forall { case (a, b) => a >= b },
+      "CCDF numerator must be non-increasing in degree")
+    assert(out.head.getLong(2) === out.map(_.getLong(1)).sum,
+      "the lowest degree's cum_ge covers every actor with an edge")
+    assert(out.head.getDouble(3) === 1.0, "CCDF at min degree is exactly 1.0")
+  }
+
   test("mm9: corrupt containers quarantine as ok=false rows, never failures") {
     val good = Seq(
       MultimodalPipeline.imageAsset(3L),
