@@ -45,7 +45,8 @@ object SessionQueries {
     "a03_session_copresence" -> a03,
     "a05_overlap_join" -> a05,
     "a09_activity_anomaly" -> a09,
-    "a10_retention_cohorts" -> a10)
+    "a10_retention_cohorts" -> a10,
+    "a11_transition_matrix" -> a11)
 
   /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
     * dur_sec), session breaking when the gap to the previous event exceeds
@@ -279,6 +280,33 @@ object SessionQueries {
       .orderBy($"cohort", $"day_offset")
   }
 
+  private def a11(s: SparkSession, d: String): DataFrame =
+    transitionsOf(Tables.events(s, d))
+
+  /** a11: event-type transition matrix — the first-order Markov profile of
+    * the behavioral stream (clickstream analysis, bot detection by
+    * impossible transition mixes, sessionization sanity): per ordered
+    * (prev_type → next_type) pair of CONSECUTIVE same-user events, the
+    * count, the source row total, and the transition probability as one
+    * exact division. One user-keyed window pass (the a02/a08 shape, total
+    * order (ts, event_id) for deterministic ties) + one hash agg whose
+    * keyspace is |event types|² — constant output at any event volume. */
+  private[operators] def transitionsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = ev
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = counts.groupBy($"prev_type").agg(sum($"n").as("n_from"))
+    counts.join(fromTot, "prev_type")
+      .select($"prev_type", $"next_type", $"n", $"n_from",
+        ($"n".cast("double") / $"n_from").as("p"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val sessionsSql =
@@ -361,6 +389,24 @@ object SessionQueries {
         |       CAST(r.n_users AS DOUBLE) / c.cohort_n AS retention
         |FROM r JOIN c USING (cohort)
         |ORDER BY r.cohort, r.day_offset""".stripMargin,
+    // a11: same lag-window derivation; DuckDB's SUM(BIGINT) casts back to
+    // BIGINT to mirror Spark's long row totals
+    "a11_transition_matrix" ->
+      """WITH tr AS (
+        |  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (
+        |    SELECT event_type,
+        |           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |             AS prev_type
+        |    FROM events) t
+        |  WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |),
+        |ft AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from FROM tr GROUP BY 1)
+        |SELECT tr.prev_type, tr.next_type, tr.n, ft.n_from,
+        |       CAST(tr.n AS DOUBLE) / ft.n_from AS p
+        |FROM tr JOIN ft USING (prev_type)
+        |ORDER BY tr.prev_type, tr.next_type""".stripMargin,
     "a03_session_copresence" -> EventGraphSql.query(
       s""", $sessionsSql,
          |sf AS (

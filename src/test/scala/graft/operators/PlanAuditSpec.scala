@@ -483,6 +483,16 @@ abstract class PlanAuditBase extends SparkSpec {
       "cohort joins are keyed equi-joins")
   }
 
+  test("a11 transition matrix windows by user over narrow event columns") {
+    val p = plan(SessionQueries.queries("a11_transition_matrix")(spark, dir))
+    assert(p.linesIterator.filter(_.contains("Window [")).forall(_.contains("user_id")),
+      s"a11 windows must partition by user_id:\n${p.take(1200)}")
+    assert(p.split("ReadSchema: ").drop(1).forall(r => !r.contains("props") && !r.contains("value")),
+      "a11 must not read the wide props/value columns")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the row-total join is keyed")
+  }
+
   test("g11 histogram reads at-rest interactions; CCDF window is histogram-sized") {
     val p = plan(GraphMetricsQueries.queries("g11_degree_histogram")(spark, dir))
     val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq

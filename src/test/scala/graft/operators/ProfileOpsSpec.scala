@@ -150,6 +150,32 @@ class ProfileOpsSpec extends SparkSpec {
       "cohort day-0 sizes must partition the user population")
   }
 
+  test("a11: planted transition matrix is exact; rows conserve events") {
+    val rows = Seq(
+      (1L, ts(1, 1), "view"), (1L, ts(1, 2), "view"), (1L, ts(1, 3), "purchase"),
+      (2L, ts(1, 4), "view"), (2L, ts(1, 5), "purchase"),
+      (3L, ts(1, 6), "click"))
+      .zipWithIndex.map { case ((u, t, e), i) => (i.toLong, u, t, e) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = SessionQueries.transitionsOf(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      ("view", "view") -> ((1L, 3L, 1.0 / 3)),
+      ("view", "purchase") -> ((2L, 3L, 2.0 / 3))),
+      "singleton users contribute no transitions; probabilities row-normalize")
+
+    // real corpus: Σ transitions == |events| − |users| (each user emits
+    // n_u − 1 consecutive pairs), and every row's p sums to 1 per source
+    val ev = graft.sources.Tables.events(spark, dir)
+    val real = SessionQueries.transitionsOf(ev).collect()
+    assert(real.map(_.getLong(2)).sum ===
+      ev.count() - ev.select("user_id").distinct().count())
+    val bySource = real.groupBy(_.getString(0))
+    assert(bySource.values.forall(rs => math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-12),
+      "each source row of the matrix must sum to probability 1")
+  }
+
   test("g11: handshake lemma and CCDF invariants (real corpus)") {
     val out = GraphMetricsQueries.queries("g11_degree_histogram")(spark, dir)
       .collect()
