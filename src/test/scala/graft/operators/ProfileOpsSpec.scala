@@ -192,6 +192,17 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out.head.getDouble(3) === 1.0, "CCDF at min degree is exactly 1.0")
   }
 
+  test("g11: histogram == GraphX degrees histogram (north-star differential)") {
+    val g = graft.build.GraphCache(spark, dir)
+    val gx = graft.graph.TemporalGraph.fromEdges(g.frameInteractions)
+      .degrees.groupBy($"degree").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = GraphMetricsQueries.queries("g11_degree_histogram")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel === gx,
+      "relational degree histogram must equal the GraphX mirror's")
+  }
+
   test("mm9: corrupt containers quarantine as ok=false rows, never failures") {
     val good = Seq(
       MultimodalPipeline.imageAsset(3L),
