@@ -67,6 +67,16 @@ object GraphMetricsQueries {
     * make the oracle's unroll depth data-dependent). */
   private val PrIters = 3
 
+  /** Fixed synchronous label-propagation round count for g12 (the g04
+    * discipline: the oracle unrolls exactly this many rounds, so the
+    * declared query iterates a FIXED count — synchronous LPA has no
+    * monotone convergence signature to stop on, and a data-dependent stop
+    * would make the oracle's unroll depth data-dependent). Four rounds
+    * settle the probe-day contact graphs at every test scale; library
+    * callers wanting deeper propagation raise it in code AND oracle
+    * together. */
+  private val LpaRounds = 4
+
   /** Result cap for the declared link-prediction query (total order makes
     * the cut deterministic). */
   private val LpTopK = 100
@@ -82,7 +92,8 @@ object GraphMetricsQueries {
     "g08_triadic_closure" -> g08,
     "g09_frame_turnover" -> g09,
     "g10_component_evolution" -> g10,
-    "g11_degree_histogram" -> g11)
+    "g11_degree_histogram" -> g11,
+    "g12_label_propagation" -> g12)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -530,6 +541,47 @@ object GraphMetricsQueries {
       .orderBy($"degree")
   }
 
+  /** g12: label-propagation communities on the probe-day window — the
+    * classic near-linear community detector (Raghavan/Albert/Kumara 2007),
+    * made fully deterministic: SYNCHRONOUS rounds (every vertex updates
+    * from the previous round's labels — no update-order dependence) and
+    * the ties the original breaks randomly broken by (max count, then MIN
+    * label). [[LpaRounds]] fixed rounds, init label = own id. This is the
+    * community signal g03's components cannot give: a barbell graph is ONE
+    * component but TWO LPA communities (pinned by the planted spec).
+    *
+    * Each round is one equi-join of the undirected edge list against the
+    * vertex-bounded label table (guarded broadcast-or-shuffle, the
+    * g03/g04 mode) + one hash agg per (dst, label) + one argmax — the
+    * argmax as `max(struct(count, -label))`, a second hash agg rather than
+    * a per-vertex window, so map-side partial aggregation applies and no
+    * window partition exists at any scale. The DuckDB oracle unrolls the
+    * same [[LpaRounds]] rounds with the window formulation — the two
+    * argmax encodings must agree exactly (count and label are integers).
+    * At 100 TB: the edge list stays partitioned on `src` across rounds;
+    * per-round shuffle volume is Σ per-vertex distinct neighbor labels,
+    * bounded by |E|. */
+  private def g12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = dayEdges(s, d)
+    // snapshot once: all LpaRounds rounds re-reference the edge list
+    val und = e.select($"actor1".as("src"), $"actor2".as("dst"))
+      .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
+      .localCheckpoint(eager = false)
+    var labels = und.select($"src".as("actor_id")).distinct()
+      .select($"actor_id", $"actor_id".as("label"))
+    for (_ <- 1 to LpaRounds) {
+      val counts = und
+        .join(guarded(s, d, labels.withColumnRenamed("actor_id", "src")), "src")
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+      labels = counts
+        .groupBy($"dst")
+        .agg(max(struct($"c".as("c"), (-$"label").as("nl"))).as("m"))
+        .select($"dst".as("actor_id"), (-$"m.nl").as("label"))
+    }
+    labels.select($"actor_id", $"label".as("community")).orderBy($"actor_id")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   /** Distinct canonical edges on the probe date (matches [[dayEdges]]). */
@@ -842,6 +894,35 @@ object GraphMetricsQueries {
          |JOIN pdeg da ON n.a = da.src
          |JOIN pdeg db ON n.b = db.src
          |ORDER BY n.ra_score DESC, actor_a, actor_b LIMIT $LpTopK""".stripMargin),
+    // g12: UNROLLED synchronous LPA rounds (the g04/g10 discipline) — the
+    // oracle states the per-round argmax as the naive window; the Spark
+    // side's max(struct(c, -label)) agg must pick the identical
+    // (max count, min label) winner
+    "g12_label_propagation" -> EventGraphSql.query(
+      s""", $dayEdgesSql,
+         |und AS MATERIALIZED (
+         |  SELECT actor1 AS src, actor2 AS dst FROM inter_d
+         |  UNION ALL SELECT actor2, actor1 FROM inter_d),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS actor_id, src AS label FROM und)""".stripMargin +
+        (1 to LpaRounds).map { i =>
+          s""",
+             |c$i AS (
+             |  SELECT u.dst AS actor_id, l.label, COUNT(*) AS c
+             |  FROM und u JOIN l${i - 1} l ON u.src = l.actor_id
+             |  GROUP BY u.dst, l.label),
+             |l$i AS MATERIALIZED (
+             |  SELECT actor_id, label FROM (
+             |    SELECT actor_id, label,
+             |           row_number() OVER (PARTITION BY actor_id
+             |                              ORDER BY c DESC, label) AS rn
+             |    FROM c$i) z
+             |  WHERE rn = 1
+             |)""".stripMargin
+        }.mkString +
+        s"""
+           |SELECT actor_id, label AS community FROM l$LpaRounds
+           |ORDER BY actor_id""".stripMargin),
     // every peel CTE is MATERIALIZED: each round references its predecessor
     // twice, so default CTE inlining would expand m16 into 2^16 copies of
     // the edge derivation (observed as a too-many-open-files explosion)

@@ -230,6 +230,61 @@ class GraphMetricsSpec extends SparkSpec {
     assert(relational.nonEmpty)
   }
 
+  /** Driver-side synchronous LPA: mode of the previous round's neighbor
+    * labels, ties to the smallest label — the exact g12 update rule. */
+  private def naiveLpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges ++ edges.map(e => (e._2, e._1))
+    val adj = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var labels = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds)
+      labels = adj.map { case (v, nbrs) =>
+        val counts = nbrs.groupBy(labels).map { case (l, xs) => l -> xs.size }
+        val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+        v -> best
+      }
+    labels
+  }
+
+  test("g12 LPA communities match a naive synchronous recompute") {
+    import spark.implicits._
+    val edges = dayEdges.select($"actor1", $"actor2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = GraphMetricsQueries.queries("g12_label_propagation")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = naiveLpa(edges, 4)
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
+  test("g12 separates barbell communities that g03 merges into one component") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("g12-planted").toString
+    // one DAY, three hourly frames: triangle {1,2,3} at h0, triangle
+    // {4,5,6} at h1, bridge contact {3,4} at h2 — a barbell: ONE connected
+    // component, but LPA resolves the two cliques as distinct communities
+    val t0 = 1700000000L - 30000L // 13:53 UTC — +2h stays on the same day
+    (Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1), (6L, 1), (3L, 2), (4L, 2))
+      .zipWithIndex.map { case ((u, h), i) => (i.toLong, t0 + h * 3600L, u, "x") })
+      .toDF("event_id", "secs", "user_id", "event_type")
+      .select($"event_id", timestamp_seconds($"secs").as("ts"), $"user_id",
+        $"event_type", lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val comp = GraphMetricsQueries.queries("g03_components")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet.size == 1, "barbell must be one component")
+    val lpa = GraphMetricsQueries.queries("g12_label_propagation")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val cliqueA = Set(1L, 2L, 3L).map(lpa)
+    val cliqueB = Set(4L, 5L, 6L).map(lpa)
+    assert(cliqueA.size == 1, s"clique A should agree on one label: $lpa")
+    assert(cliqueB.size == 1, s"clique B should agree on one label: $lpa")
+    assert(cliqueA != cliqueB, s"cliques should form distinct communities: $lpa")
+    // and the update rule itself matches the naive recompute on this shape
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    assert(lpa == naiveLpa(edges, 4))
+  }
+
   test("g10 per-day evolution matches a driver-side union-find recompute") {
     val got = GraphMetricsQueries.queries("g10_component_evolution")(spark, dir)
       .collect()
