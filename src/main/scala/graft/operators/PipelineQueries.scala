@@ -34,7 +34,8 @@ object PipelineQueries {
     "p06_chunk_manifest" -> p06,
     "p07_shard_manifest" -> p07,
     "p08_epoch_shuffle" -> p08,
-    "p09_dataset_card" -> p09)
+    "p09_dataset_card" -> p09,
+    "p10_weighted_sample" -> p10)
 
   /** Quality gate: tx2's score ≥ [[MinQuality]] (which already zeroes
     * docs under 10 tokens) and a token-count ceiling. */
@@ -516,6 +517,49 @@ object PipelineQueries {
         $"n_terms", $"n_vectors")
   }
 
+  /** Expected sample size (in documents) of the declared PPS query — the
+    * budget knob: E[|sample|] = Σ min(1, PpsTarget·wᵢ/W) ≈ PpsTarget, so
+    * the output is ~[[PpsTarget]] rows at ANY corpus scale. */
+  private val PpsTarget = 200L
+
+  /** p10: weighted sampling — each document survives with probability
+    * PROPORTIONAL to its token mass (PPS / Poisson sampling, the
+    * importance-sampling primitive behind token-budget subsampling, data
+    * ablations, and mixture re-weighting by example size; p03 is the
+    * uniform-within-stratum sibling, tx5 the fixed-rate one). The draw is
+    * the p03 construction, with a per-ROW threshold instead of a
+    * per-group one: doc i survives iff
+    * `hash32(doc_id) · W < PpsTarget · wᵢ · 2^32` — no RNG (retries and
+    * other clusters reproduce the identical sample), and the cap
+    * `p = min(1, PpsTarget·wᵢ/W)` is IMPLICIT in the comparison: when
+    * `PpsTarget·wᵢ ≥ W` the right side is ≥ W·2^32, above every possible
+    * `hash32·W`, so oversized documents are always kept with no separate
+    * branch. The comparison runs in DECIMAL(38,0) (HUGEINT in the oracle)
+    * — at the 100 TB end `hash32·W ≈ 2^32·10^14` overflows int64.
+    *
+    * Weights come from the MAINTAINED `doc_offsets` table (the corpus is
+    * never re-tokenized to sample itself); the corpus total W is the O(1)
+    * offsets-meta row. Scale shape: one narrow at-rest scan, a per-row
+    * integer compare against a broadcast one-row total, no shuffle before
+    * the final order — and `p_incl` (one exact division, capped) is
+    * reported so downstream estimators can Horvitz–Thompson-reweight. */
+  private def p10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val off = tokenOffsets(s, d).select($"doc_id", $"n_tokens")
+    val tot = DerivedCache.existing(s, d, OffsetsMetaTable).select($"total_tokens")
+    val hash32 =
+      expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)").cast("long")
+    off.select($"doc_id", $"n_tokens", hash32.as("h"))
+      .crossJoin(broadcast(tot))
+      .filter($"h".cast("decimal(38,0)") * $"total_tokens" <
+        ($"n_tokens" * PpsTarget).cast("decimal(38,0)") * lit(Kmv32))
+      .select($"doc_id", $"n_tokens",
+        least(lit(1.0),
+          ($"n_tokens" * PpsTarget).cast("double") / $"total_tokens".cast("double"))
+          .as("p_incl"))
+      .orderBy($"doc_id")
+  }
+
   def oracleSql: Map[String, String] = {
     val wsTok = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
     val inStop = TextQueries.stop.map(w => s"t = '$w'").mkString("(", " OR ", ")")
@@ -592,6 +636,25 @@ object PipelineQueries {
            |FROM (SELECT c.lang, c.n_docs, t.n_target FROM counts c, tgt t) ct
            |LEFT JOIN kept USING (lang)
            |ORDER BY lang""".stripMargin
+      },
+      // p10: weights recomputed from the RAW text (the maintained offsets
+      // the Spark side reads must agree — the p05 consistency discipline);
+      // the per-row PPS draw mirrors p03's hash construction in HUGEINT
+      "p10_weighted_sample" -> {
+        val h32 = (1 to 8).map { i =>
+          val pow = java.lang.Long.toString(1L << (4 * (8 - i)))
+          s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $pow"
+        }.mkString("(", "\n         + ", ")")
+        s"""WITH t AS (
+           |  SELECT doc_id, CAST(len($wsTok) AS BIGINT) AS n_tokens FROM documents),
+           |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM t)
+           |SELECT doc_id, n_tokens,
+           |       LEAST(1.0e0, CAST(n_tokens * $PpsTarget AS DOUBLE)
+           |                      / CAST(total_tokens AS DOUBLE)) AS p_incl
+           |FROM t, tot
+           |WHERE CAST($h32 AS HUGEINT) * total_tokens
+           |      < CAST(n_tokens * $PpsTarget AS HUGEINT) * $Kmv32
+           |ORDER BY doc_id""".stripMargin
       },
       // dd6's clustering SQL as a CTE + the tx5 hash construction keyed on
       // the CLUSTER id

@@ -261,4 +261,57 @@ class PipelineSpec extends SparkSpec {
       graft.sources.Tables.embeddings(spark, dir).count())
     docs.unpersist()
   }
+
+  test("p10 PPS sample matches a driver-side per-row recompute") {
+    import spark.implicits._
+    val got = PipelineQueries.queries("p10_weighted_sample")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+
+    // independent recompute: weights from a fresh tokenization, the hash
+    // from MessageDigest, the draw in BigInt (never lossy)
+    val w = Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("size(filter(split(lower(trim(text)), '\\\\s+'), t -> length(t) > 0))")
+          .cast("long").as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = w.values.sum
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val expected = w.filter { case (id, nt) =>
+      BigInt(h32(id)) * total < BigInt(200L * nt) * BigInt(4294967296L)
+    }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (nt, p)) =>
+      assert(nt == w(id), s"weight mismatch for $id")
+      assert(p == math.min(1.0, (200L * nt).toDouble / total.toDouble),
+        s"p_incl mismatch for $id")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // expectation sanity: the sample lands near the configured budget
+    assert(got.size > 100 && got.size < 400, s"sample size ${got.size}")
+  }
+
+  test("p10 always keeps a document whose weight saturates the cap") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("p10-heavy").toString
+    // doc 0 carries 900 of 920 tokens: 200·900 ≥ 920 → p_incl = 1, kept
+    // regardless of its hash; light docs keep/lose by their own draw
+    val heavy = (0 until 900).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, heavy)) ++ (1L to 20L).map(i => (i, s"t$i"))
+    docs.toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"), lit("s").as("source"),
+        length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = PipelineQueries.queries("p10_weighted_sample")(spark, tmp).collect()
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId.contains(0L), "saturated doc must always be sampled")
+    assert(byId(0L) == 1.0)
+    // light docs that DID survive report the exact proportional probability
+    byId.removed(0L).values.foreach(p => assert(p == 200.0 / 920.0))
+  }
 }
