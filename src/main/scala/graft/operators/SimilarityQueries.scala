@@ -153,7 +153,8 @@ object SimilarityQueries {
     "ss13_filtered_topk" -> ss13,
     "ss14_hybrid_search" -> ss14,
     "ss15_range_join" -> ss15,
-    "ss16_cell_profile" -> ss16)
+    "ss16_cell_profile" -> ss16,
+    "ss17_mmr_rerank" -> ss17)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -1168,6 +1169,76 @@ object SimilarityQueries {
       .orderBy($"cid")
   }
 
+  /** MMR candidate-pool width (exact-cosine top of the Hamming pool) and
+    * result size. Both are CONSTANTS of the declared query: the greedy
+    * stage touches ≤ MmrPool rel rows + MmrPool² pairwise sims whatever
+    * the corpus size. */
+  private[graft] val MmrPool = 50
+  private[graft] val MmrK = 10
+  /** MMR trade-off λ = 1/2 — relevance and redundancy equally weighted.
+    * Exactly representable in binary, so `λ·rel − (1−λ)·max_sim` is two
+    * exact halvings and one subtraction — bit-identical in any engine. */
+  private val MmrLambda = 0.5
+
+  /** ss17: MMR diversity re-ranking (Carbonell/Goldstein SIGIR'98) — the
+    * post-retrieval stage every RAG/curation deployment runs when the raw
+    * top-k is redundant: greedily pick [[MmrK]] results maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`, ties to the smaller vec_id.
+    * Relevance pool = ss2's Hamming-ranked candidates, exact-cosine-cut to
+    * the top [[MmrPool]]; pairwise sims are exact cosine over that pool.
+    *
+    * Scale shape: the DISTRIBUTED work is ss2's compressed-domain scan
+    * (narrow sig column, TakeOrdered pool) + the exact rerank + one
+    * pool×pool self-join — all bounded by [[MmrPool]] after the scan. The
+    * greedy selection itself is inherently sequential (each pick changes
+    * every remaining score), so it runs on the DRIVER over the collected
+    * ≤ MmrPool + MmrPool² rows — the q20 bounded-collect contract: the
+    * collect is constant-size whatever the corpus, never data-
+    * proportional. The DuckDB oracle unrolls the [[MmrK]] greedy rounds as
+    * CTEs (the tx12/g04 discipline) over the identical exact-cosine
+    * doubles, so the whole greedy trajectory is hash-checked. `max_sim`
+    * over the empty selected set is 0.0 (round 1's score is λ·rel — the
+    * pure-relevance pick). */
+  private def ss17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = index(s, d)
+    val p = probeRow(s, d)
+    val pid = p.getLong(0)
+    val pemb = p.getSeq[Float](1)
+    val psqrtN = math.sqrt(p.getDouble(2))
+    val psig = p.getString(3)
+    val poolIds = idx.filter($"vec_id" =!= pid)
+      .select($"vec_id", hammingDist($"sig", lit(psig)).as("ham"))
+      .orderBy($"ham", $"vec_id").limit(HamPool)
+      .select($"vec_id")
+    // snapshot: the pool is referenced three times (rel + both sim sides)
+    val pool = idx.join(broadcast(poolIds), "vec_id")
+      .select($"vec_id", $"embedding",
+        (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("rel"))
+      .orderBy(desc("rel"), $"vec_id").limit(MmrPool)
+      .localCheckpoint(eager = false)
+    val rel = pool.select($"vec_id", $"rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val sims = pool.select($"vec_id".as("va"), $"embedding".as("ea"))
+      .crossJoin(pool.select($"vec_id".as("vb"), $"embedding".as("eb")))
+      .filter($"va" =!= $"vb")
+      .select($"va", $"vb", cosineExact($"ea", $"eb").as("sim"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val relSorted = rel.sortBy { case (id, r0) => (-r0, id) }.toVector
+    var picked = Vector.empty[(Int, Long, Double, Double, Double)]
+    for (r <- 1 to math.min(MmrK, relSorted.length)) {
+      val chosen = picked.map(_._2).toSet
+      val best = relSorted.iterator.filterNot(c => chosen(c._1)).map { case (id, rl) =>
+        val ms = if (picked.isEmpty) 0.0
+                 else picked.iterator.map(pk => sims((id, pk._2))).max
+        (id, rl, ms, MmrLambda * rl - (1 - MmrLambda) * ms)
+      }.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      picked :+= ((r, best._1, best._2, best._3, best._4))
+    }
+    picked.toDF("mmr_rank", "vec_id", "rel", "max_sim", "mmr")
+      .orderBy($"mmr_rank")
+  }
+
   /** ss5: IVF ANN top-k over the TRAINED quantizer — same query shape as
     * ss4 (rank nProbe cells, exact cosine only inside them), but cells come
     * from [[kmCentroids]] instead of the fixed lowest-id quantizer. The
@@ -1633,6 +1704,61 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, cosine FROM cos
          |ORDER BY cosine DESC, vec_id LIMIT $TopK""".stripMargin,
+    // ss17: the MmrK greedy MMR rounds UNROLLED as CTEs (the tx12/g04
+    // discipline) — pool and rel are ss2's hash-green construction, the
+    // pairwise sims the same exact-cosine formulation, every round's
+    // argmax the identical (mmr DESC, vec_id) total order. sel CTEs are
+    // MATERIALIZED: each is referenced twice per later round (NOT IN +
+    // max-sim join), the g02 inlining-explosion lesson.
+    "ss17_mmr_rerank" -> {
+      val rounds = (2 to MmrK).map { i =>
+        s""",
+           |cand$i AS (
+           |  SELECT p.vec_id, p.rel,
+           |         (SELECT MAX(ps.sim) FROM psim ps JOIN sel${i - 1} s2 ON ps.vb = s2.vec_id
+           |          WHERE ps.va = p.vec_id) AS max_sim
+           |  FROM prel p
+           |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})),
+           |pick$i AS (
+           |  SELECT vec_id, rel, max_sim,
+           |         0.5e0 * rel - 0.5e0 * max_sim AS mmr, $i AS mmr_rank
+           |  FROM cand$i ORDER BY mmr DESC, vec_id LIMIT 1),
+           |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)""".stripMargin
+      }.mkString
+      s"""WITH $evSql,
+         |$rsigSql,
+         |probe AS (SELECT min(vec_id) AS pid FROM embeddings),
+         |psig AS (SELECT sig AS ps FROM rsig, probe WHERE vec_id = pid),
+         |pool AS (
+         |  SELECT r.vec_id
+         |  FROM rsig r, psig, probe WHERE r.vec_id <> pid
+         |  ORDER BY hamming(r.sig, ps), r.vec_id LIMIT $HamPool),
+         |pv AS (SELECT pos, e AS pe FROM ev, probe WHERE vec_id = pid),
+         |cosp AS (
+         |  SELECT ev.vec_id,
+         |         ${sqlSum("ev.e * pv.pe")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("pv.pe * pv.pe")})) AS rel
+         |  FROM ev
+         |  JOIN pool ON ev.vec_id = pool.vec_id
+         |  JOIN pv USING (pos)
+         |  GROUP BY ev.vec_id),
+         |prel AS MATERIALIZED (
+         |  SELECT vec_id, rel FROM cosp ORDER BY rel DESC, vec_id LIMIT $MmrPool),
+         |pe AS MATERIALIZED (SELECT ev.vec_id, ev.pos, ev.e FROM ev JOIN prel USING (vec_id)),
+         |psim AS MATERIALIZED (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |         ${sqlSum("a.e * b.e")} /
+         |           (sqrt(${sqlSum("a.e * a.e")}) * sqrt(${sqlSum("b.e * b.e")})) AS sim
+         |  FROM pe a JOIN pe b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT vec_id, rel, 0.0e0 AS max_sim,
+         |         0.5e0 * rel - 0.5e0 * 0.0e0 AS mmr, 1 AS mmr_rank
+         |  FROM prel ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin + rounds +
+        s"""
+           |SELECT mmr_rank, vec_id, rel, max_sim, mmr FROM sel$MmrK
+           |ORDER BY mmr_rank""".stripMargin
+    },
     "ss4_ivf_topk" ->
       s"""WITH $evSql,
          |cents AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT $DefaultCells),
