@@ -19,7 +19,7 @@ class GraphBroadcastGuardSpec extends SparkSpec {
 
   private val guardedQueries =
     Seq("g02_kcore", "g03_components", "g04_pagerank",
-      "g05_link_prediction", "g07_assortativity")
+      "g05_link_prediction", "g07_assortativity", "g12_label_propagation")
 
   private def run(name: String): DataFrame =
     GraphMetricsQueries.queries(name)(spark, dir)

@@ -337,6 +337,24 @@ abstract class PlanAuditBase extends SparkSpec {
       "p07 must never read the text column")
   }
 
+  test("p10 samples off the maintained offsets; corpus text never read") {
+    val p = plan(PipelineQueries.queries("p10_weighted_sample")(spark, dir))
+    // weights come from the at-rest offsets' narrow (doc_id, n_tokens)
+    // projection; the corpus total is the one-row offsets-meta scan
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<doc_id:bigint,n_tokens:bigint")),
+      s"weights must come from the maintained offsets table:\n${p.take(1200)}")
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<total_tokens:bigint")),
+      "the corpus total must be the one-row offsets-meta scan")
+    assert(!p.split("ReadSchema: ").exists(_.contains("text:string")),
+      "p10 must never read the corpus text")
+    // the one-row total broadcasts; the draw is a per-row filter — the
+    // only exchange in the plan is the final presentation sort
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row total must broadcast")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"p10 must not shuffle before the final order:\n${p.take(1200)}")
+  }
+
   test("tx14 runs entirely off maintained tables — zero text reads") {
     val p = plan(TextQueries.queries("tx14_cms_topk")(spark, dir))
     // the sketch estimates fold the at-rest doc_cms partials (a
