@@ -46,7 +46,8 @@ object SessionQueries {
     "a05_overlap_join" -> a05,
     "a09_activity_anomaly" -> a09,
     "a10_retention_cohorts" -> a10,
-    "a11_transition_matrix" -> a11)
+    "a11_transition_matrix" -> a11,
+    "a12_seasonality" -> a12)
 
   /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
     * dur_sec), session breaking when the gap to the previous event exceeds
@@ -307,6 +308,37 @@ object SessionQueries {
       .orderBy($"prev_type", $"next_type")
   }
 
+  private def a12(s: SparkSession, d: String): DataFrame =
+    seasonalityOf(Tables.events(s, d))
+
+  /** a12: seasonality profile — the (day-of-week × hour-of-day) activity
+    * matrix (events, distinct users, corpus share per cell), the weekly
+    * rhythm fingerprint behind load forecasting, bot detection (humans
+    * have diurnal cycles), and ingest scheduling; completes the
+    * behavioral-profile family (a09 outliers, a10 retention, a11
+    * transitions). Both calendar coordinates are PURE integer arithmetic
+    * on epoch microseconds — `dow = (days_since_epoch + 4) mod 7`
+    * (1970-01-01 was a Thursday; 0 = Sunday), `hour = epoch_hours mod 24`
+    * (UTC by construction) — so no engine's calendar/locale machinery is
+    * in the value path. One hash agg onto ≤ 168 cells (map-side partial,
+    * constant output at any event volume), share as one exact division
+    * by the one-row total. */
+  private[operators] def seasonalityOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val cells = ev
+      .select(expr("(unix_micros(ts) div 86400000000 + 4) % 7").cast("long").as("dow"),
+        expr("(unix_micros(ts) div 3600000000) % 24").cast("long").as("hour"),
+        $"user_id")
+      .groupBy($"dow", $"hour")
+      .agg(count(lit(1)).as("n_events"), countDistinct($"user_id").as("n_users"))
+    val tot = cells.agg(sum($"n_events").as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select($"dow", $"hour", $"n_events", $"n_users",
+        ($"n_events".cast("double") / $"n_total").as("share"))
+      .orderBy($"dow", $"hour")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val sessionsSql =
@@ -354,6 +386,21 @@ object SessionQueries {
          | AND s1.ts_start <= s2.ts_end AND s2.ts_start <= s1.ts_end
          |GROUP BY s1.user_id, s1.session_id
          |ORDER BY s1.user_id, s1.session_id""".stripMargin,
+    // a12: identical epoch-integer calendar arithmetic (no engine calendar
+    // functions in the value path); epoch_us mirrors Spark's unix_micros
+    // on the normalized UTC-instant ts
+    "a12_seasonality" ->
+      """WITH cells AS (
+        |  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        |         (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM cells)
+        |SELECT dow, hour, n_events, n_users,
+        |       CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM cells, tot
+        |ORDER BY dow, hour""".stripMargin,
     // a09: same integer 3σ rewrite; HUGEINT is DuckDB's exact int128, the
     // mirror of Spark's decimal(38,0) products
     "a09_activity_anomaly" ->

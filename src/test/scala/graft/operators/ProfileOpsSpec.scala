@@ -71,6 +71,44 @@ class ProfileOpsSpec extends SparkSpec {
       "fixture sanity: the corpus produced rows")
   }
 
+  test("a12: planted cells land on the right (dow, hour) with exact shares") {
+    // 2024-03-03 (epoch day 19785) is a Sunday → dow 0; 2024-03-04 → dow 1.
+    // Seconds are offset +60 so the events sit strictly inside their hour.
+    def at(day: Long, h: Long): Long = day * 86400L + h * 3600L + 60L
+    val ev = Seq(
+      (1L, at(19785, 5)), (2L, at(19785, 5)), (1L, at(19785, 5)),
+      (3L, at(19786, 13)), (3L, at(19786, 13)))
+      .toDF("user_id", "secs")
+      .select($"user_id", timestamp_seconds($"secs").as("ts"))
+    val got = SessionQueries.seasonalityOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == Set((0L, 5L), (1L, 13L)))
+    assert(got((0L, 5L)) == ((3L, 2L, 3.0 / 5.0)))
+    assert(got((1L, 13L)) == ((2L, 1L, 2.0 / 5.0)))
+  }
+
+  test("a12: epoch arithmetic == the JDK calendar (real corpus) + conservation") {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val got = SessionQueries.seasonalityOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // driver recompute through java.time's calendar — a genuinely
+    // independent dow/hour derivation (ISO DayOfWeek, SUNDAY mapped to 0)
+    val cells = ev.select(col("user_id"), col("ts")).collect().map { r =>
+      val z = r.getTimestamp(1).toInstant.atZone(java.time.ZoneOffset.UTC)
+      ((z.getDayOfWeek.getValue % 7).toLong, z.getHour.toLong, r.getLong(0))
+    }
+    val expected = cells.groupBy(c => (c._1, c._2)).map { case (k, xs) =>
+      k -> (xs.length.toLong, xs.map(_._3).distinct.length.toLong)
+    }
+    assert(got == expected)
+    // conservation: cell masses sum to the corpus, shares to 1
+    assert(got.values.map(_._1).sum == ev.count())
+    val shares = SessionQueries.seasonalityOf(ev).collect().map(_.getDouble(4)).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+  }
+
   test("dd15: sum(cand_pairs) == the band-bucket self-join's true pair count") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val bands = DedupQueries.bandRowsOf(
