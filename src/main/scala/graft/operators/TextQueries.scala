@@ -37,7 +37,8 @@ object TextQueries {
     "tx14_cms_topk" -> tx14,
     "tx15_length_profile" -> tx15,
     "tx16_collocations" -> tx16,
-    "tx17_zipf_head" -> tx17)
+    "tx17_zipf_head" -> tx17,
+    "tx18_rake_phrases" -> tx18)
 
   /** Force at-rest posting-index materialization and BPE merge-table
     * training (untimed in Bench — training is ingest-time work like ss5's
@@ -629,6 +630,56 @@ object TextQueries {
       .orderBy($"rank")
   }
 
+  /** Result size of the declared RAKE query. */
+  private val RakeK = 20
+
+  /** tx18: RAKE keyphrase extraction (Rose et al. 2010) — candidate
+    * phrases are the maximal stopword-free token runs (the [[stop]] list
+    * segments each document), scored by Σ_w deg(w)/freq(w) over the
+    * phrase's words, where freq(w) counts w's occurrences inside
+    * candidates and deg(w) sums the lengths of the phrases containing it
+    * (within-phrase co-occurrence incl. self — RAKE's degree). Top-
+    * [[RakeK]] distinct phrases by (score desc, phrase) — the unsupervised
+    * keyword/topic profile next to tx16's bigram collocations (RAKE finds
+    * arbitrary-length phrases, lift finds statistically-bound pairs).
+    *
+    * All word statistics are integer counts; word score is ONE exact
+    * division, phrase score the decimal-exact [[Exact.dsum]] of its word
+    * scores (order-independent, so two occurrences of the same phrase text
+    * score identically on any partitioning AND on the oracle). Scale
+    * shape: one doc-keyed tokenize+window pass (per-doc partitions — no
+    * corpus-sized window), a vocabulary-keyed stats agg, one word-keyed
+    * score join back, a phrase-keyed rollup, TakeOrdered top-K. */
+  private def tx18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val occ = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", posexplode(wsTokens($"text")).as(Seq("pos", "t")))
+      .withColumn("is_stop", $"t".isInCollection(stop))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val grouped = occ
+      .withColumn("grp", sum(when($"is_stop", 1L).otherwise(0L)).over(w))
+      .filter(!$"is_stop")
+    val withLen = grouped
+      .withColumn("len", count(lit(1)).over(Window.partitionBy($"doc_id", $"grp")))
+    val words = withLen.groupBy($"t")
+      .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
+      .select($"t", ($"deg".cast("double") / $"freq".cast("double")).as("wscore"))
+    val phrases = withLen.join(words, "t")
+      .groupBy($"doc_id", $"grp")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, t))), x -> x.t), ' ')")
+          .as("phrase"),
+        count(lit(1)).as("n_words"),
+        graft.functions.Exact.dsum($"wscore").as("score"))
+    phrases.groupBy($"phrase")
+      .agg(max($"n_words").as("n_words"), count(lit(1)).as("n_occurrences"),
+        max($"score").as("score"))
+      .orderBy(desc("score"), $"phrase")
+      .limit(RakeK)
+      .select($"phrase", $"n_words", $"n_occurrences", $"score")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private[operators] val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
@@ -879,6 +930,39 @@ object TextQueries {
       // tx17: the oracle recomputes term counts from the raw text (the
       // posting index is engine state); same deterministic total order,
       // same one-division doubles over exact integer counts
+      // tx18: same segmentation (cumulative stop count splits phrases),
+      // same integer word stats, same one-division word score, phrase
+      // score through the decimal-exact sqlSum mirror of dsum; positions
+      // via the parallel-unnest generate_series pairing (the evSql pattern)
+      "tx18_rake_phrases" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+           |         unnest(toks) AS t
+           |  FROM (SELECT doc_id, $wsTokSql AS toks FROM documents) z),
+           |grp AS (
+           |  SELECT doc_id, pos, t, ${inSet("t", stop)} AS is_stop,
+           |         SUM(CASE WHEN ${inSet("t", stop)} THEN 1 ELSE 0 END)
+           |           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           |  FROM tok),
+           |occ AS (SELECT doc_id, pos, t, g FROM grp WHERE NOT is_stop),
+           |wl AS (
+           |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS len
+           |  FROM occ GROUP BY doc_id, g),
+           |ws AS (
+           |  SELECT t, CAST(CAST(SUM(len) AS BIGINT) AS DOUBLE)
+           |              / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS wscore
+           |  FROM occ JOIN wl USING (doc_id, g) GROUP BY t),
+           |ph AS (
+           |  SELECT o.doc_id, o.g,
+           |         string_agg(o.t, ' ' ORDER BY o.pos) AS phrase,
+           |         CAST(COUNT(*) AS BIGINT) AS n_words,
+           |         ${graft.functions.Exact.sqlSum("ws.wscore")} AS score
+           |  FROM occ o JOIN ws USING (t)
+           |  GROUP BY o.doc_id, o.g)
+           |SELECT phrase, MAX(n_words) AS n_words,
+           |       CAST(COUNT(*) AS BIGINT) AS n_occurrences, MAX(score) AS score
+           |FROM ph GROUP BY phrase
+           |ORDER BY score DESC, phrase LIMIT $RakeK""".stripMargin,
       "tx17_zipf_head" ->
         s"""WITH toks AS (SELECT unnest($wsTokSql) AS t FROM documents),
            |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY t),
