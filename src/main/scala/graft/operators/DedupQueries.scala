@@ -59,7 +59,8 @@ object DedupQueries {
     // k-means cells + exact cosine) but belongs to the dedup family
     "dd13_semdedup" -> SimilarityQueries.semDedup,
     "dd14_online_semdedup" -> SimilarityQueries.semDedupOnline,
-    "dd15_band_profile" -> dd15)
+    "dd15_band_profile" -> dd15,
+    "dd16_novelty_profile" -> dd16)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -419,6 +420,34 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_buckets"))
       .withColumn("cand_pairs", $"n_buckets" * expr("occ * (occ - 1) div 2"))
       .orderBy($"band", $"occ")
+  }
+
+  /** dd16: novelty profile — per document, the fraction of its shingles
+    * FIRST seen in that document (first = smallest doc_id, the corpus's
+    * ingest/packing order): the "previously-unseen n-gram rate" curve
+    * dedup pipelines plot to find boilerplate saturation and decide where
+    * incremental ingest stops paying (a corpus whose novelty curve decays
+    * to ~0 is re-crawling itself). The dual of dd7's containment: dd7
+    * scores pairs, dd16 charges each REPEATED shingle to every document
+    * after its first.
+    *
+    * Served from the MAINTAINED shingle index (no re-tokenization): one
+    * shingle-keyed min-agg (the global first-occurrence table), one
+    * shingle-keyed equi-join back, one doc-keyed rollup — all linear in
+    * |shingle rows|, never pairwise; hot shingles fan out only to their
+    * own occurrence count (AQE-splittable, the dd3 discipline). Counts
+    * are integers, novelty one exact division. */
+  private def dd16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d)
+    val firstSeen = sh.groupBy($"sg").agg(min($"doc_id").as("first_doc"))
+    sh.join(firstSeen, "sg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        ($"n_novel".cast("double") / $"n_shingles".cast("double")).as("novelty"))
+      .orderBy($"doc_id")
   }
 
   /** dd9: ONLINE dedup — match an ingest batch against the ALREADY-INDEXED
@@ -1257,6 +1286,20 @@ object DedupQueries {
          |SELECT band, occ, CAST(COUNT(*) AS BIGINT) AS n_buckets,
          |       CAST(COUNT(*) AS BIGINT) * (occ * (occ - 1) // 2) AS cand_pairs
          |FROM occ GROUP BY band, occ ORDER BY band, occ""".stripMargin,
+    // dd16: shingles rebuilt from raw text (the dd2 prefix — the
+    // maintained index must agree), first-occurrence by MIN(doc_id)
+    "dd16_novelty_profile" ->
+      s"""WITH $shSql,
+         |fs AS (SELECT sg, MIN(doc_id) AS first_doc FROM sh GROUP BY sg)
+         |SELECT sh.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |       CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_novel,
+         |       CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS novelty
+         |FROM sh JOIN fs USING (sg)
+         |GROUP BY sh.doc_id
+         |ORDER BY sh.doc_id""".stripMargin,
     // SimHash64 reconstruction: bit b of a token's hash = bit (b mod 4) of
     // the hex nibble at 1-based position 16 - b/4 of md5(token)'s first 16
     // chars (big-endian 8-byte prefix, exactly graft.functions.SimHash.hash64).
