@@ -47,7 +47,8 @@ object SessionQueries {
     "a09_activity_anomaly" -> a09,
     "a10_retention_cohorts" -> a10,
     "a11_transition_matrix" -> a11,
-    "a12_seasonality" -> a12)
+    "a12_seasonality" -> a12,
+    "a13_activity_gini" -> a13)
 
   /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
     * dur_sec), session breaking when the gap to the previous event exceeds
@@ -339,6 +340,42 @@ object SessionQueries {
       .orderBy($"dow", $"hour")
   }
 
+  private def a13(s: SparkSession, d: String): DataFrame =
+    giniOf(Tables.events(s, d))
+
+  /** a13: activity concentration — the Gini coefficient of per-user event
+    * counts (0 = everyone equally active, →1 = a few users generate
+    * everything), the one-number inequality summary behind bot/power-user
+    * analysis and the skew forecast for every user-keyed operator here
+    * (a 0.9-Gini corpus is why a02's session windows and a09's history
+    * windows need AQE skew handling). Computed EXACTLY from the
+    * VALUE-KEYED histogram (the tx15/g11 discipline): for activity value
+    * v with k users and `cum` users below it, the sorted-rank identity
+    * Σᵢ(2i−n−1)xᵢ collapses to Σᵥ v·k·(2·cum + k − n) — tied blocks
+    * contribute independently of their internal order, so no corpus-sized
+    * sort exists: one user agg, a histogram agg, a window bounded by the
+    * distinct-value domain, and integer products in DECIMAL(38,0)
+    * (HUGEINT in the oracle — v·k·n overflows int64 at the 100 TB end).
+    * Gini is ONE division of two exactly-computed integers, each pushed
+    * to double by a correctly-rounded cast on both engines. */
+  private[operators] def giniOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val counts = ev.groupBy($"user_id").agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy($"c").agg(count(lit(1)).as("k"))
+    val w = Window.orderBy($"c").rowsBetween(Window.unboundedPreceding, -1)
+    val wc = hist.withColumn("cum", coalesce(sum($"k").over(w), lit(0L)))
+    val tot = wc.agg(sum($"k").as("n"), sum($"c" * $"k").as("mass"))
+    val gnum = wc.crossJoin(broadcast(tot))
+      .select((dec($"c") * dec($"k") *
+        (lit(2) * dec($"cum") + dec($"k") - dec($"n"))).as("contrib"))
+      .agg(sum($"contrib").as("gnum"))
+    gnum.crossJoin(broadcast(tot))
+      .select($"n".as("n_users"), $"mass".as("n_events"),
+        ($"gnum".cast("double") / (dec($"n") * dec($"mass")).cast("double")).as("gini"))
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val sessionsSql =
@@ -401,6 +438,30 @@ object SessionQueries {
         |       CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
         |FROM cells, tot
         |ORDER BY dow, hour""".stripMargin,
+    // a13: the same tied-block Gini identity over the value histogram;
+    // HUGEINT products mirror decimal(38,0), and both exact integers reach
+    // double through correctly-rounded casts (DuckDB via VARCHAR — its
+    // direct HUGEINT/DECIMAL→DOUBLE path is not correctly rounded)
+    "a13_activity_gini" ->
+      """WITH counts AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id),
+        |hist AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS k FROM counts GROUP BY c),
+        |wc AS (
+        |  SELECT c, k,
+        |         CAST(COALESCE(SUM(k) OVER (ORDER BY c
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM hist),
+        |tot AS (
+        |  SELECT CAST(SUM(k) AS BIGINT) AS n, CAST(SUM(c * k) AS BIGINT) AS mass
+        |  FROM hist),
+        |g AS (
+        |  SELECT CAST(SUM(CAST(c AS HUGEINT) * k * (2 * CAST(cum AS HUGEINT) + k - n))
+        |              AS VARCHAR) AS gnum_s
+        |  FROM wc, tot)
+        |SELECT n AS n_users, mass AS n_events,
+        |       CAST(gnum_s AS DOUBLE)
+        |         / CAST(CAST(CAST(n AS HUGEINT) * mass AS VARCHAR) AS DOUBLE) AS gini
+        |FROM g, tot""".stripMargin,
     // a09: same integer 3σ rewrite; HUGEINT is DuckDB's exact int128, the
     // mirror of Spark's decimal(38,0) products
     "a09_activity_anomaly" ->

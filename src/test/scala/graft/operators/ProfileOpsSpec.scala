@@ -109,6 +109,36 @@ class ProfileOpsSpec extends SparkSpec {
     assert(math.abs(shares - 1.0) < 1e-9)
   }
 
+  test("a13: hand-computed Gini on planted count profiles") {
+    def ev(counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, u) =>
+        (1 to c).map(i => (u.toLong, ts(1 + (i % 20), i % 24)))
+      }.toDF("user_id", "ts")
+    // equal activity -> 0
+    assert(SessionQueries.giniOf(ev(Seq(5, 5, 5, 5))).collect()(0).getDouble(2) == 0.0)
+    // [1, 3]: rank identity gives 2 / (2 * 4) = 0.25
+    assert(SessionQueries.giniOf(ev(Seq(1, 3))).collect()(0).getDouble(2) == 0.25)
+    // [1, 1, 8]: 14 / (3 * 10)
+    assert(SessionQueries.giniOf(ev(Seq(1, 1, 8))).collect()(0).getDouble(2) == 14.0 / 30.0)
+    // a lone user is perfectly equal with itself
+    assert(SessionQueries.giniOf(ev(Seq(7))).collect()(0).getDouble(2) == 0.0)
+  }
+
+  test("a13: histogram identity == sorted-rank BigInt recompute (real corpus)") {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val r = SessionQueries.giniOf(ev).collect()(0)
+    val counts = ev.groupBy(col("user_id")).count().collect()
+      .map(_.getLong(1)).sorted
+    val n = counts.length
+    assert(r.getLong(0) == n && r.getLong(1) == counts.sum)
+    val gnum = counts.zipWithIndex.map { case (x, i0) =>
+      BigInt(2L * (i0 + 1) - n - 1) * x
+    }.sum
+    val expected = gnum.toDouble / (BigInt(n) * BigInt(counts.sum)).toDouble
+    assert(r.getDouble(2) == expected)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
   test("dd15: sum(cand_pairs) == the band-bucket self-join's true pair count") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val bands = DedupQueries.bandRowsOf(
