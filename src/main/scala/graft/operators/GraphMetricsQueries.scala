@@ -93,7 +93,8 @@ object GraphMetricsQueries {
     "g09_frame_turnover" -> g09,
     "g10_component_evolution" -> g10,
     "g11_degree_histogram" -> g11,
-    "g12_label_propagation" -> g12)
+    "g12_label_propagation" -> g12,
+    "g13_bfs_hops" -> g13)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -541,6 +542,48 @@ object GraphMetricsQueries {
       .orderBy($"degree")
   }
 
+  /** g13's round cap — shared contract with its oracle: the recursive CTE
+    * bounds exploration at this many hops, the Spark fixpoint throws past
+    * it (the g10/G10Rounds discipline). Probe-day contact graphs have
+    * single-digit diameters; 24 is a wide margin. */
+  private val BfsCap = 24
+
+  /** g13: single-source BFS hop distances from the reference's probe actor
+    * (A3's pa1) on the probe-day window — the STRUCTURAL companion of
+    * g01's temporal reachability: g01 answers "whom can pa1's information
+    * reach respecting time order", g13 answers "how many introductions
+    * away is everyone on that day" (the ego-distance profile behind
+    * small-world analyses and k-hop neighborhood sampling; C9b's 4-hop
+    * common-neighbor query is its fixed-depth special case). Min-distance
+    * propagation to fixpoint — the g03 loop with labels = hop counts:
+    * once a vertex is reached its distance is final (synchronous BFS
+    * layers), so (|reached|, Σ dist) is monotone until convergence. Per
+    * round: one equi-join of the undirected edge list against the guarded
+    * vertex-bounded state + one min-agg. Unreached actors are absent, as
+    * in g01. */
+  private def g13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = GraphCache(s, d)
+    val pa1 = g.probes.pa1
+    val e = dayEdges(s, d)
+    val und = e.select($"actor1".as("src"), $"actor2".as("dst"))
+      .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
+      .localCheckpoint(eager = false)
+    val init = Seq((pa1, 0L)).toDF("actor_id", "dist")
+    val state = Fixpoint.iterate(init, BfsCap,
+      "BFS hop propagation (deeper than the oracle bound — raise BfsCap in code AND oracle)") { df =>
+      val r = df.agg(count(lit(1)), sum($"dist")).collect()(0)
+      Seq(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    } { (st, _) =>
+      val cand = und
+        .join(guarded(s, d, st.withColumnRenamed("actor_id", "src")), "src")
+        .select($"dst".as("actor_id"), ($"dist" + 1L).as("dist"))
+      st.unionAll(cand)
+        .groupBy($"actor_id").agg(min($"dist").as("dist"))
+    }
+    state.select($"actor_id", $"dist".as("hops")).orderBy($"actor_id")
+  }
+
   /** g12: label-propagation communities on the probe-day window — the
     * classic near-linear community detector (Raghavan/Albert/Kumara 2007),
     * made fully deterministic: SYNCHRONOUS rounds (every vertex updates
@@ -715,6 +758,26 @@ object GraphMetricsQueries {
          |SELECT r2.dkey, r2.n_actors, ec.n_edges, r2.n_components, r2.largest
          |FROM rollup2 r2 JOIN ec USING (dkey)
          |ORDER BY r2.dkey""".stripMargin),
+    // g13: recursive (actor, hop) enumeration from the probe actor, the
+    // g01 oracle shape with hop counts instead of frames; the dd bound
+    // mirrors the Spark loop's BfsCap (UNION dedup + the bound keep the
+    // recursion at <= cap * |actors| pairs)
+    "g13_bfs_hops" -> EventGraphSql.query(
+      s""", $dayEdgesSql,
+         |bfs AS (
+         |  WITH RECURSIVE b(actor_id, dd) AS (
+         |    SELECT pa1, CAST(0 AS BIGINT) FROM probe_a1
+         |    UNION
+         |    SELECT CASE WHEN e.actor1 = b.actor_id THEN e.actor2 ELSE e.actor1 END,
+         |           b.dd + 1
+         |    FROM b JOIN inter_d e
+         |      ON (e.actor1 = b.actor_id OR e.actor2 = b.actor_id)
+         |    WHERE b.dd < $BfsCap
+         |  )
+         |  SELECT actor_id, MIN(dd) AS hops FROM b GROUP BY actor_id
+         |)
+         |SELECT actor_id, hops FROM bfs
+         |ORDER BY actor_id""".stripMargin),
     // same recursive-enumeration shape as the g01 oracle: (actor, label)
     // pairs spread along day edges, UNION-deduped, min label per actor
     "g03_components" -> EventGraphSql.query(

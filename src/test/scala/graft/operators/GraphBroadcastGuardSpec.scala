@@ -19,7 +19,8 @@ class GraphBroadcastGuardSpec extends SparkSpec {
 
   private val guardedQueries =
     Seq("g02_kcore", "g03_components", "g04_pagerank",
-      "g05_link_prediction", "g07_assortativity", "g12_label_propagation")
+      "g05_link_prediction", "g07_assortativity", "g12_label_propagation",
+      "g13_bfs_hops")
 
   private def run(name: String): DataFrame =
     GraphMetricsQueries.queries(name)(spark, dir)
@@ -35,7 +36,7 @@ class GraphBroadcastGuardSpec extends SparkSpec {
     * returned frame's analyzed plan is a LogicalRDD and cannot carry the
     * in-loop hints — their hint discipline is pinned at the [[guarded]]
     * helper level below instead. */
-  private val loopInteriorOnly = Set("g03_components")
+  private val loopInteriorOnly = Set("g03_components", "g13_bfs_hops")
 
   private def shuffleHashHints(df: DataFrame) =
     df.queryExecution.analyzed.collect {

@@ -285,6 +285,30 @@ class GraphMetricsSpec extends SparkSpec {
     assert(lpa == naiveLpa(edges, 4))
   }
 
+  test("g13 BFS hops match a driver-side breadth-first recompute") {
+    import spark.implicits._
+    val pa1 = GraphCache(spark, dir).probes.pa1
+    val got = GraphMetricsQueries.queries("g13_bfs_hops")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.get(pa1).contains(0L), "the probe actor is at distance 0")
+
+    val edges = dayEdges.select($"actor1", $"actor2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val dist = scala.collection.mutable.Map(pa1 -> 0L)
+    var frontier = Set(pa1)
+    var dLevel = 0L
+    while (frontier.nonEmpty) {
+      dLevel += 1
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = dLevel)
+    }
+    assert(got == dist.toMap, "BFS distances must match the naive recompute")
+    assert(got.size > 1, "the probe actor should reach someone on its busiest day")
+  }
+
   test("g10 per-day evolution matches a driver-side union-find recompute") {
     val got = GraphMetricsQueries.queries("g10_component_evolution")(spark, dir)
       .collect()
