@@ -154,7 +154,8 @@ object SimilarityQueries {
     "ss14_hybrid_search" -> ss14,
     "ss15_range_join" -> ss15,
     "ss16_cell_profile" -> ss16,
-    "ss17_mmr_rerank" -> ss17)
+    "ss17_mmr_rerank" -> ss17,
+    "ss18_sq_fidelity" -> ss18)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -656,6 +657,33 @@ object SimilarityQueries {
       vecs.agg(count(lit(1)).as("n_vecs")))
     DerivedCache.replace(s, d, kmAssignTable(nc))(
       assignTo(evRowsOf(vecs), DerivedCache.existing(s, d, kmCentsTable(nc))))
+  }
+
+  /** ss18: scalar-quantization fidelity audit — per vector, the cosine
+    * between the raw embedding and its int8 reconstruction
+    * (ê = q·scale/127), read directly off the MAINTAINED SQ index: the
+    * index-health diagnostic completing the audit trio (dd15 band skew,
+    * ss16 cell balance, ss18 quantization error) — the number an operator
+    * checks before trusting ss6/ss8's compressed scans, and the
+    * per-vector drill-down when recall drops. The scale factor CANCELS in
+    * the cosine, so the score is `dot(e, q) / (‖e‖·√Σq²)`: one exact
+    * decimal mixed dot (the codes are integers — exactly representable as
+    * floats for [[graft.functions.VectorOps.dotExact]]), the stored exact
+    * norm, and one integer code-norm — no reconstruction array is ever
+    * materialized. Zero vectors (scale = 0) quantize losslessly and are
+    * reported at fidelity 1. One narrow index join, per-row expressions,
+    * no shuffle beyond the presentation sort. */
+  private def ss18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sumQ2 = aggregate($"q", lit(0L), (acc, x) => acc + x * x)
+    sqIndex(s, d)
+      .join(index(s, d).select($"vec_id", $"embedding", $"nsq"), "vec_id")
+      .select($"vec_id", $"scale", sumQ2.as("q_nsq"),
+        when($"scale" > 0.0,
+          dotExact($"embedding", $"q".cast("array<float>")) /
+            (sqrt($"nsq") * sqrt(sumQ2.cast("double"))))
+          .otherwise(lit(1.0)).as("sq_cos"))
+      .orderBy($"vec_id")
   }
 
   /** ss6: quantized-scan ANN — rank the WHOLE corpus by the int8
@@ -1834,6 +1862,34 @@ object SimilarityQueries {
          |FROM occ, tot ORDER BY cid""".stripMargin,
     // identical quantization math: scale = max |e|, q = floor(e·127/scale
     // + 0.5), integer dot exact, one fixed double-rescale operation order
+    // ss18: ss6's quantization CTEs, turned inward — the mixed e·q dot
+    // through the sqlSum decimal mirror, the integer code norm cast
+    // directly (≤ 64·127² ≈ 1e6, exactly representable), scale cancelled
+    "ss18_sq_fidelity" ->
+      s"""WITH $evSql,
+         |sc AS (SELECT vec_id, MAX(abs(e)) AS scale FROM ev GROUP BY vec_id),
+         |qv AS (
+         |  SELECT ev.vec_id, ev.pos,
+         |         CASE WHEN sc.scale > 0
+         |              THEN CAST(floor(ev.e * 127.0 / sc.scale + 0.5) AS BIGINT)
+         |              ELSE 0 END AS q
+         |  FROM ev JOIN sc USING (vec_id)
+         |),
+         |nrm AS (SELECT vec_id, ${sqlSum("e * e")} AS nsq FROM ev GROUP BY vec_id),
+         |qn AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS q_nsq FROM qv GROUP BY vec_id),
+         |dq AS (
+         |  SELECT qv.vec_id, ${sqlSum("ev.e * qv.q")} AS dot
+         |  FROM ev JOIN qv USING (vec_id, pos) GROUP BY qv.vec_id
+         |)
+         |SELECT sc.vec_id, sc.scale, qn.q_nsq,
+         |       CASE WHEN sc.scale > 0
+         |            THEN dq.dot / (sqrt(nrm.nsq) * sqrt(CAST(qn.q_nsq AS DOUBLE)))
+         |            ELSE 1.0e0 END AS sq_cos
+         |FROM sc
+         |JOIN qn USING (vec_id)
+         |JOIN dq USING (vec_id)
+         |JOIN nrm USING (vec_id)
+         |ORDER BY sc.vec_id""".stripMargin,
     "ss6_sq_rerank" ->
       s"""WITH $evSql,
          |sc AS (SELECT vec_id, MAX(abs(e)) AS scale FROM ev GROUP BY vec_id),
