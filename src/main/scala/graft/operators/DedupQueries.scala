@@ -60,7 +60,8 @@ object DedupQueries {
     "dd13_semdedup" -> SimilarityQueries.semDedup,
     "dd14_online_semdedup" -> SimilarityQueries.semDedupOnline,
     "dd15_band_profile" -> dd15,
-    "dd16_novelty_profile" -> dd16)
+    "dd16_novelty_profile" -> dd16,
+    "dd17_cluster_profile" -> dd17)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -420,6 +421,26 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_buckets"))
       .withColumn("cand_pairs", $"n_buckets" * expr("occ * (occ - 1) div 2"))
       .orderBy($"band", $"occ")
+  }
+
+  /** dd17: duplicate-cluster size profile — the histogram of dd6's
+    * MAINTAINED cluster table (per cluster size: cluster count, document
+    * mass, duplicate mass), completing the dedup audit layer next to
+    * dd15's band skew: the shape of this histogram is what decides a
+    * removal policy (a corpus of pair-dups dedups cheaply; a giant
+    * boilerplate cluster is a different problem), and Σ n_dup_docs IS the
+    * exact row count dd12's filter would drop. Two keyed hash aggs over
+    * the narrow at-rest (doc_id, cluster_id) table — output bounded by
+    * |distinct cluster sizes|, corpus-size-free, all-integer. */
+  private def dd17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    dupClusters(s, d)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n_clusters"))
+      .select($"sz".as("size"), $"n_clusters",
+        ($"sz" * $"n_clusters").as("n_docs"),
+        (($"sz" - 1L) * $"n_clusters").as("n_dup_docs"))
+      .orderBy($"sz")
   }
 
   /** dd16: novelty profile — per document, the fraction of its shingles
@@ -1286,6 +1307,20 @@ object DedupQueries {
          |SELECT band, occ, CAST(COUNT(*) AS BIGINT) AS n_buckets,
          |       CAST(COUNT(*) AS BIGINT) * (occ * (occ - 1) // 2) AS cand_pairs
          |FROM occ GROUP BY band, occ ORDER BY band, occ""".stripMargin,
+    // dd17: dd6's full clustering as a CTE (the maintained table must
+    // agree with a from-raw recompute — the p09 consistency discipline),
+    // then the size histogram
+    "dd17_cluster_profile" ->
+      s"""WITH clusters AS (
+         |$dd6Sql
+         |),
+         |cs AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM clusters GROUP BY cluster_id)
+         |SELECT sz AS size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |       CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_dup_docs
+         |FROM cs GROUP BY sz ORDER BY size""".stripMargin,
     // dd16: shingles rebuilt from raw text (the dd2 prefix — the
     // maintained index must agree), first-occurrence by MIN(doc_id)
     "dd16_novelty_profile" ->

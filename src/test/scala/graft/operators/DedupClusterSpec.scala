@@ -40,4 +40,22 @@ class DedupClusterSpec extends SparkSpec {
     assert(clusters.exists { case (doc, cid) => doc != cid },
       "fixture should contain at least one duplicate")
   }
+
+  test("dd17 histogram recomposes from the declared dd6 labels") {
+    val labels = DedupQueries.queries("dd6_dup_clusters")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val hist = DedupQueries.queries("dd17_cluster_profile")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val expected = labels.groupBy(_._2).values.map(_.size.toLong)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    assert(hist.view.mapValues(_._1).toMap == expected)
+    hist.foreach { case (sz, (k, docs, dups)) =>
+      assert(docs == sz * k && dups == (sz - 1) * k)
+    }
+    // conservation: total docs == corpus, dup mass == dd6's is_dup count
+    assert(hist.values.map(_._2).sum == labels.length)
+    assert(hist.values.map(_._3).sum ==
+      labels.count { case (doc, cid) => doc != cid })
+    assert(hist.keys.max >= 2L, "fixture should contain a non-singleton cluster")
+  }
 }
