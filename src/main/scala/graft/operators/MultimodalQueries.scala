@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.build.{DerivedCache, DocTables}
@@ -50,6 +51,7 @@ object MultimodalQueries {
     "mm6_scene_cuts" -> mm6,
     "mm7_image_phash" -> mm7,
     "mm8_audio_fingerprint" -> mm8,
+    "mm10_scene_keyframes" -> mm10,
     "mm9_integrity_audit" -> mm9)
 
   /** mm1: per-modality decode statistics — asset/frame counts and mean
@@ -133,6 +135,34 @@ object MultimodalQueries {
       .select($"assetId".as("asset_id"), $"frameIdx".as("frame_idx"),
         $"sad", $"maxd", ($"sad" >= CutSad).as("is_cut"))
       .orderBy($"asset_id", $"frame_idx")
+  }
+
+  /** mm10: shot segmentation — mm6's cut verdicts rolled into SHOT
+    * segments (per asset: shot id, start frame, frame count), the
+    * keyframe/clip manifest a video-curation pipeline feeds to sampling
+    * (take one frame per shot) and captioning (one clip per shot): a cut
+    * between frames (f, f+1) starts a new shot at f+1, frame 0 starts
+    * shot 0. Built FROM the mm6 delta rows — one filter, one
+    * frame-count-bounded per-asset window for shot numbering and the
+    * lead-based lengths, one per-asset count join; decoding cost is
+    * exactly mm6's (each frame still decodes once). Shot-frame masses
+    * telescope to the asset's frame count (spec-pinned). */
+  private def mm10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val deltas = mm6(s, d)
+    val counts = deltas.groupBy($"asset_id")
+      .agg((max($"frame_idx") + 2).cast("long").as("n_frames"))
+    val starts = counts.select($"asset_id", lit(0L).as("start_frame"))
+      .unionAll(deltas.filter($"is_cut")
+        .select($"asset_id", ($"frame_idx" + 1).cast("long").as("start_frame")))
+    val w = Window.partitionBy($"asset_id").orderBy($"start_frame")
+    starts
+      .withColumn("shot_id", (row_number().over(w) - 1).cast("long"))
+      .withColumn("next_start", lead($"start_frame", 1).over(w))
+      .join(counts, "asset_id")
+      .select($"asset_id", $"shot_id", $"start_frame",
+        (coalesce($"next_start", $"n_frames") - $"start_frame").as("shot_frames"))
+      .orderBy($"asset_id", $"shot_id")
   }
 
   /** mm4: windowed audio features over the REAL WAV decode — per
@@ -670,30 +700,61 @@ object MultimodalQueries {
     // byte position, and aggregate |delta| — no stride: cuts need every
     // frame boundary
     "mm6_scene_cuts" ->
-      s"""WITH assets AS (
-         |  SELECT doc_id AS asset_id, n_chars FROM documents WHERE doc_id % 3 = 2
-         |),
-         |vidb AS (
-         |  SELECT asset_id, fi, b,
-         |         md5(CAST(asset_id AS VARCHAR) || '#vid#' || CAST(fi AS VARCHAR)
-         |             || '#' || CAST(b AS VARCHAR)) AS hx
-         |  FROM (SELECT asset_id,
-         |               unnest(generate_series(0, CAST(n_chars % 3 AS INTEGER) + 1)) AS fi
-         |        FROM assets) fz,
-         |       (SELECT unnest(generate_series(0, 11)) AS b) bb
-         |),
-         |vidv AS (
-         |  SELECT asset_id, fi, b * 16 + j AS pos, ${hexByte("hx", "j")} AS v
-         |  FROM vidb, (SELECT unnest(generate_series(0, 15)) AS j) jj
-         |),
-         |pairs AS (
-         |  SELECT a.asset_id, a.fi AS frame_idx,
-         |         CAST(SUM(ABS(a.v - b2.v)) AS BIGINT) AS sad,
-         |         CAST(MAX(ABS(a.v - b2.v)) AS BIGINT) AS maxd
-         |  FROM vidv a JOIN vidv b2
-         |    ON b2.asset_id = a.asset_id AND b2.fi = a.fi + 1 AND b2.pos = a.pos
-         |  GROUP BY a.asset_id, a.fi)
+      s"""WITH $vidPairsSql
          |SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx, sad, maxd,
          |       sad >= $CutSad AS is_cut
-         |FROM pairs ORDER BY asset_id, frame_idx""".stripMargin)
+         |FROM pairs ORDER BY asset_id, frame_idx""".stripMargin,
+    // mm10: mm6's delta CTEs rolled into shot segments — shot starts are
+    // frame 0 plus f+1 for every cut pair (f, f+1); lengths via lead over
+    // the per-asset start list (frame-count-bounded window partitions)
+    "mm10_scene_keyframes" ->
+      s"""WITH $vidPairsSql,
+         |counts AS (
+         |  SELECT asset_id, CAST(MAX(frame_idx) + 2 AS BIGINT) AS n_frames
+         |  FROM pairs GROUP BY asset_id),
+         |starts AS (
+         |  SELECT asset_id, CAST(0 AS BIGINT) AS start_frame FROM counts
+         |  UNION ALL
+         |  SELECT asset_id, CAST(frame_idx + 1 AS BIGINT) FROM pairs
+         |  WHERE sad >= $CutSad),
+         |shots AS (
+         |  SELECT asset_id, start_frame,
+         |         CAST(row_number() OVER (PARTITION BY asset_id ORDER BY start_frame) - 1
+         |              AS BIGINT) AS shot_id,
+         |         lead(start_frame) OVER (PARTITION BY asset_id ORDER BY start_frame)
+         |           AS next_start
+         |  FROM starts)
+         |SELECT s.asset_id, s.shot_id, s.start_frame,
+         |       CAST(COALESCE(s.next_start, c.n_frames) - s.start_frame AS BIGINT)
+         |         AS shot_frames
+         |FROM shots s JOIN counts c USING (asset_id)
+         |ORDER BY s.asset_id, s.shot_id""".stripMargin)
+
+  /** The mm6 delta derivation (assets → regenerated frame bytes →
+    * consecutive-pair SAD rows) as a shared CTE prefix — mm6 reads it
+    * directly, mm10 rolls it into shots. */
+  private lazy val vidPairsSql =
+    s"""assets AS (
+       |  SELECT doc_id AS asset_id, n_chars FROM documents WHERE doc_id % 3 = 2
+       |),
+       |vidb AS (
+       |  SELECT asset_id, fi, b,
+       |         md5(CAST(asset_id AS VARCHAR) || '#vid#' ||
+       |             CAST(fi AS VARCHAR) || '#' || CAST(b AS VARCHAR)) AS hx
+       |  FROM (SELECT asset_id,
+       |               unnest(generate_series(0, CAST(n_chars % 3 AS INTEGER) + 1)) AS fi
+       |        FROM assets) fz,
+       |       (SELECT unnest(generate_series(0, 11)) AS b) bb
+       |),
+       |vidv AS (
+       |  SELECT asset_id, fi, b * 16 + j AS pos, ${hexByte("hx", "j")} AS v
+       |  FROM vidb, (SELECT unnest(generate_series(0, 15)) AS j) jj
+       |),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.asset_id, a.fi AS frame_idx,
+       |         CAST(SUM(ABS(a.v - b2.v)) AS BIGINT) AS sad,
+       |         CAST(MAX(ABS(a.v - b2.v)) AS BIGINT) AS maxd
+       |  FROM vidv a JOIN vidv b2
+       |    ON b2.asset_id = a.asset_id AND b2.fi = a.fi + 1 AND b2.pos = a.pos
+       |  GROUP BY a.asset_id, a.fi)""".stripMargin
 }

@@ -132,4 +132,34 @@ class MultimodalPipelineSpec extends SparkSpec {
     }
     assert(checked > 0 && got.size == checked)
   }
+
+  test("mm10 shots partition each video's frame axis at exactly the cut points") {
+    val cuts = graft.operators.MultimodalQueries
+      .queries("mm6_scene_cuts")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(4)))
+    val shots = graft.operators.MultimodalQueries
+      .queries("mm10_scene_keyframes")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(shots.nonEmpty)
+    val byAsset = shots.groupBy(_._1)
+    val cutsByAsset = cuts.groupBy(_._1)
+    byAsset.foreach { case (a, ss) =>
+      val ordered = ss.sortBy(_._2)
+      // contiguous shot ids from 0; first shot starts at frame 0
+      assert(ordered.map(_._2).toSeq == (0L until ordered.length).toSeq)
+      assert(ordered.head._3 == 0L)
+      // shots tile the axis: each start = previous start + previous length
+      ordered.sliding(2).foreach {
+        case Array(p, n) => assert(n._3 == p._3 + p._4, s"gap in asset $a")
+        case _ =>
+      }
+      // starts after 0 are exactly the cut pairs' f+1
+      val expectedStarts = cutsByAsset(a).filter(_._3).map(_._2 + 1L).toSet
+      assert(ordered.drop(1).map(_._3).toSet == expectedStarts, s"asset $a starts")
+      // lengths telescope to the asset's frame count (max pair idx + 2)
+      val nFrames = cutsByAsset(a).map(_._2).max + 2L
+      assert(ordered.map(_._4).sum == nFrames, s"asset $a mass")
+      assert(ordered.forall(_._4 > 0L))
+    }
+  }
 }
