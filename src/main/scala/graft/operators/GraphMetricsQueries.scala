@@ -94,7 +94,8 @@ object GraphMetricsQueries {
     "g10_component_evolution" -> g10,
     "g11_degree_histogram" -> g11,
     "g12_label_propagation" -> g12,
-    "g13_bfs_hops" -> g13)
+    "g13_bfs_hops" -> g13,
+    "g14_strength_histogram" -> g14)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -542,6 +543,35 @@ object GraphMetricsQueries {
       .orderBy($"degree")
   }
 
+  /** g14: strength (weighted-degree) distribution + CCDF — g11's histogram
+    * with contact VOLUME instead of contact COUNT: an actor's strength is
+    * its total co-active frame mass Σ_e n_frames(e) over incident
+    * canonical pairs (frames are fixed Δ-slots, so strength IS contact
+    * duration in Δ units — the quantity the SocioPatterns GRADES'13
+    * analyses plot beside the degree distribution, and the c14 contact
+    * matrix rolled one level further). Same scale shape as g11: one
+    * |pairs|-keyed agg, endpoint explode (2·|pairs| narrow rows), actor
+    * agg, value-keyed histogram, CCDF window bounded by the strength
+    * value domain. All-integer + two one-division doubles. */
+  private def g14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = GraphCache(s, d)
+    val pair = g.frameInteractions
+      .groupBy($"actor1", $"actor2").agg(count(lit(1)).as("nf"))
+    val strength = pair.select($"actor1".as("actor_id"), $"nf")
+      .unionAll(pair.select($"actor2".as("actor_id"), $"nf"))
+      .groupBy($"actor_id").agg(sum($"nf").as("strength"))
+    val hist = strength.groupBy($"strength").agg(count(lit(1)).as("n_actors"))
+    val tot = hist.agg(sum($"n_actors").as("n_total"))
+    val w = Window.orderBy(desc("strength"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_ge", sum($"n_actors").over(w))
+      .crossJoin(broadcast(tot))
+      .select($"strength", $"n_actors", $"cum_ge",
+        ($"cum_ge".cast("double") / $"n_total").as("frac_ge"))
+      .orderBy($"strength")
+  }
+
   /** g13's round cap — shared contract with its oracle: the recursive CTE
     * bounds exploration at this many hops, the Spark fixpoint throws past
     * it (the g10/G10Rounds discipline). Probe-day contact graphs have
@@ -758,6 +788,25 @@ object GraphMetricsQueries {
          |SELECT r2.dkey, r2.n_actors, ec.n_edges, r2.n_components, r2.largest
          |FROM rollup2 r2 JOIN ec USING (dkey)
          |ORDER BY r2.dkey""".stripMargin),
+    // g14: pair frame-counts from fi, endpoint-exploded strength, then
+    // g11's value-keyed histogram/CCDF shape
+    "g14_strength_histogram" -> EventGraphSql.query(
+      """, pw AS MATERIALIZED (
+        |  SELECT actor1, actor2, CAST(COUNT(*) AS BIGINT) AS nf
+        |  FROM fi GROUP BY actor1, actor2),
+        |st AS (
+        |  SELECT actor_id, CAST(SUM(nf) AS BIGINT) AS strength FROM (
+        |    SELECT actor1 AS actor_id, nf FROM pw
+        |    UNION ALL SELECT actor2, nf FROM pw) z
+        |  GROUP BY actor_id),
+        |hist AS (
+        |  SELECT strength, CAST(COUNT(*) AS BIGINT) AS n_actors
+        |  FROM st GROUP BY strength)
+        |SELECT strength, n_actors,
+        |       CAST(SUM(n_actors) OVER (ORDER BY strength DESC) AS BIGINT) AS cum_ge,
+        |       CAST(SUM(n_actors) OVER (ORDER BY strength DESC) AS DOUBLE)
+        |         / CAST(SUM(n_actors) OVER () AS DOUBLE) AS frac_ge
+        |FROM hist ORDER BY strength""".stripMargin),
     // g13: recursive (actor, hop) enumeration from the probe actor, the
     // g01 oracle shape with hop counts instead of frames; the dd bound
     // mirrors the Spark loop's BfsCap (UNION dedup + the bound keep the

@@ -260,6 +260,29 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out.head.getDouble(3) === 1.0, "CCDF at min degree is exactly 1.0")
   }
 
+  test("g14: strength mass conservation and per-actor recompute (real corpus)") {
+    val out = GraphMetricsQueries.queries("g14_strength_histogram")(spark, dir)
+      .collect()
+    // every frame-edge row contributes 1 to both endpoints' strength
+    val mass = out.map(r => r.getLong(0) * r.getLong(1)).sum
+    val nFrameEdges = graft.build.GraphCache(spark, dir).frameInteractions.count()
+    assert(mass === 2 * nFrameEdges,
+      "sum(strength * n_actors) must equal 2 * |frame-edge rows|")
+    // driver recompute of the whole histogram
+    val fe = graft.build.GraphCache(spark, dir).frameInteractions
+      .select(col("actor1"), col("actor2")).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    val expected = fe.groupBy(identity).values.map(_.size.toLong)
+      .groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    assert(out.head.getDouble(3) === 1.0, "CCDF at min strength is exactly 1.0")
+    // the contact graph has repeated contacts: strength domain ⊋ degree domain
+    assert(out.map(_.getLong(0)).max >
+      GraphMetricsQueries.queries("g11_degree_histogram")(spark, dir)
+        .collect().map(_.getLong(0)).max,
+      "fixture should contain repeated contacts (strength > degree)")
+  }
+
   test("g11: histogram == GraphX degrees histogram (north-star differential)") {
     val g = graft.build.GraphCache(spark, dir)
     val gx = graft.graph.TemporalGraph.fromEdges(g.frameInteractions)
