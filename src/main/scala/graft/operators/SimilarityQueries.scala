@@ -666,22 +666,31 @@ object SimilarityQueries {
     * ss16 cell balance, ss18 quantization error) — the number an operator
     * checks before trusting ss6/ss8's compressed scans, and the
     * per-vector drill-down when recall drops. The scale factor CANCELS in
-    * the cosine, so the score is `dot(e, q) / (‖e‖·√Σq²)`: one exact
-    * decimal mixed dot (the codes are integers — exactly representable as
-    * floats for [[graft.functions.VectorOps.dotExact]]), the stored exact
-    * norm, and one integer code-norm — no reconstruction array is ever
-    * materialized. Zero vectors (scale = 0) quantize losslessly and are
-    * reported at fidelity 1. One narrow index join, per-row expressions,
-    * no shuffle beyond the presentation sort. */
+    * the cosine, so the score is `dot(e, q/128) / (‖e‖·√(Σq²/2¹⁴))` —
+    * mathematically `dot(e, q)/(‖e‖·√Σq²)`, but computed with the codes
+    * pre-scaled by the EXACT power of two 1/128 (q/128 is an exact float,
+    * and IEEE sqrt(x/4⁷) = sqrt(x)/2⁷ exactly, so the scaling cancels to
+    * the last bit). The rescale is a cross-engine requirement, not a
+    * nicety: unscaled e·q terms are ~127× the library's proven e·e
+    * magnitude class, which multiplies the chance that a term's shortest-
+    * decimal and exact-binary values straddle a DECIMAL(28,10) rounding
+    * boundary (Java's Dec10 rounds the shortest string, DuckDB's cast the
+    * binary value) — measured as six last-ulp row mismatches at sf0.1
+    * before the rescale, zero after. One exact decimal mixed dot, the
+    * stored exact norm, one integer code-norm — no reconstruction array
+    * is ever materialized. Zero vectors (scale = 0) quantize losslessly
+    * and are reported at fidelity 1. One narrow index join, per-row
+    * expressions, no shuffle beyond the presentation sort. */
   private def ss18(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sumQ2 = aggregate($"q", lit(0L), (acc, x) => acc + x * x)
+    val qf = transform($"q", x => (x.cast("double") / 128.0d).cast("float"))
     sqIndex(s, d)
       .join(index(s, d).select($"vec_id", $"embedding", $"nsq"), "vec_id")
       .select($"vec_id", $"scale", sumQ2.as("q_nsq"),
         when($"scale" > 0.0,
-          dotExact($"embedding", $"q".cast("array<float>")) /
-            (sqrt($"nsq") * sqrt(sumQ2.cast("double"))))
+          dotExact($"embedding", qf) /
+            (sqrt($"nsq") * sqrt(sumQ2.cast("double") / 16384.0d)))
           .otherwise(lit(1.0)).as("sq_cos"))
       .orderBy($"vec_id")
   }
@@ -1862,9 +1871,11 @@ object SimilarityQueries {
          |FROM occ, tot ORDER BY cid""".stripMargin,
     // identical quantization math: scale = max |e|, q = floor(e·127/scale
     // + 0.5), integer dot exact, one fixed double-rescale operation order
-    // ss18: ss6's quantization CTEs, turned inward — the mixed e·q dot
-    // through the sqlSum decimal mirror, the integer code norm cast
-    // directly (≤ 64·127² ≈ 1e6, exactly representable), scale cancelled
+    // ss18: ss6's quantization CTEs, turned inward — the mixed e·(q/128)
+    // dot through the sqlSum decimal mirror (q/128 is an exact double;
+    // the 1/128 rescale keeps term magnitudes in the proven e·e decimal-
+    // rounding class — see the Spark-side doc), the integer code norm
+    // scaled by the exact 2⁻¹⁴ before its sqrt
     "ss18_sq_fidelity" ->
       s"""WITH $evSql,
          |sc AS (SELECT vec_id, MAX(abs(e)) AS scale FROM ev GROUP BY vec_id),
@@ -1878,12 +1889,13 @@ object SimilarityQueries {
          |nrm AS (SELECT vec_id, ${sqlSum("e * e")} AS nsq FROM ev GROUP BY vec_id),
          |qn AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS q_nsq FROM qv GROUP BY vec_id),
          |dq AS (
-         |  SELECT qv.vec_id, ${sqlSum("ev.e * qv.q")} AS dot
+         |  SELECT qv.vec_id, ${sqlSum("ev.e * (qv.q / 128.0)")} AS dot
          |  FROM ev JOIN qv USING (vec_id, pos) GROUP BY qv.vec_id
          |)
          |SELECT sc.vec_id, sc.scale, qn.q_nsq,
          |       CASE WHEN sc.scale > 0
-         |            THEN dq.dot / (sqrt(nrm.nsq) * sqrt(CAST(qn.q_nsq AS DOUBLE)))
+         |            THEN dq.dot / (sqrt(nrm.nsq)
+         |                           * sqrt(CAST(qn.q_nsq AS DOUBLE) / 16384.0))
          |            ELSE 1.0e0 END AS sq_cos
          |FROM sc
          |JOIN qn USING (vec_id)
