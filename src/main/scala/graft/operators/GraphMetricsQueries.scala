@@ -549,18 +549,18 @@ object GraphMetricsQueries {
     * canonical pairs (frames are fixed Δ-slots, so strength IS contact
     * duration in Δ units — the quantity the SocioPatterns GRADES'13
     * analyses plot beside the degree distribution, and the c14 contact
-    * matrix rolled one level further). Same scale shape as g11: one
-    * |pairs|-keyed agg, endpoint explode (2·|pairs| narrow rows), actor
-    * agg, value-keyed histogram, CCDF window bounded by the strength
-    * value domain. All-integer + two one-division doubles. */
+    * matrix rolled one level further). Σ over incident pairs of the pair's
+    * frame count is just the COUNT of incident frame-edge rows, so the
+    * plan is EXACTLY g11's shape on the frame-edge list: endpoint explode
+    * (2·|frame-edges| narrow rows), one actor count-agg, value-keyed
+    * histogram, CCDF window bounded by the strength value domain.
+    * All-integer + two one-division doubles. */
   private def g14(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val g = GraphCache(s, d)
-    val pair = g.frameInteractions
-      .groupBy($"actor1", $"actor2").agg(count(lit(1)).as("nf"))
-    val strength = pair.select($"actor1".as("actor_id"), $"nf")
-      .unionAll(pair.select($"actor2".as("actor_id"), $"nf"))
-      .groupBy($"actor_id").agg(sum($"nf").as("strength"))
+    val strength = g.frameInteractions.select($"actor1".as("actor_id"))
+      .unionAll(g.frameInteractions.select($"actor2".as("actor_id")))
+      .groupBy($"actor_id").agg(count(lit(1)).as("strength"))
     val hist = strength.groupBy($"strength").agg(count(lit(1)).as("n_actors"))
     val tot = hist.agg(sum($"n_actors").as("n_total"))
     val w = Window.orderBy(desc("strength"))
@@ -572,10 +572,14 @@ object GraphMetricsQueries {
       .orderBy($"strength")
   }
 
-  /** g13's round cap — shared contract with its oracle: the recursive CTE
-    * bounds exploration at this many hops, the Spark fixpoint throws past
-    * it (the g10/G10Rounds discipline). Probe-day contact graphs have
-    * single-digit diameters; 24 is a wide margin. */
+  /** g13's round cap — shared contract with its oracle. The Spark
+    * fixpoint spends one round per BFS layer plus ONE final no-change
+    * confirmation round, so it converges iff pa1's eccentricity is
+    * ≤ BfsCap − 1 and throws loudly otherwise; the oracle's recursion
+    * bound explores exactly that depth (`dd < BfsCap − 1` generates hops
+    * up to BfsCap − 1), so the two sides answer the identical regime.
+    * Probe-day contact graphs have single-digit diameters; 23 reachable
+    * hops is a wide margin. */
   private val BfsCap = 24
 
   /** g13: single-source BFS hop distances from the reference's probe actor
@@ -788,16 +792,13 @@ object GraphMetricsQueries {
          |SELECT r2.dkey, r2.n_actors, ec.n_edges, r2.n_components, r2.largest
          |FROM rollup2 r2 JOIN ec USING (dkey)
          |ORDER BY r2.dkey""".stripMargin),
-    // g14: pair frame-counts from fi, endpoint-exploded strength, then
-    // g11's value-keyed histogram/CCDF shape
+    // g14: endpoint-exploded frame-edge counts (strength == incident
+    // frame-edge rows), then g11's value-keyed histogram/CCDF shape
     "g14_strength_histogram" -> EventGraphSql.query(
-      """, pw AS MATERIALIZED (
-        |  SELECT actor1, actor2, CAST(COUNT(*) AS BIGINT) AS nf
-        |  FROM fi GROUP BY actor1, actor2),
-        |st AS (
-        |  SELECT actor_id, CAST(SUM(nf) AS BIGINT) AS strength FROM (
-        |    SELECT actor1 AS actor_id, nf FROM pw
-        |    UNION ALL SELECT actor2, nf FROM pw) z
+      """, st AS (
+        |  SELECT actor_id, CAST(COUNT(*) AS BIGINT) AS strength FROM (
+        |    SELECT actor1 AS actor_id FROM fi
+        |    UNION ALL SELECT actor2 FROM fi) z
         |  GROUP BY actor_id),
         |hist AS (
         |  SELECT strength, CAST(COUNT(*) AS BIGINT) AS n_actors
@@ -808,9 +809,11 @@ object GraphMetricsQueries {
         |         / CAST(SUM(n_actors) OVER () AS DOUBLE) AS frac_ge
         |FROM hist ORDER BY strength""".stripMargin),
     // g13: recursive (actor, hop) enumeration from the probe actor, the
-    // g01 oracle shape with hop counts instead of frames; the dd bound
-    // mirrors the Spark loop's BfsCap (UNION dedup + the bound keep the
-    // recursion at <= cap * |actors| pairs)
+    // g01 oracle shape with hop counts instead of frames; the recursion
+    // bound matches the Spark loop's convergent regime — hops up to
+    // BfsCap − 1 (the loop's last round is the no-change confirmation) —
+    // and UNION dedup + the bound keep the recursion at <= cap * |actors|
+    // pairs
     "g13_bfs_hops" -> EventGraphSql.query(
       s""", $dayEdgesSql,
          |bfs AS (
@@ -821,7 +824,7 @@ object GraphMetricsQueries {
          |           b.dd + 1
          |    FROM b JOIN inter_d e
          |      ON (e.actor1 = b.actor_id OR e.actor2 = b.actor_id)
-         |    WHERE b.dd < $BfsCap
+         |    WHERE b.dd < ${BfsCap - 1}
          |  )
          |  SELECT actor_id, MIN(dd) AS hops FROM b GROUP BY actor_id
          |)

@@ -149,7 +149,10 @@ object MultimodalQueries {
     * telescope to the asset's frame count (spec-pinned). */
   private def mm10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val deltas = mm6(s, d)
+    // snapshot: the delta subtree is referenced three times (counts twice
+    // via the final join, plus the cut filter) and carries the per-frame
+    // decode — un-checkpointed, every branch would re-decode the corpus
+    val deltas = mm6(s, d).localCheckpoint(eager = false)
     val counts = deltas.groupBy($"asset_id")
       .agg((max($"frame_idx") + 2).cast("long").as("n_frames"))
     val starts = counts.select($"asset_id", lit(0L).as("start_frame"))

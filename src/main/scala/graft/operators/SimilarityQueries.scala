@@ -248,6 +248,20 @@ object SimilarityQueries {
     * data-proportional) and pays exact cosine only there. At 100 TB the
     * scan side is 32 bytes/vector — the same compressed-domain bandwidth
     * lever as ss6/ss7, here with zero arithmetic beyond an XOR-count. */
+  /** Top-`pool` candidate ids by signature Hamming distance to the probe
+    * — THE compressed-domain pool stage shared by ss2/ss13/ss17: one
+    * narrow (vec_id, sig) scan, the codegen'd byte-walk, a TakeOrdered
+    * under the (ham, vec_id) total order. `idx` may arrive pre-restricted
+    * (ss13's eligible-id semi-join). */
+  private def hammingPoolIds(idx: DataFrame, pid: Long, psig: String, pool: Int): DataFrame = {
+    val s = idx.sparkSession
+    import s.implicits._
+    idx.filter($"vec_id" =!= pid)
+      .select($"vec_id", hammingDist($"sig", lit(psig)).as("ham"))
+      .orderBy($"ham", $"vec_id").limit(pool)
+      .select($"vec_id")
+  }
+
   private def ss2(s: SparkSession, d: String, pool: Int): DataFrame = {
     import s.implicits._
     val idx = index(s, d)
@@ -256,10 +270,7 @@ object SimilarityQueries {
     val pemb = p.getSeq[Float](1)
     val psqrtN = math.sqrt(p.getDouble(2))
     val psig = p.getString(3)
-    val poolIds = idx.filter($"vec_id" =!= pid)
-      .select($"vec_id", hammingDist($"sig", lit(psig)).as("ham"))
-      .orderBy($"ham", $"vec_id").limit(pool)
-      .select($"vec_id")
+    val poolIds = hammingPoolIds(idx, pid, psig, pool)
     idx.join(broadcast(poolIds), "vec_id")
       .select($"vec_id",
         (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
@@ -303,11 +314,8 @@ object SimilarityQueries {
     val eligible = Tables.embeddings(s, d)
       .filter($"label" === plabel && $"vec_id" =!= pid)
       .select($"vec_id")
-    val poolIds = idx
-      .join(eligible, Seq("vec_id"), "left_semi")
-      .select($"vec_id", hammingDist($"sig", lit(psig)).as("ham"))
-      .orderBy($"ham", $"vec_id").limit(HamPool)
-      .select($"vec_id")
+    val poolIds =
+      hammingPoolIds(idx.join(eligible, Seq("vec_id"), "left_semi"), pid, psig, HamPool)
     idx.join(broadcast(poolIds), "vec_id")
       .select($"vec_id",
         (dotExact($"embedding", typedlit(pemb)) / (sqrt($"nsq") * psqrtN)).as("cosine"))
@@ -1244,10 +1252,7 @@ object SimilarityQueries {
     val pemb = p.getSeq[Float](1)
     val psqrtN = math.sqrt(p.getDouble(2))
     val psig = p.getString(3)
-    val poolIds = idx.filter($"vec_id" =!= pid)
-      .select($"vec_id", hammingDist($"sig", lit(psig)).as("ham"))
-      .orderBy($"ham", $"vec_id").limit(HamPool)
-      .select($"vec_id")
+    val poolIds = hammingPoolIds(idx, pid, psig, HamPool)
     // snapshot: the pool is referenced three times (rel + both sim sides)
     val pool = idx.join(broadcast(poolIds), "vec_id")
       .select($"vec_id", $"embedding",

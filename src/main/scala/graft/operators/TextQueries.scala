@@ -660,8 +660,13 @@ object TextQueries {
     val grouped = occ
       .withColumn("grp", sum(when($"is_stop", 1L).otherwise(0L)).over(w))
       .filter(!$"is_stop")
+    // snapshot: the occurrence subtree feeds BOTH the vocabulary stats and
+    // the phrase rollup — un-checkpointed, the tokenize + windows would
+    // run once per branch (the ss17/g12 discipline; the exchange below
+    // them dedupes only the raw scan, not the post-shuffle work)
     val withLen = grouped
       .withColumn("len", count(lit(1)).over(Window.partitionBy($"doc_id", $"grp")))
+      .localCheckpoint(eager = false)
     val words = withLen.groupBy($"t")
       .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
       .select($"t", ($"deg".cast("double") / $"freq".cast("double")).as("wscore"))
