@@ -48,7 +48,8 @@ object SessionQueries {
     "a10_retention_cohorts" -> a10,
     "a11_transition_matrix" -> a11,
     "a12_seasonality" -> a12,
-    "a13_activity_gini" -> a13)
+    "a13_activity_gini" -> a13,
+    "a14_session_profile" -> a14)
 
   /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
     * dur_sec), session breaking when the gap to the previous event exceeds
@@ -376,6 +377,41 @@ object SessionQueries {
         ($"gnum".cast("double") / (dec($"n") * dec($"mass")).cast("double")).as("gini"))
   }
 
+  /** a14's nearest-rank percentiles (tx15's grid). */
+  private val A14Qs = Seq(25, 50, 75, 95, 99)
+
+  /** a14: session-length profile — EXACT nearest-rank percentiles
+    * (p25..p99, min/max/mean) of session duration (seconds) and events
+    * per session, read off the MAINTAINED sessions table: the
+    * engagement-depth summary (dwell time, actions per visit) next to
+    * a02's per-session rows — tx15's value-keyed-histogram discipline
+    * applied to the behavioral axis. No `percentile` call and no
+    * corpus-sized sort: the cumulative windows run over the DISTINCT
+    * (metric, value) histogram (value-domain bounded), the mean is one
+    * exact division of integer aggregates, and the nearest-rank selection
+    * is a MIN over the cum ≥ ⌈q·tot⌉ threshold — hash-exact on both
+    * engines. */
+  private def a14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = sessions(s, d).select(
+      expr("stack(2, 'dur_sec', dur_sec, 'n_events', n_events) AS (metric, v)"))
+    val hist = m.groupBy($"metric", $"v").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum($"cnt").over(
+        Window.partitionBy($"metric").orderBy($"v")))
+      .withColumn("tot", sum($"cnt").over(Window.partitionBy($"metric")))
+    val qCols = A14Qs.map { q =>
+      min(when($"cum" >= ceil($"tot" * lit(q / 100.0)), $"v")).as(s"p$q")
+    }
+    val aggs = Seq(
+      min($"v").as("v_min"),
+      max($"v").as("v_max"),
+      (sum($"v" * $"cnt").cast("double") / max($"tot").cast("double")).as("mean")) ++ qCols
+    cum.groupBy($"metric")
+      .agg(max($"tot").as("n_sessions"), aggs: _*)
+      .orderBy($"metric")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val sessionsSql =
@@ -438,6 +474,33 @@ object SessionQueries {
         |       CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
         |FROM cells, tot
         |ORDER BY dow, hour""".stripMargin,
+    // a14: the tx15 nearest-rank construction over the sessionized rows
+    "a14_session_profile" ->
+      s"""WITH $sessionsSql,
+         |m AS (
+         |  SELECT 'dur_sec' AS metric,
+         |         CAST(date_diff('second', ts_start, ts_end) AS BIGINT) AS v FROM sess
+         |  UNION ALL
+         |  SELECT 'n_events', CAST(n_events AS BIGINT) FROM sess
+         |),
+         |hist AS (
+         |  SELECT metric, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM m GROUP BY 1, 2
+         |),
+         |cum AS (
+         |  SELECT metric, v, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY metric ORDER BY v) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY metric) AS BIGINT) AS tot
+         |  FROM hist
+         |)
+         |SELECT metric,
+         |  CAST(MAX(tot) AS BIGINT) AS n_sessions,
+         |  MIN(v) AS v_min,
+         |  MAX(v) AS v_max,
+         |  CAST(SUM(v * cnt) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS mean,
+         |${A14Qs.map(q =>
+            s"  MIN(CASE WHEN cum >= ceil(tot * ${q / 100.0}e0) THEN v END) AS p$q")
+            .mkString(",\n")}
+         |FROM cum GROUP BY metric ORDER BY metric""".stripMargin,
     // a13: the same tied-block Gini identity over the value histogram;
     // HUGEINT products mirror decimal(38,0), and both exact integers reach
     // double through correctly-rounded casts (DuckDB via VARCHAR — its

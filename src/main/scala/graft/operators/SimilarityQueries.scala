@@ -155,7 +155,8 @@ object SimilarityQueries {
     "ss15_range_join" -> ss15,
     "ss16_cell_profile" -> ss16,
     "ss17_mmr_rerank" -> ss17,
-    "ss18_sq_fidelity" -> ss18)
+    "ss18_sq_fidelity" -> ss18,
+    "ss19_ann_pareto" -> ss19)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -701,6 +702,40 @@ object SimilarityQueries {
             (sqrt($"nsq") * sqrt(sumQ2.cast("double") / 16384.0d)))
           .otherwise(lit(1.0)).as("sq_cos"))
       .orderBy($"vec_id")
+  }
+
+  /** Pool widths of the declared recall-Pareto sweep. */
+  private val ParetoPools = Seq(25, 50, 100, 200)
+
+  /** ss19: the ANN recall/latency PARETO CURVE as a DECLARED, hash-checked
+    * query — for each Hamming-pool width, ss2's top-[[TopK]] measured
+    * against the exact top-[[TopK]] (n_hits, recall) — turning the dial
+    * the 100-TB operator actually tunes (pool width ∝ scan selectivity)
+    * from a side artifact (RECALL_r*.json) into a first-class,
+    * oracle-verified operator. The exact reference is ss1's gated
+    * full-scan semantics (the audit inherently needs the exact top-k, so
+    * it inherits ss1's [[Controls]] contract: a dev/ops control, thrown
+    * loudly on corpus-sized inputs rather than silently full-scanning);
+    * each pool's ranking is exactly [[hammingPoolIds]] + the ss2 rerank,
+    * so the curve measures the DECLARED operator, not a simulation.
+    * Set intersections run on the collected ≤ TopK id lists — constants,
+    * the q20 bounded-collect contract; recall is one exact division. */
+  private def ss19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Controls.gate(Tables.embeddings(s, d), "ss19_ann_pareto", d)
+    val p = probeRow(s, d)
+    val pid = p.getLong(0)
+    val pemb = p.getSeq[Float](1)
+    val exact = emb.filter($"vec_id" =!= pid)
+      .select($"vec_id", cosineExact($"embedding", typedlit(pemb)).as("cosine"))
+      .orderBy(desc("cosine"), $"vec_id").limit(TopK)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val rows = ParetoPools.map { pool =>
+      val ids = ss2(s, d, pool).select($"vec_id").collect().map(_.getLong(0)).toSet
+      val hits = ids.intersect(exact).size
+      (pool, hits.toLong, hits.toDouble / TopK)
+    }
+    rows.toDF("pool", "n_hits", "recall").orderBy($"pool")
   }
 
   /** ss6: quantized-scan ANN — rank the WHOLE corpus by the int8
@@ -1800,6 +1835,47 @@ object SimilarityQueries {
         s"""
            |SELECT mmr_rank, vec_id, rel, max_sim, mmr FROM sel$MmrK
            |ORDER BY mmr_rank""".stripMargin
+    },
+    // ss19: the exact top-k once (the ss1 cos construction), then per pool
+    // width the ss2 pool + rerank and an intersection count — every CTE
+    // referenced per pool is MATERIALIZED (the g02 inlining lesson)
+    "ss19_ann_pareto" -> {
+      val perPool = ParetoPools.map { p =>
+        s""",
+           |pool$p AS (
+           |  SELECT r.vec_id
+           |  FROM rsig r, psig, probe WHERE r.vec_id <> pid
+           |  ORDER BY hamming(r.sig, ps), r.vec_id LIMIT $p),
+           |rr$p AS (
+           |  SELECT c.vec_id FROM cosall c JOIN pool$p USING (vec_id)
+           |  ORDER BY c.cosine DESC, c.vec_id LIMIT $TopK),
+           |h$p AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM rr$p JOIN exact USING (vec_id))""".stripMargin
+      }.mkString
+      val union = ParetoPools.map { p =>
+        s"""SELECT $p AS pool, h$p.n AS n_hits,
+           |       CAST(h$p.n AS DOUBLE) / CAST($TopK AS DOUBLE) AS recall
+           |FROM h$p""".stripMargin
+      }.mkString("\n|UNION ALL\n|".stripMargin)
+      s"""WITH $evSql,
+         |$rsigSql,
+         |probe AS (SELECT min(vec_id) AS pid FROM embeddings),
+         |psig AS (SELECT sig AS ps FROM rsig, probe WHERE vec_id = pid),
+         |pv AS (SELECT pos, e AS pe FROM ev, probe WHERE vec_id = pid),
+         |cosall AS MATERIALIZED (
+         |  SELECT ev.vec_id,
+         |         ${sqlSum("ev.e * pv.pe")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("pv.pe * pv.pe")})) AS cosine
+         |  FROM ev JOIN pv USING (pos)
+         |  GROUP BY ev.vec_id),
+         |exact AS MATERIALIZED (
+         |  SELECT vec_id FROM cosall, probe WHERE vec_id <> pid
+         |  ORDER BY cosine DESC, vec_id LIMIT $TopK)""".stripMargin + perPool +
+        s"""
+           |SELECT pool, n_hits, recall FROM (
+           |$union
+           |) z ORDER BY pool""".stripMargin
     },
     "ss4_ivf_topk" ->
       s"""WITH $evSql,

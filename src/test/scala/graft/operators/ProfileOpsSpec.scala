@@ -260,6 +260,42 @@ class ProfileOpsSpec extends SparkSpec {
     assert(out.head.getDouble(3) === 1.0, "CCDF at min degree is exactly 1.0")
   }
 
+  test("a14: nearest-rank percentiles == sorted recompute over a02's sessions") {
+    val sess = SessionQueries.queries("a02_sessionize")(spark, dir).collect()
+    val byMetric = Map(
+      "dur_sec" -> sess.map(_.getLong(5)).sorted,
+      "n_events" -> sess.map(_.getLong(2)).sorted)
+    val got = SessionQueries.queries("a14_session_profile")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == byMetric.keySet)
+    byMetric.foreach { case (metric, vs) =>
+      val r = got(metric)
+      assert(r.getLong(1) == vs.length)
+      assert(r.getLong(2) == vs.min && r.getLong(3) == vs.max)
+      assert(r.getDouble(4) == vs.sum.toDouble / vs.length.toDouble)
+      Seq(25, 50, 75, 95, 99).zipWithIndex.foreach { case (q, i) =>
+        val rank = math.ceil(vs.length * q / 100.0).toInt
+        assert(r.getLong(5 + i) == vs(rank - 1),
+          s"$metric p$q: got ${r.getLong(5 + i)} expected ${vs(rank - 1)}")
+      }
+    }
+  }
+
+  test("ss19: recall curve is monotone in pool width and internally consistent") {
+    val rows = SimilarityQueries.queries("ss19_ann_pareto")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(25, 50, 100, 200))
+    rows.foreach { case (_, hits, recall) =>
+      assert(hits >= 0L && hits <= 20L)
+      assert(recall == hits.toDouble / 20.0)
+    }
+    // a wider pool is a superset of candidates feeding the same exact
+    // rerank, so measured recall cannot decrease
+    val recalls = rows.map(_._3).toSeq
+    assert(recalls == recalls.sorted, s"recall must be monotone in pool: $recalls")
+    assert(recalls.last >= 0.8, "the widest (declared ss2) pool should recall >= 0.8")
+  }
+
   test("g14: strength mass conservation and per-actor recompute (real corpus)") {
     val out = GraphMetricsQueries.queries("g14_strength_histogram")(spark, dir)
       .collect()
