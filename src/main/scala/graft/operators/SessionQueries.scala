@@ -403,10 +403,14 @@ object SessionQueries {
     val qCols = A14Qs.map { q =>
       min(when($"cum" >= ceil($"tot" * lit(q / 100.0)), $"v")).as(s"p$q")
     }
+    // the mass sum runs in decimal(38,0) (HUGEINT in the oracle — the a13
+    // discipline): a Long sum would wrap silently past 2^63 while DuckDB
+    // promotes, silently diverging the mean at extreme scale
     val aggs = Seq(
       min($"v").as("v_min"),
       max($"v").as("v_max"),
-      (sum($"v" * $"cnt").cast("double") / max($"tot").cast("double")).as("mean")) ++ qCols
+      (sum($"v".cast("decimal(38,0)") * $"cnt").cast("double") /
+        max($"tot").cast("double")).as("mean")) ++ qCols
     cum.groupBy($"metric")
       .agg(max($"tot").as("n_sessions"), aggs: _*)
       .orderBy($"metric")
@@ -496,7 +500,8 @@ object SessionQueries {
          |  CAST(MAX(tot) AS BIGINT) AS n_sessions,
          |  MIN(v) AS v_min,
          |  MAX(v) AS v_max,
-         |  CAST(SUM(v * cnt) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS mean,
+         |  CAST(CAST(SUM(CAST(v AS HUGEINT) * cnt) AS VARCHAR) AS DOUBLE)
+         |    / CAST(MAX(tot) AS DOUBLE) AS mean,
          |${A14Qs.map(q =>
             s"  MIN(CASE WHEN cum >= ceil(tot * ${q / 100.0}e0) THEN v END) AS p$q")
             .mkString(",\n")}

@@ -548,10 +548,13 @@ object TextQueries {
     val qCols = ProfileQs.map { q =>
       min(when($"cum" >= ceil($"tot" * lit(q / 100.0)), $"v")).as(s"p$q")
     }
+    // decimal(38,0) mass sum (HUGEINT in the oracle): a Long sum would
+    // wrap past 2^63 while DuckDB promotes — the a13/a14 discipline
     val aggs = Seq(
       min($"v").as("v_min"),
       max($"v").as("v_max"),
-      (sum($"v" * $"cnt").cast("double") / max($"tot").cast("double")).as("mean")) ++ qCols
+      (sum($"v".cast("decimal(38,0)") * $"cnt").cast("double") /
+        max($"tot").cast("double")).as("mean")) ++ qCols
     cum.groupBy($"metric")
       .agg(max($"tot").as("n_docs"), aggs: _*)
       .orderBy($"metric")
@@ -734,7 +737,8 @@ object TextQueries {
            |  CAST(MAX(tot) AS BIGINT) AS n_docs,
            |  MIN(v) AS v_min,
            |  MAX(v) AS v_max,
-           |  CAST(SUM(v * cnt) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS mean,
+           |  CAST(CAST(SUM(CAST(v AS HUGEINT) * cnt) AS VARCHAR) AS DOUBLE)
+           |    / CAST(MAX(tot) AS DOUBLE) AS mean,
            |${ProfileQs.map(q =>
               s"  MIN(CASE WHEN cum >= ceil(tot * ${q / 100.0}e0) THEN v END) AS p$q")
               .mkString(",\n")}
