@@ -491,6 +491,97 @@ object MultimodalPipeline {
       }
   }
 
+  // ----------------------------------------------- real-world formats ----
+
+  /** Raster for the real-format (PNG/JPEG) corpus of document `id` — the
+    * ONE place the content derivation lives (same md5-chain discipline as
+    * [[imageAsset]]); the PNG and JPEG variants encode THIS raster, so the
+    * JPEG corpus is a true recompression of the PNG corpus and the
+    * invariance specs compare like with like. */
+  def realRaster(id: Long): Array[Byte] = Codec.contentBytes(s"$id#png", 768)
+
+  /** Real PNG corpus: every image-modality document as a spec-conformant
+    * truecolor PNG ([[RealFormats.writePng]] — zlib IDAT, CRC32 chunks). */
+  def pngAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .filter((id: Long) => id % 3 == 0)
+      .map(id => MediaAsset(id, "image",
+        RealFormats.writePng(16, 16, realRaster(id)), Map("format" -> "png")))
+  }
+
+  /** Real JPEG corpus: the SAME rasters baseline-JPEG-encoded by the JDK
+    * codec at quality 0.95 — a lossy recompression of [[pngAssets]]. */
+  def jpegAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id").as[Long]
+      .filter((id: Long) => id % 3 == 0)
+      .map(id => MediaAsset(id, "image",
+        RealFormats.writeJpeg(16, 16, realRaster(id)), Map("format" -> "jpeg")))
+  }
+
+  /** Decoded-PNG statistics row: structural inventory (chunk count) plus
+    * integer channel sums of the decoded raster. PNG is lossless, so the
+    * sums equal the generation formula's — the oracle recomputes them with
+    * zero binary parsing while the engine ran a full real decode (chunk
+    * walk, CRC checks, inflate, unfilter). */
+  final case class PngStatsRow(
+      assetId: Long,
+      width: Int,
+      height: Int,
+      nChunks: Int,
+      sR: Long,
+      sG: Long,
+      sB: Long)
+
+  /** Decode every PNG with the hand-rolled real decoder and reduce each
+    * raster to channel sums. Same execution model as [[decodeCodec]]:
+    * repartition by asset, per-partition loop, one decode per asset. */
+  def decodePngStats(assets: Dataset[MediaAsset]): Dataset[PngStatsRow] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(col("assetId"))
+      .mapPartitions { it =>
+        it.map { a =>
+          val (s, rgb) = RealFormats.parsePngFull(a.bytes)
+          val (r, g, b) = channelSums(s.width, s.height, rgb)
+          PngStatsRow(a.assetId, s.width, s.height, s.nChunks, r, g, b)
+        }
+      }
+  }
+
+  /** Structural-audit row for one JPEG asset (the mm9 discipline on a real
+    * compressed format): frame header facts from the marker walk, `ok`
+    * false with −1 fields on malformed streams (quarantine rows, never
+    * failed jobs). */
+  final case class JpegAuditRow(
+      assetId: Long,
+      width: Int,
+      height: Int,
+      nComponents: Int,
+      precision: Int,
+      ok: Boolean)
+
+  /** Marker-walk every JPEG ([[RealFormats.parseJpeg]] — segment lengths,
+    * SOF frame header, entropy-scan skip with byte-stuffing/restart rules)
+    * and report the frame structure. */
+  def jpegAudit(assets: Dataset[MediaAsset]): Dataset[JpegAuditRow] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(col("assetId"))
+      .map { a =>
+        try {
+          val s = RealFormats.parseJpeg(a.bytes)
+          JpegAuditRow(a.assetId, s.width, s.height, s.nComponents, s.precision, ok = true)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            JpegAuditRow(a.assetId, -1, -1, -1, -1, ok = false)
+        }
+      }
+  }
+
   /** Demo/test asset source: wraps document texts as fake binary payloads
     * (videos get an n_frames metadata entry derived from doc length). */
   def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {

@@ -52,7 +52,52 @@ object MultimodalQueries {
     "mm7_image_phash" -> mm7,
     "mm8_audio_fingerprint" -> mm8,
     "mm10_scene_keyframes" -> mm10,
-    "mm9_integrity_audit" -> mm9)
+    "mm9_integrity_audit" -> mm9,
+    "mm11_png_decode" -> mm11,
+    "mm12_jpeg_audit" -> mm12)
+
+  /** mm11: REAL-WORLD format decode — every image-modality document as a
+    * spec-conformant truecolor PNG (zlib IDAT, CRC32-validated chunks),
+    * decoded end-to-end by the hand-rolled [[graft.multimodal.RealFormats]]
+    * decoder (chunk walk, CRC verify, inflate, five-filter scanline
+    * reconstruction) and reduced to integer channel sums. PNG is lossless,
+    * so the oracle recomputes the sums from the md5 generation formula
+    * with no binary parsing (the mm3/mm5 discipline on a real container
+    * format): one bad filter reconstruction, CRC skip, or inflate slip
+    * anywhere breaks the hash match. Cross-encoder reads (ImageIO's
+    * adaptive filtering) are pinned in RealFormatsSpec. */
+  private def mm11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = MultimodalPipeline.pngAssets(s, d)
+    MultimodalPipeline.decodePngStats(assets).toDF()
+      .select($"assetId".as("asset_id"),
+        $"width".cast("long").as("width"), $"height".cast("long").as("height"),
+        $"nChunks".cast("long").as("n_chunks"),
+        $"sR".as("s_r"), $"sG".as("s_g"), $"sB".as("s_b"))
+      .orderBy($"asset_id")
+  }
+
+  /** mm12: REAL-WORLD compressed-format structural audit — the same rasters
+    * baseline-JPEG-encoded by the JDK codec, then marker-walked by the
+    * hand-rolled [[graft.multimodal.RealFormats.parseJpeg]] (SOI, segment
+    * lengths, SOF frame header, entropy-scan skip with byte-stuffing and
+    * restart-marker rules, EOI). The oracle states what the frame header
+    * MUST say from the generation formula (dims/components/precision are
+    * properties of the encoded image, not the encoder), so a misread
+    * big-endian field or a scan-skip that swallows a segment breaks the
+    * match. Lossy pixel values are deliberately NOT in the query — decode
+    * fidelity and dHash recompression invariance are pinned in
+    * RealFormatsSpec, where determinism is per-JDK rather than closed-form. */
+  private def mm12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assets = MultimodalPipeline.jpegAssets(s, d)
+    MultimodalPipeline.jpegAudit(assets).toDF()
+      .select($"assetId".as("asset_id"),
+        $"width".cast("long").as("width"), $"height".cast("long").as("height"),
+        $"nComponents".cast("long").as("n_components"),
+        $"precision".cast("long").as("precision"), $"ok")
+      .orderBy($"asset_id")
+  }
 
   /** mm1: per-modality decode statistics — asset/frame counts and mean
     * decoded dimensions after frame-sampling every 2nd frame. */
@@ -369,6 +414,38 @@ object MultimodalQueries {
     * 2; dims from the first 4 hex chars of md5(text || "#" || frameIdx),
     * exactly `MultimodalPipeline.decodeStub`. */
   def oracleSql: Map[String, String] = Map(
+    // mm11: byte j of the 768-byte raster = md5 chain block j//16 offset
+    // j%16 with salt '#png' (mm5's reconstruction under a different salt);
+    // channel = j%3. Dims/chunk count are fixed by the encoder contract
+    // (16×16, IHDR+IDAT+IEND) — the engine MEASURES them from real bytes.
+    "mm11_png_decode" ->
+      s"""WITH assets AS (
+         |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 0
+         |),
+         |bytes AS (
+         |  SELECT asset_id, j,
+         |         ${hexByte("md5(CAST(asset_id AS VARCHAR) || '#png#' || CAST(j // 16 AS VARCHAR))", "j % 16")} AS v
+         |  FROM assets, (SELECT unnest(generate_series(0, 767)) AS j) jj
+         |)
+         |SELECT asset_id,
+         |       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+         |       CAST(3 AS BIGINT) AS n_chunks,
+         |       CAST(SUM(CASE WHEN j % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS s_r,
+         |       CAST(SUM(CASE WHEN j % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS s_g,
+         |       CAST(SUM(CASE WHEN j % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS s_b
+         |FROM bytes GROUP BY asset_id
+         |ORDER BY asset_id""".stripMargin,
+    // mm12: the SOF frame header is a property of the image, not the
+    // encoder — 16×16, 3 components (YCbCr), 8-bit baseline — so the
+    // expectation is closed-form; the engine walks real JDK-encoded JPEGs.
+    "mm12_jpeg_audit" ->
+      s"""SELECT doc_id AS asset_id,
+         |       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+         |       CAST(3 AS BIGINT) AS n_components,
+         |       CAST(8 AS BIGINT) AS precision,
+         |       TRUE AS ok
+         |FROM documents WHERE doc_id % 3 = 0
+         |ORDER BY asset_id""".stripMargin,
     // mm9: closed-form expected sizes from the generation formula — image
     // PPM = "P6\n16 16\n255\n"(13) + 768 raster; audio WAV = 44-byte
     // header + 256·2 PCM bytes; video GRFV = 8 + nf·(4 + 11 + 192) with
