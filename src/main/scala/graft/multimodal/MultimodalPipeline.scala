@@ -439,6 +439,27 @@ object MultimodalPipeline {
       }
   }
 
+  /** dHash every PNG asset through the REAL-FORMAT decode path
+    * ([[RealFormats.parsePng]]: chunk walk, CRC verify, inflate, five-filter
+    * reconstruction) — the real-container sibling of [[imageHashes]], same
+    * hash construction ([[RealFormats.dHash64]] is differential-tested
+    * against it), same narrow at-rest row shape, same banding layout. */
+  def pngHashes(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(col("assetId"))
+      .mapPartitions { it =>
+        it.map { a =>
+          val (w, h, rgb) = RealFormats.parsePng(a.bytes)
+          val (hLo, hHi) = RealFormats.dHash64(w, h, rgb)
+          val bands = Array.tabulate(8)(j =>
+            if (j < 4) ((hLo >>> (8 * j)) & 255L).toInt
+            else ((hHi >>> (8 * (j - 4))) & 255L).toInt)
+          ImageHash(a.assetId, hLo, hHi, bands)
+        }
+      }
+  }
+
   /** Acoustic fingerprint of one audio asset — the energy-difference
     * fingerprint (the Haitsma–Kalker '02 construction reduced to one band):
     * the PCM16 stream splits into fixed windows, each window's integer

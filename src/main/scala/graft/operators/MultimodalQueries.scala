@@ -54,7 +54,8 @@ object MultimodalQueries {
     "mm10_scene_keyframes" -> mm10,
     "mm9_integrity_audit" -> mm9,
     "mm11_png_decode" -> mm11,
-    "mm12_jpeg_audit" -> mm12)
+    "mm12_jpeg_audit" -> mm12,
+    "mm13_png_phash" -> mm13)
 
   /** mm11: REAL-WORLD format decode — every image-modality document as a
     * spec-conformant truecolor PNG (zlib IDAT, CRC32-validated chunks),
@@ -271,7 +272,17 @@ object MultimodalQueries {
     val aud = MultimodalPipeline.audioFingerprints(assets).toDF()
       .select($"assetId".as("doc_id"), lit("audio").as("modality"),
         $"fp".as("sig_lo"), lit(0L).as("sig_hi"), $"bands")
-    img.unionAll(aud)
+    // real-format arm: the same image documents, PNG-encoded and hashed
+    // through the real decode path (v2 of the table layout)
+    val pngAssets = docs.select($"doc_id").as[Long]
+      .filter((id: Long) => id % 3 == 0)
+      .map(id => MultimodalPipeline.MediaAsset(id, "image",
+        graft.multimodal.RealFormats.writePng(16, 16, MultimodalPipeline.realRaster(id)),
+        Map("format" -> "png")))
+    val png = MultimodalPipeline.pngHashes(pngAssets).toDF()
+      .select($"assetId".as("doc_id"), lit("png_image").as("modality"),
+        $"hLo".as("sig_lo"), $"hHi".as("sig_hi"), $"bands")
+    img.unionAll(aud).unionAll(png)
   }
 
   /** At-rest media fingerprint table — built once at ingest like every
@@ -322,11 +333,23 @@ object MultimodalQueries {
     * pins that banding finds them at hamming ≤ threshold. At 100 TB the
     * hash table is a 26-byte-per-image at-rest scan and the band join is
     * AQE-skew-splittable; nothing ever rescans a raster. */
-  private def mm7(s: SparkSession, d: String): DataFrame = {
+  private def mm7(s: SparkSession, d: String): DataFrame = phash(s, d, "image")
+
+  /** mm13: mm7's near-dup machinery over the REAL-FORMAT arm — fingerprints
+    * that came from actual PNG decode (chunk walk, CRC verify, inflate,
+    * unfilter; [[MultimodalPipeline.pngHashes]]) maintained in the same
+    * at-rest `media_fp` table under the `png_image` modality. The oracle
+    * rebuilds the expected dHashes from the generation formula (PNG is
+    * lossless, so decode output IS the formula raster) and reruns the whole
+    * banded candidate join + Hamming verify — one wrong filter
+    * reconstruction in any of 1667 sf0.1 decodes breaks the hash match. */
+  private def mm13(s: SparkSession, d: String): DataFrame = phash(s, d, "png_image")
+
+  private def phash(s: SparkSession, d: String, modality: String): DataFrame = {
     import s.implicits._
     // pushed modality predicate over the maintained at-rest fingerprint
     // table — nothing re-decodes a raster at query time
-    val hashes = mediaFp(s, d).filter($"modality" === "image")
+    val hashes = mediaFp(s, d).filter($"modality" === modality)
       .select($"doc_id".as("assetId"), $"sig_lo", $"sig_hi", $"bands")
     val bands = hashes.select($"assetId", posexplode($"bands").as(Seq("band_idx", "band_val")))
     val cand = bands.select($"assetId".as("asset_a"), $"band_idx", $"band_val")
@@ -725,56 +748,8 @@ object MultimodalQueries {
     // candidate join and bit_count(xor) Hamming verify — a transposed bit,
     // mis-packed band, or asymmetric comparison anywhere breaks the hash
     // match
-    "mm7_image_phash" ->
-      s"""WITH assets AS (
-         |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 0
-         |),
-         |bytes AS (
-         |  SELECT asset_id, j,
-         |         ${hexByte("md5(CAST(asset_id AS VARCHAR) || '#img#' || CAST(j // 16 AS VARCHAR))", "j % 16")} AS v
-         |  FROM assets, (SELECT unnest(generate_series(0, 767)) AS j) jj
-         |),
-         |cells AS (
-         |  SELECT asset_id, ((j // 3) // 16) // 2 AS cy, ((j // 3) % 16) // 2 AS cx,
-         |         SUM(v) AS s
-         |  FROM bytes GROUP BY 1, 2, 3
-         |),
-         |bits AS (
-         |  SELECT a.asset_id, a.cy * 8 + a.cx AS k,
-         |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-         |  FROM cells a JOIN cells b
-         |    ON b.asset_id = a.asset_id AND b.cy = a.cy AND b.cx = (a.cx + 1) % 8
-         |),
-         |hashes AS (
-         |  SELECT asset_id,
-         |         CAST(SUM(CASE WHEN k < 32
-         |              THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS h_lo,
-         |         CAST(SUM(CASE WHEN k >= 32
-         |              THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS h_hi
-         |  FROM bits GROUP BY asset_id
-         |),
-         |bands AS (
-         |  SELECT asset_id, bj,
-         |         CASE WHEN bj < 4 THEN (h_lo >> (8 * bj)) & 255
-         |              ELSE (h_hi >> (8 * (bj - 4))) & 255 END AS bv
-         |  FROM hashes, (SELECT unnest(generate_series(0, 7)) AS bj) bb
-         |),
-         |cand AS (
-         |  SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
-         |         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-         |  FROM bands a JOIN bands b
-         |    ON b.bj = a.bj AND b.bv = a.bv AND a.asset_id < b.asset_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT c.asset_a, c.asset_b, c.n_shared_bands,
-         |       CAST(bit_count(xor(ha.h_lo, hb.h_lo))
-         |          + bit_count(xor(ha.h_hi, hb.h_hi)) AS BIGINT) AS hamming,
-         |       (bit_count(xor(ha.h_lo, hb.h_lo))
-         |          + bit_count(xor(ha.h_hi, hb.h_hi))) <= $DupMaxHamming AS is_dup
-         |FROM cand c
-         |JOIN hashes ha ON ha.asset_id = c.asset_a
-         |JOIN hashes hb ON hb.asset_id = c.asset_b
-         |ORDER BY c.asset_a, c.asset_b""".stripMargin,
+    "mm7_image_phash" -> phashSql("img"),
+    "mm13_png_phash" -> phashSql("png"),
     // mm6: rebuild every video frame's 192 bytes from the md5 chain
     // (12 blocks × 16 hex-decoded bytes), pair consecutive frames on the
     // byte position, and aggregate |delta| — no stride: cuts need every
@@ -809,6 +784,66 @@ object MultimodalQueries {
          |         AS shot_frames
          |FROM shots s JOIN counts c USING (asset_id)
          |ORDER BY s.asset_id, s.shot_id""".stripMargin)
+
+  /** The dHash near-dup oracle (mm7/mm13), parameterized by content salt:
+    * rebuild every image's 768 raster bytes from the md5 chain (mm5's
+    * reconstruction), re-derive grayscale → 8×8 block sums → the 64 dHash
+    * bits → packed halves + row-byte bands, then the banded candidate join
+    * and bit_count(xor) Hamming verify — a transposed bit, mis-packed band,
+    * or asymmetric comparison anywhere breaks the hash match. mm7's arm
+    * hashes the PPM corpus (salt `img`); mm13's hashes the SAME formula
+    * rasters through the REAL PNG decode (salt `png`), so the oracle also
+    * proves losslessness of the full encode→decode cycle. */
+  private def phashSql(salt: String): String =
+    s"""WITH assets AS (
+       |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 0
+       |),
+       |bytes AS (
+       |  SELECT asset_id, j,
+       |         ${hexByte(s"md5(CAST(asset_id AS VARCHAR) || '#$salt#' || CAST(j // 16 AS VARCHAR))", "j % 16")} AS v
+       |  FROM assets, (SELECT unnest(generate_series(0, 767)) AS j) jj
+       |),
+       |cells AS (
+       |  SELECT asset_id, ((j // 3) // 16) // 2 AS cy, ((j // 3) % 16) // 2 AS cx,
+       |         SUM(v) AS s
+       |  FROM bytes GROUP BY 1, 2, 3
+       |),
+       |bits AS (
+       |  SELECT a.asset_id, a.cy * 8 + a.cx AS k,
+       |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON b.asset_id = a.asset_id AND b.cy = a.cy AND b.cx = (a.cx + 1) % 8
+       |),
+       |hashes AS (
+       |  SELECT asset_id,
+       |         CAST(SUM(CASE WHEN k < 32
+       |              THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS h_lo,
+       |         CAST(SUM(CASE WHEN k >= 32
+       |              THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS h_hi
+       |  FROM bits GROUP BY asset_id
+       |),
+       |bands AS (
+       |  SELECT asset_id, bj,
+       |         CASE WHEN bj < 4 THEN (h_lo >> (8 * bj)) & 255
+       |              ELSE (h_hi >> (8 * (bj - 4))) & 255 END AS bv
+       |  FROM hashes, (SELECT unnest(generate_series(0, 7)) AS bj) bb
+       |),
+       |cand AS (
+       |  SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+       |  FROM bands a JOIN bands b
+       |    ON b.bj = a.bj AND b.bv = a.bv AND a.asset_id < b.asset_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT c.asset_a, c.asset_b, c.n_shared_bands,
+       |       CAST(bit_count(xor(ha.h_lo, hb.h_lo))
+       |          + bit_count(xor(ha.h_hi, hb.h_hi)) AS BIGINT) AS hamming,
+       |       (bit_count(xor(ha.h_lo, hb.h_lo))
+       |          + bit_count(xor(ha.h_hi, hb.h_hi))) <= $DupMaxHamming AS is_dup
+       |FROM cand c
+       |JOIN hashes ha ON ha.asset_id = c.asset_a
+       |JOIN hashes hb ON hb.asset_id = c.asset_b
+       |ORDER BY c.asset_a, c.asset_b""".stripMargin
 
   /** The mm6 delta derivation (assets → regenerated frame bytes →
     * consecutive-pair SAD rows) as a shared CTE prefix — mm6 reads it
