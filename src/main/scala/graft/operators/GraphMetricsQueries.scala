@@ -533,11 +533,12 @@ object GraphMetricsQueries {
       .unionAll(g.interactions.select($"actor2".as("actor_id")))
     val hist = endpoints.groupBy($"actor_id").agg(count(lit(1)).as("degree"))
       .groupBy($"degree").agg(count(lit(1)).as("n_actors"))
-    val tot = hist.agg(sum($"n_actors").as("n_total"))
-    val w = Window.orderBy(desc("degree"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.withColumn("cum_ge", sum($"n_actors").over(w))
-      .crossJoin(tot)
+    // two-level bucketed CCDF (PrefixSum): no histogram-sized
+    // single-partition window even when the degree domain grows with the
+    // corpus; totals come off the bucket sums, not a second pass
+    val (cum, tot) = PrefixSum.cumulative(hist, Seq.empty, "degree",
+      "n_actors", asc = false, "cum_ge", "n_total")
+    cum.crossJoin(broadcast(tot))
       .select($"degree", $"n_actors", $"cum_ge",
         ($"cum_ge".cast("double") / $"n_total").as("frac_ge"))
       .orderBy($"degree")
@@ -562,11 +563,11 @@ object GraphMetricsQueries {
       .unionAll(g.frameInteractions.select($"actor2".as("actor_id")))
       .groupBy($"actor_id").agg(count(lit(1)).as("strength"))
     val hist = strength.groupBy($"strength").agg(count(lit(1)).as("n_actors"))
-    val tot = hist.agg(sum($"n_actors").as("n_total"))
-    val w = Window.orderBy(desc("strength"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.withColumn("cum_ge", sum($"n_actors").over(w))
-      .crossJoin(broadcast(tot))
+    // two-level bucketed CCDF (PrefixSum) — strength's value domain grows
+    // with activity mass, the exact case the bucketed construction is for
+    val (cum, tot) = PrefixSum.cumulative(hist, Seq.empty, "strength",
+      "n_actors", asc = false, "cum_ge", "n_total")
+    cum.crossJoin(broadcast(tot))
       .select($"strength", $"n_actors", $"cum_ge",
         ($"cum_ge".cast("double") / $"n_total").as("frac_ge"))
       .orderBy($"strength")

@@ -247,9 +247,11 @@ object PipelineQueries {
     val bucketSums = t.groupBy($"bucket")
       .agg(sum($"n_tokens").as("bsum"), max($"doc_id").as("_maxdoc"))
     // the ONE ordered pass: n/B bucket rows, bounded by construction
+    // (declared via the PrefixSum.onePart constant key)
     val bucketOffsets = bucketSums.withColumn("boff",
       coalesce(sum($"bsum").over(
-        Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
+        Window.partitionBy(PrefixSum.onePart($"bucket"))
+          .orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .filter($"_maxdoc".isNotNull)
       .select($"bucket", $"boff")
@@ -478,7 +480,8 @@ object PipelineQueries {
       .agg(count(lit(1)).as("bn"))
       .withColumn("boff",
         coalesce(sum($"bn").over(
-          Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
+          Window.partitionBy(PrefixSum.onePart($"bucket"))
+            .orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select($"bucket", $"boff")
     val within = Window.partitionBy($"bucket").orderBy($"h", $"chunk_id")

@@ -365,8 +365,12 @@ object SessionQueries {
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val counts = ev.groupBy($"user_id").agg(count(lit(1)).as("c"))
     val hist = counts.groupBy($"c").agg(count(lit(1)).as("k"))
-    val w = Window.orderBy($"c").rowsBetween(Window.unboundedPreceding, -1)
-    val wc = hist.withColumn("cum", coalesce(sum($"k").over(w), lit(0L)))
+    // two-level bucketed exclusive prefix (PrefixSum): the distinct-value
+    // domain grows with per-user activity, so the cumulative rank pays the
+    // bucketed construction; exclusive = inclusive − own weight (exact)
+    val (cumDf, _) = PrefixSum.cumulative(hist, Seq.empty, "c", "k",
+      asc = true, "cum_i", "n_tot")
+    val wc = cumDf.withColumn("cum", $"cum_i" - $"k").drop("cum_i")
     val tot = wc.agg(sum($"k").as("n"), sum($"c" * $"k").as("mass"))
     val gnum = wc.crossJoin(broadcast(tot))
       .select((dec($"c") * dec($"k") *
@@ -396,10 +400,12 @@ object SessionQueries {
     val m = sessions(s, d).select(
       expr("stack(2, 'dur_sec', dur_sec, 'n_events', n_events) AS (metric, v)"))
     val hist = m.groupBy($"metric", $"v").agg(count(lit(1)).as("cnt"))
-    val cum = hist
-      .withColumn("cum", sum($"cnt").over(
-        Window.partitionBy($"metric").orderBy($"v")))
-      .withColumn("tot", sum($"cnt").over(Window.partitionBy($"metric")))
+    // two-level bucketed cumulative ranks (PrefixSum): dur_sec's domain is
+    // bounded only by max session length — corpus-dependent — so the
+    // per-metric window partition is retired for the bucketed construction
+    val (cumDf, totDf) = PrefixSum.cumulative(hist, Seq("metric"), "v",
+      "cnt", asc = true, "cum", "tot")
+    val cum = cumDf.join(broadcast(totDf), "metric")
     val qCols = A14Qs.map { q =>
       min(when($"cum" >= ceil($"tot" * lit(q / 100.0)), $"v")).as(s"p$q")
     }

@@ -541,10 +541,13 @@ object TextQueries {
       size(wsTokens($"text")).cast("long").as("tokens"))
     val hist = m.select(expr("stack(2, 'chars', chars, 'tokens', tokens) AS (metric, v)"))
       .groupBy($"metric", $"v").agg(count(lit(1)).as("cnt"))
-    val cum = hist
-      .withColumn("cum", sum($"cnt").over(
-        Window.partitionBy($"metric").orderBy($"v")))
-      .withColumn("tot", sum($"cnt").over(Window.partitionBy($"metric")))
+    // two-level bucketed cumulative ranks (PrefixSum): the per-metric
+    // window partition was bounded only by the value domain — corpus-
+    // dependent for long documents — so it now pays two keyed shuffles
+    // plus one n/B bucket pass instead; totals join off the bucket sums
+    val (cumDf, totDf) = PrefixSum.cumulative(hist, Seq("metric"), "v",
+      "cnt", asc = true, "cum", "tot")
+    val cum = cumDf.join(broadcast(totDf), "metric")
     val qCols = ProfileQs.map { q =>
       min(when($"cum" >= ceil($"tot" * lit(q / 100.0)), $"v")).as(s"p$q")
     }
@@ -621,7 +624,9 @@ object TextQueries {
     val uni = postings(s, d).groupBy($"t").agg(sum($"tf").as("cnt"))
     val tot = uni.agg(sum($"cnt").as("n_tokens"))
     val top = uni.orderBy(desc("cnt"), $"t").limit(ZipfK)
-    val w = Window.orderBy(desc("cnt"), $"t")
+    // the window input is the ALREADY-LIMITED ≤ ZipfK rows; the declared
+    // constant key (PrefixSum.onePart) states that bounded contract
+    val w = Window.partitionBy(PrefixSum.onePart($"cnt")).orderBy(desc("cnt"), $"t")
     top
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cum_cnt",

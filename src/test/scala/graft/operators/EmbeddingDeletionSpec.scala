@@ -61,15 +61,28 @@ class EmbeddingDeletionSpec extends SparkSpec {
     SimilarityQueries.deleteEmbeddings(spark, dDel, batch)
     SimilarityQueries.buildEmbeddingIndexes(spark, dRef, remaining)
 
-    // derived-quantizer tables need no retrain to match; the trained
-    // k-means family stays frozen by design and is compared after the
-    // explicit retrain in the anchor test
+    // derived-quantizer tables need no retrain to match; the TRAINED
+    // families (k-means AND, since round 10, the PQ codebook) stay frozen
+    // by design — km is compared after the explicit retrain in the anchor
+    // test, pq after the explicit retrain below
     val derived = Seq(DocTables.EmbIndex, DocTables.EmbSq,
-      (s"emb_ivf_c$nc", SimilarityQueries.IvfVersion), SimilarityQueries.pqTable)
+      (s"emb_ivf_c$nc", SimilarityQueries.IvfVersion))
     for (t <- derived) {
       assert(rows(DerivedCache.existing(spark, dDel, t))
           == rows(DerivedCache.existing(spark, dRef, t)),
         s"table ${t._1} must equal the fresh build without any rebuild pass")
+    }
+    // frozen codebook: the purged codes are still exact vs the pre-delete
+    // quantizer (row count matches the remaining corpus)...
+    assert(DerivedCache.existing(spark, dDel, SimilarityQueries.pqTable).count()
+        == DerivedCache.existing(spark, dRef, SimilarityQueries.pqTable).count())
+    // ...and an explicit retrain lands exactly on the fresh rebuild
+    SimilarityQueries.retrainPqCodebook(spark, dDel)
+    for (t <- Seq(SimilarityQueries.pqCbTable, SimilarityQueries.pqTable,
+        SimilarityQueries.pqMetaTable)) {
+      assert(rows(DerivedCache.existing(spark, dDel, t))
+          == rows(DerivedCache.existing(spark, dRef, t)),
+        s"table ${t._1} must equal the fresh build after retrain")
     }
   }
 }

@@ -430,18 +430,28 @@ abstract class PlanAuditBase extends SparkSpec {
     }
   }
 
-  test("tx15 profiles from ONE corpus scan; windows are metric-scoped") {
+  test("tx15 profiles from ONE corpus scan; windows are keyed (two-level)") {
     val df = TextQueries.queries("tx15_length_profile")(spark, dir)
-    val p = plan(df)
-    // both metrics derive from a single pass over the text column
+    // the two-level PrefixSum fans the histogram out to three consumers;
+    // one-scan-ness is an AQE stage-reuse property, so assert on the FINAL
+    // adaptive plan (collect() finalizes df's own query execution):
+    // exactly one live corpus FileScan, the rest reused
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"), "plan must be AQE-final before auditing")
+    // toString prints Final AND Initial sections — audit the final one
+    val p = full.split("== Initial Plan ==")(0)
     assert(p.linesIterator.count(_.contains("FileScan")) == 1,
-      s"tx15 must scan the corpus exactly once:\n${p.take(1200)}")
+      s"tx15's final plan must scan the corpus exactly once (stage reuse):\n${p.take(2500)}")
+    assert(p.contains("ReusedQueryStage") || p.contains("ReusedExchange"),
+      "the histogram exchange must be reused across the PrefixSum consumers")
     assert(p.split("ReadSchema: ").exists(_.startsWith("struct<doc_id:bigint,text:string")),
       "the one scan reads only (doc_id, text) — doc_id is documentsWide's compute-spread key")
-    // cumulative windows partition by metric — partitions are bounded by
-    // the value domain, never corpus-sized
+    // every cumulative window carries a partition key: metric for the
+    // bucket pass, (metric, _bucket) for the within-bucket pass — no
+    // unpartitioned histogram-sized window exists at any scale
     assert(p.linesIterator.filter(_.contains("Window [")).forall(_.contains("metric")),
-      s"tx15 windows must be metric-partitioned:\n${p.take(1200)}")
+      s"tx15 windows must be metric-partitioned:\n${p.take(1500)}")
   }
 
   test("a08 step window is user-partitioned over one events scan") {

@@ -22,7 +22,9 @@ class RecallAuditSpec extends SparkSpec {
     assert(r("ss5_ivf_kmeans") >= 0.8, s"ss5 recall@10 = ${r("ss5_ivf_kmeans")}")
     assert(r("ss6_sq_rerank") >= 0.9, s"ss6 recall@10 = ${r("ss6_sq_rerank")}")
     assert(r("ss8_mips") >= 0.9, s"ss8 recall@10 = ${r("ss8_mips")}")
-    assert(r("ss7_pq_topk") >= 0.8, s"ss7 recall@10 = ${r("ss7_pq_topk")}")
+    // round-10 floor raise: the TRAINED 16×32 PQ codebook measures 1.0 at
+    // both sfs (RECALL_r10) — ≥ 0.95 is the quality target, not the pin
+    assert(r("ss7_pq_topk") >= 0.95, s"ss7 recall@10 = ${r("ss7_pq_topk")}")
     // fusion exists to recover what either family loses — it must do at
     // least as well as the better single floor
     assert(r("ss10_rank_fusion") >= 0.9, s"ss10 recall@10 = ${r("ss10_rank_fusion")}")
@@ -32,8 +34,9 @@ class RecallAuditSpec extends SparkSpec {
     // the batch range join shares ss11's admission bound, measured at
     // pair level over the whole batch
     assert(r("ss15_range_join") >= 0.95, s"ss15 range recall = ${r("ss15_range_join")}")
-    // the IVF-PQ composition is bounded below by min(ss4, ss7)'s floors
-    assert(r("ss12_ivfpq_topk") >= 0.8, s"ss12 recall@10 = ${r("ss12_ivfpq_topk")}")
+    // the IVF-PQ composition is bounded below by min(ss4, ss7)'s floors;
+    // round-10 measured 1.0/1.0 with the trained codebook
+    assert(r("ss12_ivfpq_topk") >= 0.95, s"ss12 recall@10 = ${r("ss12_ivfpq_topk")}")
   }
 
   test("Hamming-pool ANN clears its quality floors on the flat landscape") {
