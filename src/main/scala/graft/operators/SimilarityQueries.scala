@@ -156,7 +156,8 @@ object SimilarityQueries {
     "ss16_cell_profile" -> ss16,
     "ss17_mmr_rerank" -> ss17,
     "ss18_sq_fidelity" -> ss18,
-    "ss19_ann_pareto" -> ss19)
+    "ss19_ann_pareto" -> ss19,
+    "ss19b_pareto_sampled" -> ss19b)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -757,6 +758,80 @@ object SimilarityQueries {
       (pool, hits.toLong, hits.toDouble / TopK)
     }
     rows.toDF("pool", "n_hits", "recall").orderBy($"pool")
+  }
+
+  /** Probe-sample size for the at-scale Pareto audit (ss19b) — a constant,
+    * so the audit's exact-arm cost is exactly [[ParetoSampleN]] cosines
+    * per corpus vector in ONE pass, at any corpus size. */
+  private val ParetoSampleN = 8
+
+  /** ss19b: the recall-Pareto audit ABOVE the [[Controls]] gate (round-9
+    * verdict item 4) — ss19's instrument re-based on a FIXED HASH-SAMPLED
+    * probe set so it runs where tuning matters most, the full corpus:
+    *
+    *  - probes = the [[ParetoSampleN]] smallest `md5(vec_id)` hashes (the
+    *    p03/tx5 stable-hash construction + a TakeOrdered — deterministic,
+    *    corpus-size-independent count, no RNG);
+    *  - ONE corpus pass scores every vector against all probes (Hamming
+    *    for the pool arm, exact cosine for the ground truth) off the
+    *    narrow at-rest index — cost S·n, embarrassingly parallel, unlike
+    *    ss1's per-query brute force this is a batch audit shape;
+    *  - per-probe top-K/top-pool use the two-phase grouped-top-K prune
+    *    (local rank within a vec_id bucket, global rank over the ≤ 32·K
+    *    survivors) so no per-probe corpus-sized window partition exists;
+    *  - per pool width, ss2's pool-then-rerank ranking is reproduced and
+    *    micro-averaged recall over the probe set reported — one exact
+    *    division per row.
+    *
+    * ss19 (dev-scale, declared-operator-exact) and ss19b (at-scale,
+    * sampled) together are the tuning instrument pair SCALING.md
+    * describes. */
+  private def ss19b(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = index(s, d)
+    val probes = idx
+      .select($"vec_id".as("pid"), $"embedding".as("pemb"),
+        $"nsq".as("pnsq"), $"sig".as("psig"),
+        expr("conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)")
+          .cast("long").as("h"))
+      .orderBy($"h", $"pid").limit(ParetoSampleN)
+      .drop("h")
+    val nProbes = probes.count()
+    val scored = idx.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id",
+        hammingDist($"sig", $"psig").as("ham"),
+        (dotExact($"embedding", $"pemb") /
+          (sqrt($"nsq") * sqrt($"pnsq"))).as("cosine"))
+    // two-phase grouped top-K: the local prune keeps every window
+    // partition at n/32 rows, the global rank sees ≤ 32·k survivors —
+    // result identical to a direct per-probe top-k (any prune keeping
+    // per-bucket top-k preserves the global top-k), so the oracle ranks
+    // directly
+    def pruned(order: Seq[Column], k: Int, as: String): DataFrame = {
+      val wl = Window.partitionBy($"pid", $"_b").orderBy(order: _*)
+      val wg = Window.partitionBy($"pid").orderBy(order: _*)
+      scored.withColumn("_b", pmod($"vec_id", lit(32)))
+        .withColumn("_lr", row_number().over(wl)).filter($"_lr" <= k)
+        .withColumn(as, row_number().over(wg)).filter(col(as) <= k)
+        .drop("_b", "_lr")
+    }
+    val exact = pruned(Seq(desc("cosine"), $"vec_id".asc), TopK, "xr")
+      .select($"pid", $"vec_id")
+    val pooled = pruned(Seq($"ham".asc, $"vec_id".asc), HamPool, "pr")
+    val pools = ParetoPools.toDF("pool")
+    val rr = pooled.join(broadcast(pools), $"pr" <= $"pool")
+      .withColumn("rrk", row_number().over(
+        Window.partitionBy($"pid", $"pool").orderBy(desc("cosine"), $"vec_id")))
+      .filter($"rrk" <= TopK)
+    val hits = rr.join(exact, Seq("pid", "vec_id"), "left_semi")
+      .groupBy($"pool").agg(count(lit(1)).as("h"))
+    broadcast(pools).join(hits, Seq("pool"), "left")
+      .select($"pool", lit(nProbes).as("n_probes"),
+        coalesce($"h", lit(0L)).as("n_hits"),
+        (coalesce($"h", lit(0L)).cast("double") /
+          lit((nProbes * TopK).toDouble)).as("recall"))
+      .orderBy($"pool")
   }
 
   /** ss6: quantized-scan ANN — rank the WHOLE corpus by the int8
@@ -1993,6 +2068,65 @@ object SimilarityQueries {
          |  ORDER BY cosine DESC, vec_id LIMIT $TopK)""".stripMargin + perPool +
         s"""
            |SELECT pool, n_hits, recall FROM (
+           |$union
+           |) z ORDER BY pool""".stripMargin
+    },
+    // ss19b: hash-sampled probe set (smallest md5 prefixes), per-probe
+    // exact ranks and Hamming pool ranks via windows, ss2's rerank per
+    // pool width, micro-averaged hits — the engine's two-phase top-K
+    // prune is invisible here (any per-bucket top-k prune preserves the
+    // global top-k), so the oracle ranks directly
+    "ss19b_pareto_sampled" -> {
+      val h = (1 to 8).map { i =>
+        val pow = java.lang.Long.toString(1L << (4 * (8 - i)))
+        s"(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), $i, 1)) - 1) * $pow"
+      }.mkString("(", " + ", ")")
+      val perPool = ParetoPools.map { p =>
+        s""",
+           |rr$p AS (
+           |  SELECT pid, vec_id FROM (
+           |    SELECT c.pid, c.vec_id,
+           |           row_number() OVER (PARTITION BY c.pid
+           |                              ORDER BY c.cosine DESC, c.vec_id) AS rrk
+           |    FROM cosall c JOIN hamall hm
+           |      ON hm.pid = c.pid AND hm.vec_id = c.vec_id AND hm.pr <= $p) t
+           |  WHERE rrk <= $TopK),
+           |h$p AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS nh
+           |  FROM rr$p JOIN exact USING (pid, vec_id))""".stripMargin
+      }.mkString
+      val union = ParetoPools.map { p =>
+        s"""SELECT $p AS pool, CAST(np.n AS BIGINT) AS n_probes, h$p.nh AS n_hits,
+           |       CAST(h$p.nh AS DOUBLE) / CAST(np.n * $TopK AS DOUBLE) AS recall
+           |FROM h$p, np""".stripMargin
+      }.mkString("\n|UNION ALL\n|".stripMargin)
+      s"""WITH $evSql,
+         |$rsigSql,
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS pid FROM embeddings ORDER BY $h, vec_id LIMIT $ParetoSampleN),
+         |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM probes),
+         |psig AS (SELECT p.pid, r.sig AS ps FROM probes p JOIN rsig r ON r.vec_id = p.pid),
+         |pev AS (SELECT p.pid, ev.pos, ev.e AS pe FROM probes p JOIN ev ON ev.vec_id = p.pid),
+         |cosall AS MATERIALIZED (
+         |  SELECT pev.pid, ev.vec_id,
+         |         ${sqlSum("ev.e * pev.pe")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("pev.pe * pev.pe")})) AS cosine
+         |  FROM ev JOIN pev USING (pos)
+         |  WHERE ev.vec_id <> pev.pid
+         |  GROUP BY pev.pid, ev.vec_id),
+         |hamall AS MATERIALIZED (
+         |  SELECT s.pid, r.vec_id,
+         |         row_number() OVER (PARTITION BY s.pid
+         |                            ORDER BY hamming(r.sig, s.ps), r.vec_id) AS pr
+         |  FROM rsig r JOIN psig s ON r.vec_id <> s.pid),
+         |exact AS MATERIALIZED (
+         |  SELECT pid, vec_id FROM (
+         |    SELECT pid, vec_id,
+         |           row_number() OVER (PARTITION BY pid ORDER BY cosine DESC, vec_id) AS xr
+         |    FROM cosall) t
+         |  WHERE xr <= $TopK)""".stripMargin + perPool +
+        s"""
+           |SELECT pool, n_probes, n_hits, recall FROM (
            |$union
            |) z ORDER BY pool""".stripMargin
     },
