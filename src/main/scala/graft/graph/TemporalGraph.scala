@@ -86,6 +86,19 @@ final class TemporalGraph private (val graph: Graph[Long, Int]) {
       .map { case (v, r) => (v, r) }.toDF("actor_id", "rank")
   }
 
+  /** Single-source hop distances — g13's BFS as a GraphX
+    * Pregel run (`ShortestPaths` with one landmark). Directed like
+    * [[pageRank]], so the canonical edges symmetrize first; unreached
+    * vertices are absent, matching g13's contract. */
+  def shortestHopsFrom(src: Long): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val sym = Graph.fromEdges(graph.edges.union(graph.reverse.edges), defaultValue = 0L)
+    org.apache.spark.graphx.lib.ShortestPaths.run(sym, Seq(src)).vertices
+      .flatMap { case (v, spmap) => spmap.get(src).map(d => (v, d.toLong)) }
+      .toDF("actor_id", "hops")
+  }
+
   /** Per-vertex triangle participation counts — the global closure analog of
     * the C11 ego query (requires the canonical actor1 < actor2 edge form,
     * which [[TemporalGraph.fromEdges]] guarantees). */

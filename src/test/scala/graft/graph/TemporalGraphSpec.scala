@@ -78,4 +78,49 @@ class TemporalGraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(t == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
+
+  /** Per-day edge window straight off the event-graph tables — the same
+    * derivation as the operators' at-rest day slices, rebuilt here so the
+    * differential is independent of their cache. */
+  private def dayWindow(y: Long, m: Long, dd: Long) = {
+    import org.apache.spark.sql.functions.col
+    val dayFrames = g.frames
+      .filter(col("year") === y && col("month") === m && col("day") === dd)
+      .select("frame_id")
+    g.frameInteractions
+      .join(dayFrames, Seq("frame_id"), "left_semi")
+      .select("frame_id", "actor1", "actor2", "weight")
+  }
+
+  test("g10 per-day component stats match GraphX connectedComponents on sampled days") {
+    import graft.operators.GraphMetricsQueries
+    val rel = GraphMetricsQueries.queries("g10_component_evolution")(spark, dir)
+      .collect()
+    assert(rel.nonEmpty)
+    // sample the first, middle, and last day of the evolution table
+    for (row <- Seq(rel.head, rel(rel.length / 2), rel.last)) {
+      val dkey = row.getLong(0)
+      val tgDay = TemporalGraph.fromEdges(
+        dayWindow(dkey / 10000, dkey / 100 % 100, dkey % 100))
+      val sizes = tgDay.connectedComponents
+        .groupBy("component").count()
+        .collect().map(_.getLong(1))
+      assert(sizes.sum == row.getLong(1), s"n_actors for day $dkey")
+      assert(tgDay.edges.count() == row.getLong(2), s"n_edges for day $dkey")
+      assert(sizes.length.toLong == row.getLong(3), s"n_components for day $dkey")
+      assert(sizes.max == row.getLong(4), s"largest component for day $dkey")
+    }
+  }
+
+  test("g13 BFS hops match GraphX ShortestPaths on the probe-day graph") {
+    import graft.build.GraphCache
+    import graft.operators.GraphMetricsQueries
+    val p = GraphCache(spark, dir).probes
+    val graphx = TemporalGraph.fromEdges(dayWindow(p.py, p.pm, p.pdd))
+      .shortestHopsFrom(p.pa1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relational = GraphMetricsQueries.queries("g13_bfs_hops")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relational.nonEmpty && graphx == relational)
+  }
 }
