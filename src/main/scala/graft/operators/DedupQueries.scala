@@ -61,7 +61,8 @@ object DedupQueries {
     "dd14_online_semdedup" -> SimilarityQueries.semDedupOnline,
     "dd15_band_profile" -> dd15,
     "dd16_novelty_profile" -> dd16,
-    "dd17_cluster_profile" -> dd17)
+    "dd17_cluster_profile" -> dd17,
+    "dd18_boilerplate" -> dd18)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -332,7 +333,17 @@ object DedupQueries {
     import s.implicits._
     val dupH = win.groupBy($"h").agg(count(lit(1)).as("c"))
       .filter($"c" > 1).select($"h")
-    val starts = win.join(dupH, "h").select($"doc_id", $"pos")
+    islandSpansOf(win.join(dupH, "h").select($"doc_id", $"pos"))
+  }
+
+  /** The island merge alone, over an explicit (doc_id, pos) start set —
+    * shared by [[spanRowsOf]] (corpus-duplicated windows) and dd18
+    * (cross-source boilerplate windows): starts whose gap is ≤ [[WinW]]
+    * have contiguous token coverage and merge into one maximal span.
+    * Partitions by doc_id — bounded by document length, skew-free. */
+  private[graft] def islandSpansOf(starts: DataFrame): DataFrame = {
+    val s = starts.sparkSession
+    import s.implicits._
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     starts
       // a new island when the gap to the previous duplicated window start
@@ -393,6 +404,57 @@ object DedupQueries {
     import s.implicits._
     dupStatsOf(Tables.documents(s, d), spanRowsOf(windows(s, d)))
       .orderBy($"doc_id")
+  }
+
+  /** dd18's boilerplate spread threshold: a window whose text appears in
+    * ≥ this many DISTINCT sources is boilerplate (headers, footers,
+    * licenses, templates — the CCNet/RefinedWeb signal: text repeated
+    * ACROSS origins is navigation/template mass, not content, and within-
+    * source repetition alone doesn't make it so). */
+  private val BoilerMinSources = 3L
+  /** dd18 drop threshold on the boilerplate-token fraction. */
+  private val BoilerTau = 0.5
+
+  /** dd18: cross-source BOILERPLATE profile — dd11/dd12's positional
+    * window machinery pointed at the orthogonal curation axis: not "is
+    * this span duplicated anywhere" (dd12) but "does this span's text
+    * occur across ≥ [[BoilerMinSources]] distinct SOURCES" — the
+    * boilerplate/template detector web-curation pipelines (CCNet,
+    * RefinedWeb) run line-wise, reformulated over the token-window index
+    * the corpus already maintains. Per document: tokens covered by merged
+    * boilerplate spans, the boilerplate fraction, and a keep verdict at
+    * [[BoilerTau]].
+    *
+    * Shape (100 TB): source spread is a groupBy on the 32-char window
+    * hash over (h, source) rows — two-stage distinct+count with map-side
+    * partials, then the occurrence rows equi-join the boilerplate-hash
+    * set (AQE-splittable on a hot template hash — the dd11 argument);
+    * the island merge partitions by doc_id. The window index is the
+    * MAINTAINED at-rest table — no text re-scan beyond the token counts. */
+  private def dd18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    boilerplateStatsOf(Tables.documents(s, d), windows(s, d)).orderBy($"doc_id")
+  }
+
+  /** dd18's engine over explicit (docs, positional-window) frames —
+    * factored so the planted spec can drive it with known corpora. */
+  private[graft] def boilerplateStatsOf(docs: DataFrame, win: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val boilerH = win.join(docs.select($"doc_id", $"source"), "doc_id")
+      .groupBy($"h").agg(countDistinct($"source").as("ns"))
+      .filter($"ns" >= BoilerMinSources).select($"h")
+    val spans = islandSpansOf(win.join(boilerH, "h").select($"doc_id", $"pos"))
+    val cover = spans.groupBy($"doc_id").agg(sum($"span_len").as("boiler_tokens"))
+    docs
+      .select($"doc_id", size(tokens($"text")).cast("long").as("tok_count"))
+      .join(cover, Seq("doc_id"), "left")
+      .select($"doc_id", $"tok_count",
+        coalesce($"boiler_tokens", lit(0L)).as("boiler_tokens"))
+      .withColumn("boiler_fraction",
+        when($"tok_count" === 0, lit(0.0))
+          .otherwise($"boiler_tokens".cast("double") / $"tok_count".cast("double")))
+      .withColumn("keep", $"boiler_fraction" <= BoilerTau)
   }
 
   /** dd15: band-index skew profile — the occupancy histogram of the
@@ -1228,7 +1290,9 @@ object DedupQueries {
     * [[windowRowsOf]]/[[spanRowsOf]]; the oracle groups on the raw window
     * TEXT where the engine groups on its md5 — same partitions (dd1
     * already equates md5 identity with text identity). */
-  private val spanSql =
+  /** Positional-window CTEs alone (winx → win with the window text) —
+    * shared by the dup-span prelude and dd18's boilerplate variant. */
+  private val winSql =
     s"""winx AS (
        |  SELECT doc_id, unnest(generate_series(1, greatest(len(w) - ${WinW - 1}, 0))) AS pos, w
        |  FROM (SELECT doc_id,
@@ -1236,13 +1300,12 @@ object DedupQueries {
        |        FROM documents)
        |),
        |win AS (SELECT doc_id, pos, array_to_string(w[pos:pos+${WinW - 1}], ' ') AS wtext
-       |        FROM winx),
-       |dupw AS (
-       |  SELECT doc_id, pos FROM (
-       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY wtext) AS c FROM win) z
-       |  WHERE c > 1
-       |),
-       |brk AS (
+       |        FROM winx)""".stripMargin
+
+  /** Island merge CTEs over a `dupw(doc_id, pos)` start set — shared by
+    * both span preludes (mirrors [[islandSpansOf]]). */
+  private val islandSql =
+    s"""brk AS (
        |  SELECT doc_id, pos,
        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $WinW
        |              THEN 0 ELSE 1 END AS brk
@@ -1260,7 +1323,41 @@ object DedupQueries {
        |  GROUP BY doc_id, island
        |)""".stripMargin
 
+  private val spanSql =
+    s"""$winSql,
+       |dupw AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY wtext) AS c FROM win) z
+       |  WHERE c > 1
+       |),
+       |$islandSql""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // dd18: the dd12 construction with the start set redefined — a window
+    // is boilerplate when its TEXT spans >= BoilerMinSources distinct
+    // sources (the oracle groups on raw window text where the engine
+    // groups on its md5 — the dd1 identity)
+    "dd18_boilerplate" ->
+      s"""WITH $winSql,
+         |bh AS (
+         |  SELECT wtext FROM win JOIN documents USING (doc_id)
+         |  GROUP BY wtext HAVING COUNT(DISTINCT source) >= $BoilerMinSources
+         |),
+         |dupw AS (SELECT doc_id, pos FROM win JOIN bh USING (wtext)),
+         |$islandSql,
+         |cover AS (SELECT doc_id, SUM(span_len) AS boiler_tokens FROM spans GROUP BY doc_id),
+         |tc AS (SELECT doc_id,
+         |         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)) AS tok_count
+         |       FROM documents)
+         |SELECT t.doc_id,
+         |       CAST(t.tok_count AS BIGINT) AS tok_count,
+         |       CAST(COALESCE(c.boiler_tokens, 0) AS BIGINT) AS boiler_tokens,
+         |       CASE WHEN t.tok_count = 0 THEN 0.0
+         |            ELSE CAST(COALESCE(c.boiler_tokens, 0) AS DOUBLE) / CAST(t.tok_count AS DOUBLE) END AS boiler_fraction,
+         |       CASE WHEN t.tok_count = 0 THEN TRUE
+         |            ELSE CAST(COALESCE(c.boiler_tokens, 0) AS DOUBLE) / CAST(t.tok_count AS DOUBLE) <= $BoilerTau END AS keep
+         |FROM tc t LEFT JOIN cover c ON t.doc_id = c.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "dd13_semdedup" -> SimilarityQueries.semDedupOracleSql,
     "dd14_online_semdedup" -> SimilarityQueries.semDedupOnlineOracleSql,
     "dd11_dup_spans" ->

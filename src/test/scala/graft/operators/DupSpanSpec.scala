@@ -70,4 +70,35 @@ class DupSpanSpec extends SparkSpec {
     val r = stats.head
     assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0 && r.getBoolean(4))
   }
+
+  test("dd18 boilerplate: cross-source templates flag, single-source repeats don't") {
+    // template "t1..t5" appears once in THREE sources → boilerplate.
+    // "u1..u5" repeats heavily but only inside source srcA → NOT
+    // boilerplate (that's dd12's axis, not dd18's). doc 40 is pure unique
+    // content in a third source.
+    val docs = Seq(
+      (10L, "t1 t2 t3 t4 t5 a1 a2 a3 a4 a5", "srcA"),
+      (20L, "b1 b2 b3 b4 b5 t1 t2 t3 t4 t5", "srcB"),
+      (30L, "t1 t2 t3 t4 t5 c1 c2 c3 c4 c5", "srcC"),
+      (11L, "u1 u2 u3 u4 u5 d0 u1 u2 u3 u4 u5", "srcA"),
+      (12L, "u1 u2 u3 u4 u5 e0 e1 e2 e3 e4", "srcA"),
+      (40L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f0", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val stats = DedupQueries.boilerplateStatsOf(docs, DedupQueries.windowRowsOf(docs))
+      .orderBy($"doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(stats(10L) == ((5L, true)), "template covers 5 of 10 tokens, at the keep line")
+    assert(stats(20L) == ((5L, true)))
+    assert(stats(30L) == ((5L, true)))
+    assert(stats(11L) == ((0L, true)), "within-source repetition is not boilerplate")
+    assert(stats(12L) == ((0L, true)))
+    assert(stats(40L) == ((0L, true)), "unique content untouched")
+    // sharpen: a doc that is MOSTLY template must drop
+    val docs2 = docs.union(Seq(
+      (50L, "t1 t2 t3 t4 t5 z9", "srcA")).toDF("doc_id", "text", "source"))
+    val dropped = DedupQueries.boilerplateStatsOf(docs2, DedupQueries.windowRowsOf(docs2))
+      .filter($"doc_id" === 50L).collect().head
+    assert(dropped.getLong(2) == 5L && !dropped.getBoolean(4),
+      "5/6 template tokens must cross BoilerTau and drop")
+  }
 }
