@@ -460,6 +460,30 @@ object MultimodalPipeline {
       }
   }
 
+  /** dHash every JPEG asset through the REAL-WORLD lossy decode path
+    * ([[RealFormats.decodeJpeg]]: the JDK's baseline codec — huffman decode,
+    * dequantize, IDCT, YCbCr→RGB) — the third member of the image-hash
+    * family (PPM [[imageHashes]], PNG [[pngHashes]]). Same hash
+    * construction and narrow at-rest row shape; unlike PNG the decode is
+    * LOSSY, so the fingerprint is NEAR the formula raster's (bounded drift,
+    * mm14's audited invariant) rather than equal — which is exactly the
+    * regime a perceptual hash is built for. */
+  def jpegHashes(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(col("assetId"))
+      .mapPartitions { it =>
+        it.map { a =>
+          val (w, h, rgb) = RealFormats.decodeJpeg(a.bytes)
+          val (hLo, hHi) = RealFormats.dHash64(w, h, rgb)
+          val bands = Array.tabulate(8)(j =>
+            if (j < 4) ((hLo >>> (8 * j)) & 255L).toInt
+            else ((hHi >>> (8 * (j - 4))) & 255L).toInt)
+          ImageHash(a.assetId, hLo, hHi, bands)
+        }
+      }
+  }
+
   /** Acoustic fingerprint of one audio asset — the energy-difference
     * fingerprint (the Haitsma–Kalker '02 construction reduced to one band):
     * the PCM16 stream splits into fixed windows, each window's integer

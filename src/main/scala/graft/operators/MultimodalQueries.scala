@@ -55,7 +55,8 @@ object MultimodalQueries {
     "mm9_integrity_audit" -> mm9,
     "mm11_png_decode" -> mm11,
     "mm12_jpeg_audit" -> mm12,
-    "mm13_png_phash" -> mm13)
+    "mm13_png_phash" -> mm13,
+    "mm14_jpeg_fidelity" -> mm14)
 
   /** mm11: REAL-WORLD format decode — every image-modality document as a
     * spec-conformant truecolor PNG (zlib IDAT, CRC32-validated chunks),
@@ -282,7 +283,18 @@ object MultimodalQueries {
     val png = MultimodalPipeline.pngHashes(pngAssets).toDF()
       .select($"assetId".as("doc_id"), lit("png_image").as("modality"),
         $"hLo".as("sig_lo"), $"hHi".as("sig_hi"), $"bands")
-    img.unionAll(aud).unionAll(png)
+    // lossy real-format arm (v3): the same rasters baseline-JPEG-encoded
+    // with the JDK codec and hashed through the real lossy decode — the
+    // fingerprint a production corpus's actual .jpg assets would carry
+    val jpgAssets = docs.select($"doc_id").as[Long]
+      .filter((id: Long) => id % 3 == 0)
+      .map(id => MultimodalPipeline.MediaAsset(id, "image",
+        graft.multimodal.RealFormats.writeJpeg(16, 16, MultimodalPipeline.realRaster(id)),
+        Map("format" -> "jpeg")))
+    val jpg = MultimodalPipeline.jpegHashes(jpgAssets).toDF()
+      .select($"assetId".as("doc_id"), lit("jpeg_image").as("modality"),
+        $"hLo".as("sig_lo"), $"hHi".as("sig_hi"), $"bands")
+    img.unionAll(aud).unionAll(png).unionAll(jpg)
   }
 
   /** At-rest media fingerprint table — built once at ingest like every
@@ -344,6 +356,47 @@ object MultimodalQueries {
     * banded candidate join + Hamming verify — one wrong filter
     * reconstruction in any of 1667 sf0.1 decodes breaks the hash match. */
   private def mm13(s: SparkSession, d: String): DataFrame = phash(s, d, "png_image")
+
+  /** mm14's verdict bound: a JPEG-decoded raster's dHash may drift from the
+    * source raster's by at most this many of 64 bits. Measured over 2000
+    * noise rasters (covers every sf0.1 image asset; noise is JPEG's worst
+    * content class) the real drift is mean 5.9, p99 12, max 16, while a
+    * structurally broken decode (the planted row-transpose) centers at 30
+    * with a thin low tail reaching 16 — so 20 keeps every real decode
+    * inside with 4 bits of headroom and flags 96% of broken ones, flipping
+    * verdicts corpus-wide (JpegFidelitySpec pins both sides). */
+  private val JpegMaxDrift = 20L
+
+  /** mm14: JPEG decode-FIDELITY audit — the lossy real-format arm's
+    * correctness gate. Per image document, the maintained `media_fp` table
+    * carries two independently-derived fingerprints of the SAME formula
+    * raster: `png_image` (lossless real-PNG decode — oracle-proven equal to
+    * the formula dHash by mm13) and `jpeg_image` (the JDK baseline JPEG
+    * codec's encode→decode cycle, [[MultimodalPipeline.jpegHashes]]). The
+    * query joins the two 26-byte rows per document and verdicts
+    * `ok = hamming ≤ [[JpegMaxDrift]]`. The oracle re-derives the PNG
+    * signatures from the generation formula and states `ok = true` — so a
+    * wrong PNG signature breaks the hash match directly, and ANY structural
+    * break in the JPEG path (channel packing, row order, upsampling, half
+    * packing) pushes the drift toward the unrelated-content center of 32
+    * and flips verdicts corpus-wide. Lossy decode can't be recomputed in
+    * SQL; bounding its drift against an exactly-proven reference is how the
+    * real-world format stays inside the oracle gate. Scale shape: one
+    * narrow at-rest scan, one doc-keyed equi-join, zero decode at query
+    * time. */
+  private def mm14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = mediaFp(s, d)
+    val png = fp.filter($"modality" === "png_image")
+      .select($"doc_id", $"sig_lo".as("png_lo"), $"sig_hi".as("png_hi"))
+    val jpg = fp.filter($"modality" === "jpeg_image")
+      .select($"doc_id", $"sig_lo".as("jpg_lo"), $"sig_hi".as("jpg_hi"))
+    val ham = (expr("bit_count(png_lo ^ jpg_lo)") +
+      expr("bit_count(png_hi ^ jpg_hi)")).cast("long")
+    png.join(jpg, Seq("doc_id"))
+      .select($"doc_id", $"png_lo", $"png_hi", (ham <= JpegMaxDrift).as("ok"))
+      .orderBy($"doc_id")
+  }
 
   private def phash(s: SparkSession, d: String, modality: String): DataFrame = {
     import s.implicits._
@@ -750,6 +803,17 @@ object MultimodalQueries {
     // match
     "mm7_image_phash" -> phashSql("img"),
     "mm13_png_phash" -> phashSql("png"),
+    // mm14: the PNG signatures are recomputed exactly from the formula
+    // (the mm13 derivation); the lossy JPEG side is engine-measured and
+    // enters through the `ok` verdict — TRUE iff the real encode→decode
+    // cycle drifted ≤ JpegMaxDrift bits, which no SQL can recompute but a
+    // broken decode path cannot fake (drift jumps to the unrelated-content
+    // center and verdicts flip corpus-wide).
+    "mm14_jpeg_fidelity" ->
+      s"""WITH ${dhashHashesSql("png")}
+         |SELECT asset_id AS doc_id, h_lo AS png_lo, h_hi AS png_hi,
+         |       TRUE AS ok
+         |FROM hashes ORDER BY doc_id""".stripMargin,
     // mm6: rebuild every video frame's 192 bytes from the md5 chain
     // (12 blocks × 16 hex-decoded bytes), pair consecutive frames on the
     // byte position, and aggregate |delta| — no stride: cuts need every
@@ -794,8 +858,13 @@ object MultimodalQueries {
     * hashes the PPM corpus (salt `img`); mm13's hashes the SAME formula
     * rasters through the REAL PNG decode (salt `png`), so the oracle also
     * proves losslessness of the full encode→decode cycle. */
-  private def phashSql(salt: String): String =
-    s"""WITH assets AS (
+  /** The formula → dHash derivation (assets → regenerated raster bytes →
+    * cells → bits → packed `hashes`) as a shared CTE prefix, parameterized
+    * by content salt — [[phashSql]] rolls it into the banded candidate
+    * join; mm14's oracle reads `hashes` directly as the exactly-provable
+    * reference for the lossy JPEG arm. */
+  private def dhashHashesSql(salt: String): String =
+    s"""assets AS (
        |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 0
        |),
        |bytes AS (
@@ -821,7 +890,10 @@ object MultimodalQueries {
        |         CAST(SUM(CASE WHEN k >= 32
        |              THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS h_hi
        |  FROM bits GROUP BY asset_id
-       |),
+       |)""".stripMargin
+
+  private def phashSql(salt: String): String =
+    s"""WITH ${dhashHashesSql(salt)},
        |bands AS (
        |  SELECT asset_id, bj,
        |         CASE WHEN bj < 4 THEN (h_lo >> (8 * bj)) & 255

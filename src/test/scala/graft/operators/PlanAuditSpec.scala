@@ -430,6 +430,16 @@ abstract class PlanAuditBase extends SparkSpec {
     }
   }
 
+  test("mm14 compares the two at-rest fingerprint arms; no decode at query time") {
+    val p = plan(MultimodalQueries.queries("mm14_jpeg_fidelity")(spark, dir))
+    assert(p.split("ReadSchema: ").exists(_.startsWith("struct<doc_id:bigint,modality:string,sig_lo:bigint")),
+      s"mm14 must read the at-rest media_fp table:\n${p.take(1200)}")
+    assert(p.split("PushedFilters: ").exists(_.contains("EqualTo(modality")),
+      "mm14's modality predicates must push to the scans")
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapPartitions"),
+      s"mm14 must never decode a JPEG at query time:\n${p.take(1200)}")
+  }
+
   test("tx15 profiles from ONE corpus scan; windows are keyed (two-level)") {
     val df = TextQueries.queries("tx15_length_profile")(spark, dir)
     // the two-level PrefixSum fans the histogram out to three consumers;
