@@ -72,6 +72,7 @@ object DedupQueries {
     docFp(s, d)
     docSizes(s, d)
     dupPairs(s, d)
+    dupClusters(s, d)
     containPrefix(s, d)
     // memoize the control-gate count here (ingest-time, untimed) so dd2's
     // first timed rep doesn't carry the guard's count() job

@@ -42,6 +42,49 @@ object PipelineQueries {
   private val MinQuality = 0.5
   private val MaxTokens = 5000L
 
+  /** THE p01 gate as a per-document verdict frame (doc_id, n_chars, kept) —
+    * factored so cross-family consumers (ss20's cell-curation map) apply
+    * the one gate definition instead of a parallel reimplementation. Same
+    * tx2 formula, same [[MinQuality]]/[[MaxTokens]] bounds, no filter (every
+    * document gets a row); n_chars is the table's own column, not a
+    * recompute. One corpus scan, no shuffle. */
+  private[operators] def gateVerdicts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = TextQueries.wsTokens($"text")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(TextQueries.stop))).cast("double")
+    val nPunct = size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val nChars = length($"text").cast("double")
+    val quality = TextQueries.qualityFormula(
+      nTok,
+      when(nTok > 0, nStop / nTok).otherwise(lit(0.0)),
+      when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)))
+    Tables.documents(s, d).select($"doc_id", $"n_chars",
+      (quality >= MinQuality && size(toks).cast("long") <= MaxTokens).as("kept"))
+  }
+
+  /** [[gateVerdicts]] mirrored as oracle CTEs `gsig` → `gate`
+    * (doc_id, kept) — p01's sig/scored construction verbatim, minus the
+    * filter, under clash-free names so it composes into other oracles. */
+  private[operators] lazy val gateSql: String = {
+    val wsTok = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
+    val inStop = TextQueries.stop.map(w => s"t = '$w'").mkString("(", " OR ", ")")
+    s"""gsig AS (
+       |  SELECT doc_id,
+       |    CAST(len($wsTok) AS DOUBLE) AS n_tok,
+       |    CAST(len(list_filter($wsTok, t -> $inStop)) AS DOUBLE) AS n_stop,
+       |    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) AS DOUBLE) AS n_chars
+       |  FROM documents),
+       |gate AS (
+       |  SELECT doc_id,
+       |    ${TextQueries.qualityFormulaSql("n_tok",
+            "CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END",
+            "CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END")} >= $MinQuality
+       |    AND CAST(n_tok AS BIGINT) <= $MaxTokens AS kept
+       |  FROM gsig)""".stripMargin
+  }
+
   private def p01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // tokenizer, stop list, and score all come from TextQueries — the gate

@@ -157,7 +157,8 @@ object SimilarityQueries {
     "ss17_mmr_rerank" -> ss17,
     "ss18_sq_fidelity" -> ss18,
     "ss19_ann_pareto" -> ss19,
-    "ss19b_pareto_sampled" -> ss19b)
+    "ss19b_pareto_sampled" -> ss19b,
+    "ss20_cell_curation" -> ss20)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -1415,6 +1416,60 @@ object SimilarityQueries {
       .orderBy($"cid")
   }
 
+  /** ss20: per-semantic-cell CURATION profile — the cluster-level pruning
+    * map a SemDeDup/DataComp-style curation pass reads before deciding
+    * which semantic regions to thin: for every TRAINED IVF cell, the
+    * member count and corpus share (ss16's occupancy), the NEAR-DUP mass
+    * (members whose dd6 transitive dup cluster has ≥ 2 docs, off the
+    * maintained cluster table), the quality-gate yield (members passing
+    * p01's gate — [[PipelineQueries.gateVerdicts]], THE gate, not a
+    * reimplementation), and the char mass. A cell that is mostly dups or
+    * mostly gate-failures is a pruning candidate as a REGION — the signal
+    * none of the single-family queries (ss16 balance, dd17 cluster sizes,
+    * p01 per-source yield) can see alone, because it needs the join of all
+    * three index families on the shared id space.
+    *
+    * Scale shape: three narrow id-keyed frames (assignment, dup verdicts,
+    * gate verdicts) equi-joined on vec_id, then one cells-bounded hash agg
+    * — the only corpus-sized text read is the gate scan (p01's own cost),
+    * everything else reads maintained at-rest tables. Integers + one
+    * division per ratio, hash-exact; the oracle retrains the quantizer in
+    * SQL (ss16's discipline), re-clusters from raw (dd17's), and re-scores
+    * the gate (p01's) — a standing three-family maintained-state-vs-raw
+    * consistency gate. */
+  private def ss20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cl = DedupQueries.dupClusters(s, d)
+    val sizes = cl.groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+    val dup = cl.join(sizes, "cluster_id")
+      .select($"doc_id".as("vec_id"), ($"sz" >= 2L).as("is_dup"))
+    val gate = PipelineQueries.gateVerdicts(s, d)
+      .select($"doc_id".as("vec_id"), $"n_chars", $"kept")
+    curationProfileOf(
+      kmAssign(s, d, DefaultCells).join(dup, "vec_id").join(gate, "vec_id"))
+  }
+
+  /** The ss20 rollup over an explicit member frame
+    * (vec_id, cid, is_dup, kept, n_chars) — split out so the spec can
+    * drive it with planted memberships. */
+  private[operators] def curationProfileOf(members: DataFrame): DataFrame = {
+    val s = members.sparkSession
+    import s.implicits._
+    val per = members.groupBy($"cid").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"is_dup".cast("long")).as("n_dup_docs"),
+      sum($"kept".cast("long")).as("n_kept"),
+      sum($"n_chars").as("total_chars"))
+    val tot = per.agg(sum($"n_docs").as("n"))
+    per.crossJoin(tot).select(
+      $"cid", $"n_docs",
+      ($"n_docs".cast("double") / $"n").as("share"),
+      $"n_dup_docs", ($"n_dup_docs".cast("double") / $"n_docs").as("dup_frac"),
+      $"n_kept", ($"n_kept".cast("double") / $"n_docs").as("kept_frac"),
+      $"total_chars", ($"total_chars".cast("double") / $"n_docs").as("mean_chars"))
+      .orderBy($"cid")
+  }
+
   /** MMR candidate-pool width (exact-cosine top of the Hamming pool) and
     * result size. Both are CONSTANTS of the declared query: the greedy
     * stage touches ≤ MmrPool rel rows + MmrPool² pairwise sims whatever
@@ -2441,5 +2496,40 @@ object SimilarityQueries {
          |)
          |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cosine
          |FROM ranked WHERE rank <= $KnnK
-         |ORDER BY qid, rank""".stripMargin)
+         |ORDER BY qid, rank""".stripMargin,
+    // ss20: the three-family recompute — quantizer retrained in SQL
+    // (ss16's kmSql → af), dup clusters re-derived from raw (dd17's
+    // dd6Sql), the gate re-scored (p01's construction via gateSql) — then
+    // the same id-keyed joins and cells-bounded rollup, integers + one
+    // division per ratio
+    "ss20_cell_curation" ->
+      s"""WITH $evSql,
+         |$kmSql,
+         |clusters AS (
+         |${DedupQueries.dd6Sql}
+         |),
+         |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |       FROM clusters GROUP BY cluster_id),
+         |dup AS (SELECT clusters.doc_id, (cs.sz >= 2) AS is_dup
+         |        FROM clusters JOIN cs USING (cluster_id)),
+         |${PipelineQueries.gateSql},
+         |m AS (
+         |  SELECT af.cid, d.n_chars, dup.is_dup, gate.kept
+         |  FROM af
+         |  JOIN documents d ON d.doc_id = af.vec_id
+         |  JOIN dup ON dup.doc_id = af.vec_id
+         |  JOIN gate ON gate.doc_id = af.vec_id),
+         |per AS (
+         |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |  FROM m GROUP BY cid),
+         |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM per)
+         |SELECT cid, n_docs,
+         |       CAST(n_docs AS DOUBLE) / tot.n AS share,
+         |       n_dup_docs, CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_frac,
+         |       n_kept, CAST(n_kept AS DOUBLE) / n_docs AS kept_frac,
+         |       total_chars, CAST(total_chars AS DOUBLE) / n_docs AS mean_chars
+         |FROM per, tot ORDER BY cid""".stripMargin)
 }
