@@ -38,7 +38,8 @@ object TextQueries {
     "tx15_length_profile" -> tx15,
     "tx16_collocations" -> tx16,
     "tx17_zipf_head" -> tx17,
-    "tx18_rake_phrases" -> tx18)
+    "tx18_rake_phrases" -> tx18,
+    "tx19_lm_familiarity" -> tx19)
 
   /** Force at-rest posting-index materialization and BPE merge-table
     * training (untimed in Bench — training is ingest-time work like ss5's
@@ -693,6 +694,65 @@ object TextQueries {
       .select($"phrase", $"n_words", $"n_occurrences", $"score")
   }
 
+  /** tx19's "known bigram" floor (corpus count ≥ this) and the familiar
+    * verdict's OOV-fraction ceiling. */
+  private val LmMinCount = 3L
+  private val LmMaxOov = 0.5
+
+  /** tx19: bigram-LM FAMILIARITY score — the ln-free perplexity-proxy
+    * quality filter (the importance-resampling signal of CCNet/DSIR-class
+    * pipelines, scored against the corpus's OWN bigram statistics instead
+    * of an external KenLM): per document, the fraction of its bigram
+    * OCCURRENCES whose corpus count falls under [[LmMinCount]] (the
+    * "unseen n-gram rate" — high = the doc's word transitions are foreign
+    * to the corpus: gibberish, boilerplate markup, wrong-language spans)
+    * and the mean corpus frequency of its bigrams (the fluency rank —
+    * monotone in the add-nothing bigram-LM likelihood, so it ranks
+    * documents exactly as a perplexity sort would without a single `ln`
+    * entering the value path). Verdict: `familiar = oov_frac ≤
+    * [[LmMaxOov]]`.
+    *
+    * Scale shape: ONE tokenize pass builds per-(doc, bigram) counts; the
+    * corpus table is a second hash agg OVER those counts (map-side
+    * partial, never a second text read — the subtree is snapshotted so it
+    * runs once); the stats join is bigram-keyed on the distinct-pair rows
+    * (hot pairs are AQE-splittable, the tx9 argument) and the rollup is
+    * doc-keyed. Integers + CASE-guarded one-division doubles, hash-exact;
+    * zero-bigram docs (< 2 tokens) report 0/0.0 by the left join. */
+  private def tx19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = wsTokens($"text")
+    val pairs = when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    // per-(doc, bigram) multiplicities — the one corpus-sized pass,
+    // snapshotted because both the corpus counts and the per-doc rollup
+    // read it (the tx18 discipline)
+    val dpc = Tables.documentsWide(s, d)
+      .select($"doc_id", explode(pairs).as("p"))
+      .select($"doc_id", $"p.w1", $"p.w2")
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
+      .localCheckpoint(eager = false)
+    val corpus = dpc.groupBy($"w1", $"w2").agg(sum($"k").as("c_ab"))
+    val per = dpc.join(corpus, Seq("w1", "w2"))
+      .groupBy($"doc_id").agg(
+        sum($"k").as("n_bigrams"),
+        sum(when($"c_ab" < LmMinCount, $"k").otherwise(0L)).as("n_oov"),
+        sum($"k" * $"c_ab").as("freq_mass"))
+    Tables.documents(s, d).select($"doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"n_oov", lit(0L)).as("n_oov"),
+        when($"n_bigrams" > 0, $"n_oov".cast("double") / $"n_bigrams")
+          .otherwise(lit(0.0)).as("oov_frac"),
+        when($"n_bigrams" > 0, $"freq_mass".cast("double") / $"n_bigrams")
+          .otherwise(lit(0.0)).as("mean_bfreq"))
+      .withColumn("familiar", $"oov_frac" <= LmMaxOov)
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private[operators] val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
@@ -977,6 +1037,37 @@ object TextQueries {
            |       CAST(COUNT(*) AS BIGINT) AS n_occurrences, MAX(score) AS score
            |FROM ph GROUP BY phrase
            |ORDER BY score DESC, phrase LIMIT $RakeK""".stripMargin,
+      // tx19: the tx16 shifted-unnest pair construction per DOCUMENT,
+      // corpus counts re-aggregated from the same per-doc counts, the
+      // same CASE-guarded one-division doubles and the 0.5-threshold
+      // verdict over the identical double
+      "tx19_lm_familiarity" ->
+        s"""WITH dp AS (
+           |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k FROM (
+           |    SELECT doc_id,
+           |           unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+           |           unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+           |    FROM (SELECT doc_id, $wsTokSql AS w FROM documents) z) y
+           |  GROUP BY doc_id, w1, w2),
+           |corpus AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c_ab
+           |           FROM dp GROUP BY w1, w2),
+           |per AS (
+           |  SELECT doc_id,
+           |         CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           |         CAST(SUM(CASE WHEN c_ab < $LmMinCount THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+           |         CAST(SUM(k * c_ab) AS BIGINT) AS freq_mass
+           |  FROM dp JOIN corpus USING (w1, w2) GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           |       COALESCE(p.n_oov, 0) AS n_oov,
+           |       CASE WHEN p.n_bigrams > 0
+           |            THEN CAST(p.n_oov AS DOUBLE) / p.n_bigrams ELSE 0.0 END AS oov_frac,
+           |       CASE WHEN p.n_bigrams > 0
+           |            THEN CAST(p.freq_mass AS DOUBLE) / p.n_bigrams ELSE 0.0 END AS mean_bfreq,
+           |       (CASE WHEN p.n_bigrams > 0
+           |             THEN CAST(p.n_oov AS DOUBLE) / p.n_bigrams ELSE 0.0 END) <= $LmMaxOov AS familiar
+           |FROM documents d LEFT JOIN per p USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
       "tx17_zipf_head" ->
         s"""WITH toks AS (SELECT unnest($wsTokSql) AS t FROM documents),
            |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY t),
