@@ -158,7 +158,8 @@ object SimilarityQueries {
     "ss18_sq_fidelity" -> ss18,
     "ss19_ann_pareto" -> ss19,
     "ss19b_pareto_sampled" -> ss19b,
-    "ss20_cell_curation" -> ss20)
+    "ss20_cell_curation" -> ss20,
+    "ss21_pq_fidelity" -> ss21)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -1470,6 +1471,43 @@ object SimilarityQueries {
       .orderBy($"cid")
   }
 
+  /** ss21: PQ reconstruction-fidelity audit — per vector, the cosine
+    * between the raw embedding and its PQ reconstruction (the assigned
+    * codeword per subspace, concatenated), read off the MAINTAINED code +
+    * trained-codebook tables: ss18's diagnostic for the M-byte compressed
+    * representation, completing the index-health family (dd15 band skew,
+    * ss16 cell balance, ss18 SQ error, ss21 PQ error) — the per-vector
+    * drill-down when ss7/ss12 recall drops, and the number that says
+    * whether a codebook retrain ([[retrainPqCodebook]]) is overdue
+    * corpus-wide rather than inferring it from query-level recall alone.
+    *
+    * Unlike ss18 no rescale is needed: codewords are Lloyd MEANS of
+    * corpus subvectors, so every e·ce product sits in the proven e·e
+    * decimal magnitude class. The dot and the reconstruction norm are one
+    * decimal-exact agg over the (vec_id, pos)-keyed join of codeword rows
+    * onto the exploded corpus — linear in corpus × dim, keyed shuffle,
+    * no reconstruction array materialized; the raw norm is the stored
+    * exact `nsq`. Degenerate vectors mirror ss18: a zero vector whose
+    * reconstruction is also zero is lossless (1.0); a zero on either
+    * side alone scores 0.0 (CASE-guarded identically in the oracle, which
+    * retrains the codebook via the ss7 CTEs and recomputes every sum). */
+  private def ss21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rec = pqCodes(s, d).join(pqTrainedCodebook(s, d), Seq("m", "cid"))
+      .select($"vec_id", $"pos", $"ce")
+    val ev = evRowsOf(index(s, d).select($"vec_id", $"embedding"))
+    val agg = rec.join(ev, Seq("vec_id", "pos"))
+      .groupBy($"vec_id")
+      .agg(dsum($"ce" * $"e").as("dotr"), dsum($"ce" * $"ce").as("rnsq"))
+    agg.join(index(s, d).select($"vec_id", $"nsq"), "vec_id")
+      .select($"vec_id", $"rnsq",
+        when($"nsq" > 0.0 && $"rnsq" > 0.0,
+          $"dotr" / (sqrt($"nsq") * sqrt($"rnsq")))
+          .when($"nsq" === 0.0 && $"rnsq" === 0.0, lit(1.0))
+          .otherwise(lit(0.0)).as("pq_cos"))
+      .orderBy($"vec_id")
+  }
+
   /** MMR candidate-pool width (exact-cosine top of the Hamming pool) and
     * result size. Both are CONSTANTS of the declared query: the greedy
     * stage touches ≤ MmrPool rel rows + MmrPool² pairwise sims whatever
@@ -2531,5 +2569,31 @@ object SimilarityQueries {
          |       n_dup_docs, CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_frac,
          |       n_kept, CAST(n_kept AS DOUBLE) / n_docs AS kept_frac,
          |       total_chars, CAST(total_chars AS DOUBLE) / n_docs AS mean_chars
-         |FROM per, tot ORDER BY cid""".stripMargin)
+         |FROM per, tot ORDER BY cid""".stripMargin,
+    // ss21: the codebook re-trains via ss7's unrolled Lloyd CTEs (pqCbSql
+    // — cb + codes), the reconstruction rows re-derive by the same
+    // (m, cid) → (pos, ce) lookup, and every sum is the same decimal-exact
+    // fold — the CASE guard mirrors the engine's degenerate-vector rule
+    "ss21_pq_fidelity" ->
+      s"""WITH $evSql,
+         |$pqCbSql,
+         |nrm AS (SELECT vec_id, ${sqlSum("e * e")} AS nsq FROM ev GROUP BY vec_id),
+         |rec AS (
+         |  SELECT codes.vec_id, cb.pos, cb.ce
+         |  FROM codes JOIN cb ON cb.m = codes.m AND cb.cid = codes.cid
+         |),
+         |agg AS (
+         |  SELECT r.vec_id,
+         |         ${sqlSum("r.ce * ev.e")} AS dotr,
+         |         ${sqlSum("r.ce * r.ce")} AS rnsq
+         |  FROM rec r JOIN ev ON ev.vec_id = r.vec_id AND ev.pos = r.pos
+         |  GROUP BY r.vec_id
+         |)
+         |SELECT a.vec_id, a.rnsq,
+         |       CASE WHEN n.nsq > 0 AND a.rnsq > 0
+         |              THEN a.dotr / (sqrt(n.nsq) * sqrt(a.rnsq))
+         |            WHEN n.nsq = 0 AND a.rnsq = 0 THEN 1.0
+         |            ELSE 0.0 END AS pq_cos
+         |FROM agg a JOIN nrm n USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin)
 }
