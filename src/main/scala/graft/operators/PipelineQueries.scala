@@ -35,7 +35,8 @@ object PipelineQueries {
     "p07_shard_manifest" -> p07,
     "p08_epoch_shuffle" -> p08,
     "p09_dataset_card" -> p09,
-    "p10_weighted_sample" -> p10)
+    "p10_weighted_sample" -> p10,
+    "p11_budget_select" -> p11)
 
   /** Quality gate: tx2's score ≥ [[MinQuality]] (which already zeroes
     * docs under 10 tokens) and a token-count ceiling. */
@@ -606,6 +607,73 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** Quality-quantile buckets for p11's global ranking. quality ∈ [0, 1]
+    * by the tx2 formula, so the bucket domain is a CONSTANT [0, 4096] —
+    * stronger than value-domain-bounded: the ordered bucket pass is ≤ 4097
+    * rows at any corpus size. */
+  private val SelBuckets = 4096L
+
+  /** p11: token-BUDGET data selection — the greedy "take the best
+    * documents until the token budget is spent" step every
+    * quality-filtered pretraining mix ends with (the selection side of
+    * DSIR/DataComp-style curation): documents ranked by (quality DESC,
+    * doc_id), selected while the token mass BEFORE them is under the
+    * budget (half the corpus token mass — a relative budget so the cut
+    * bites at every sf), so the first document crossing the line is still
+    * taken and the selected set is exactly a prefix of the ranking.
+    *
+    * Scale shape: the global ranking's running total NEVER runs as one
+    * corpus-sized window. quality buckets by `floor(quality·B)` (floor is
+    * monotone, so bucket order IS quality order across buckets and the
+    * bucket key doubles as the window partition), per-bucket token sums
+    * aggregate map-side, ONLY the ≤ B+1 bucket rows pay an ordered pass
+    * (constant-bounded — quality ∈ [0,1] by construction), and each doc
+    * adds its bucket's exclusive offset (broadcastable join) to a
+    * within-bucket exclusive prefix windowed BY bucket — the p05/PrefixSum
+    * two-level construction with a total order (quality DESC, doc_id)
+    * inside each bucket. The one corpus scan tokenizes once
+    * (localCheckpoint — the tx19 shared-subtree discipline: bucket sums
+    * and the ranked join both read it); n_tokens is the SAME whitespace
+    * expression the maintained offsets are built from, computed in the
+    * scan that already tokenizes for the stopword ratio. Budget compare
+    * in integers (2·cum < total), hash-exact; the oracle states the
+    * semantics as the naive single-window rank over the gate CTEs. */
+  private def p11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = TextQueries.wsTokens($"text")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(TextQueries.stop))).cast("double")
+    val nPunct = size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val nChars = length($"text").cast("double")
+    val quality = TextQueries.qualityFormula(
+      nTok,
+      when(nTok > 0, nStop / nTok).otherwise(lit(0.0)),
+      when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)))
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val scored = Tables.documentsWide(s, d)
+      .select($"doc_id", quality.as("quality"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("qb", floor($"quality" * SelBuckets).cast("long"))
+      .localCheckpoint(eager = false)
+    val bsums = scored.groupBy($"qb").agg(sum($"n_tokens").as("bsum"))
+    val bw = Window.partitionBy(PrefixSum.onePart($"qb")).orderBy($"qb".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boffs = bsums
+      .withColumn("boff", coalesce(sum($"bsum").over(bw), lit(0L)))
+      .select($"qb", $"boff")
+    val total = bsums.agg(sum($"bsum").as("total_tokens"))
+    val ww = Window.partitionBy($"qb").orderBy($"quality".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored.repartition(n, $"qb")
+      .join(boffs, "qb")
+      .withColumn("cum_before",
+        $"boff" + coalesce(sum($"n_tokens").over(ww), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select($"doc_id", $"quality", $"n_tokens", $"cum_before",
+        ($"cum_before" * 2 < $"total_tokens").as("selected"))
+      .orderBy($"doc_id")
+  }
+
   def oracleSql: Map[String, String] = {
     val wsTok = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
     val inStop = TextQueries.stop.map(w => s"t = '$w'").mkString("(", " OR ", ")")
@@ -702,6 +770,27 @@ object PipelineQueries {
            |      < CAST(n_tokens * $PpsTarget AS HUGEINT) * $Kmv32
            |ORDER BY doc_id""".stripMargin
       },
+      // p11: the semantics as the naive single-window rank — one global
+      // cumulative sum ordered (quality DESC, doc_id) over the gate CTEs;
+      // the engine's bucketed two-level formulation must be value-identical
+      "p11_budget_select" ->
+        s"""WITH $gateSql,
+           |scored AS (
+           |  SELECT doc_id,
+           |    ${TextQueries.qualityFormulaSql("n_tok",
+                  "CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END",
+                  "CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END")} AS quality,
+           |    CAST(n_tok AS BIGINT) AS n_tokens
+           |  FROM gsig),
+           |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM scored),
+           |sel AS (
+           |  SELECT doc_id, quality, n_tokens,
+           |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |  FROM scored)
+           |SELECT s.doc_id, s.quality, s.n_tokens, s.cum_before,
+           |       (s.cum_before * 2 < t.total_tokens) AS selected
+           |FROM sel s, tot t ORDER BY s.doc_id""".stripMargin,
       // dd6's clustering SQL as a CTE + the tx5 hash construction keyed on
       // the CLUSTER id
       "p04_leakfree_split" ->
