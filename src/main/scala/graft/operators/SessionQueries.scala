@@ -49,7 +49,8 @@ object SessionQueries {
     "a11_transition_matrix" -> a11,
     "a12_seasonality" -> a12,
     "a13_activity_gini" -> a13,
-    "a14_session_profile" -> a14)
+    "a14_session_profile" -> a14,
+    "a15_halflife_score" -> a15)
 
   /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
     * dur_sec), session breaking when the gap to the previous event exceeds
@@ -447,7 +448,70 @@ object SessionQueries {
        |  GROUP BY user_id, session_id
        |)""".stripMargin
 
+  /** a15's half-life (days per weight halving) and the dyadic scale cap:
+    * a day's weight is 2^([[HlCap]] − min(age div [[HlDays]], [[HlCap]]))
+    * — an exact long — and the reported score divides the summed mantissa
+    * ONCE by 2^[[HlCap]] (a dyadic division, exact in double below 2⁵³). */
+  private val HlDays = 7L
+  private val HlCap = 8
+
+  private def a15(s: SparkSession, d: String): DataFrame =
+    hlScoreOf(Tables.events(s, d))
+
+  /** a15: half-life-weighted activity score — the recency-weighted
+    * engagement feature behind "active user" cohort cuts and staleness
+    * triage when curating behavioral streams: per user, total and
+    * active-day counts, days since last activity, and a score where a
+    * day's events count full weight in the freshest [[HlDays]]-day band
+    * and HALVE per band after that. The exponential is kept EXACT by
+    * working in dyadic integers: band shifts are whole powers of two
+    * (`1L << (cap − band)`), the per-user sum is a long mantissa, and the
+    * single final division by 2^[[HlCap]] is exact in double — no `pow`,
+    * no float accumulation, hash-stable on any engine (the a13/a09
+    * integer-arithmetic discipline applied to exponential decay).
+    *
+    * Scale shape: one (user, day) count agg (map-side partials), a 1-row
+    * broadcast of the corpus reference day, then one user-keyed hash agg
+    * — no windows at all; output is |users|. */
+  private[operators] def hlScoreOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val daily = ev.groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val ref = daily.agg(max($"day").as("ref_day"))
+    daily.crossJoin(broadcast(ref))
+      .withColumn("age", datediff($"ref_day", $"day").cast("long"))
+      .withColumn("w",
+        expr(s"shiftleft(cast(1 as bigint), $HlCap - cast(least(age div $HlDays, $HlCap) as int))"))
+      .groupBy($"user_id")
+      .agg(
+        sum($"cnt").as("n_events"),
+        count(lit(1)).as("n_days"),
+        min($"age").as("last_age_days"),
+        sum($"cnt" * $"w").as("hl_scaled"))
+      .select($"user_id", $"n_events", $"n_days", $"last_age_days", $"hl_scaled",
+        ($"hl_scaled".cast("double") / (1L << HlCap).toDouble).as("hl_score"))
+      .orderBy($"user_id")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "a15_halflife_score" ->
+      s"""WITH daily AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |ref AS (SELECT MAX(day) AS ref_day FROM daily),
+         |aged AS (
+         |  SELECT user_id, cnt,
+         |         CAST(date_diff('day', day, ref_day) AS BIGINT) AS age,
+         |         (CAST(1 AS BIGINT) << ($HlCap - LEAST(CAST(date_diff('day', day, ref_day) AS BIGINT) // $HlDays, $HlCap))) AS w
+         |  FROM daily, ref)
+         |SELECT user_id,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_events,
+         |  CAST(COUNT(*) AS BIGINT) AS n_days,
+         |  MIN(age) AS last_age_days,
+         |  CAST(SUM(cnt * w) AS BIGINT) AS hl_scaled,
+         |  CAST(CAST(SUM(cnt * w) AS BIGINT) AS DOUBLE) / ${(1L << HlCap).toDouble} AS hl_score
+         |FROM aged GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a02_sessionize" ->
       s"""WITH $sessionsSql
          |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
