@@ -39,7 +39,8 @@ object TextQueries {
     "tx16_collocations" -> tx16,
     "tx17_zipf_head" -> tx17,
     "tx18_rake_phrases" -> tx18,
-    "tx19_lm_familiarity" -> tx19)
+    "tx19_lm_familiarity" -> tx19,
+    "tx20_lexical_diversity" -> tx20)
 
   /** Force at-rest posting-index materialization and BPE merge-table
     * training (untimed in Bench — training is ingest-time work like ss5's
@@ -753,6 +754,41 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** tx20: lexical-diversity profile — the length-robust repetitiveness
+    * signal quality classifiers use where type-token ratio alone decays
+    * with length: per document the token/type counts, TTR, and the
+    * Gini–Simpson diversity 1 − Σp² kept EXACT as the rational
+    * (n² − Σc²)/n² — integer numerator and denominator, ONE double
+    * division, no entropy `ln` anywhere (the a13/tx16 ln-free
+    * discipline). Low diversity = template/boilerplate/keyword-stuffed
+    * docs; complements tx7, which measures duplicated n-GRAM mass rather
+    * than unigram concentration.
+    *
+    * Served ENTIRELY off the maintained posting index — (t, doc_id, tf)
+    * rows, one doc-keyed hash agg, zero text reads at query time — while
+    * the oracle retokenizes the raw corpus, making tx20 another standing
+    * maintained-state-vs-raw gate (the p09/dd17 discipline). Token-empty
+    * docs report zeros via the left join. */
+  private def tx20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = postings(s, d).groupBy($"doc_id").agg(
+      sum($"tf").as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum($"tf" * $"tf").as("sum_sq"))
+    Tables.documents(s, d).select($"doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_types", lit(0L)).as("n_types"),
+        when($"n_tokens" > 0, $"n_types".cast("double") / $"n_tokens")
+          .otherwise(lit(0.0)).as("ttr"),
+        when($"n_tokens" > 0,
+          ($"n_tokens" * $"n_tokens" - $"sum_sq").cast("double") /
+            ($"n_tokens" * $"n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("simpson_div"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private[operators] val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
@@ -1066,6 +1102,31 @@ object TextQueries {
            |            THEN CAST(p.freq_mass AS DOUBLE) / p.n_bigrams ELSE 0.0 END AS mean_bfreq,
            |       (CASE WHEN p.n_bigrams > 0
            |             THEN CAST(p.n_oov AS DOUBLE) / p.n_bigrams ELSE 0.0 END) <= $LmMaxOov AS familiar
+           |FROM documents d LEFT JOIN per p USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
+      // tx20: the oracle retokenizes the RAW corpus (the engine reads the
+      // maintained posting index) — integer type/token/Σc² aggregates,
+      // one double division per ratio
+      "tx20_lexical_diversity" ->
+        s"""WITH counts AS (
+           |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT doc_id, unnest($wsTokSql) AS t FROM documents) z
+           |  GROUP BY doc_id, t),
+           |per AS (
+           |  SELECT doc_id,
+           |         CAST(SUM(c) AS BIGINT) AS n_tokens,
+           |         CAST(COUNT(*) AS BIGINT) AS n_types,
+           |         CAST(SUM(c * c) AS BIGINT) AS sum_sq
+           |  FROM counts GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |       COALESCE(p.n_tokens, 0) AS n_tokens,
+           |       COALESCE(p.n_types, 0) AS n_types,
+           |       CASE WHEN p.n_tokens > 0
+           |            THEN CAST(p.n_types AS DOUBLE) / p.n_tokens ELSE 0.0 END AS ttr,
+           |       CASE WHEN p.n_tokens > 0
+           |            THEN CAST(p.n_tokens * p.n_tokens - p.sum_sq AS DOUBLE)
+           |                 / CAST(p.n_tokens * p.n_tokens AS DOUBLE)
+           |            ELSE 0.0 END AS simpson_div
            |FROM documents d LEFT JOIN per p USING (doc_id)
            |ORDER BY d.doc_id""".stripMargin,
       "tx17_zipf_head" ->
