@@ -49,6 +49,13 @@ object GraphMetricsQueries {
     * vacuously green. Library callers pick K per use case; the peel loop
     * is K-independent. */
   private val CoreK = 2
+  /** k-truss threshold for the DECLARED query: K=3 keeps exactly the
+    * edges supported by at least one triangle within the surviving
+    * subgraph — the largest K non-vacuous at every test scale (the
+    * CoreK=2 argument at the edge level: the sparse sf0.001 probe-day
+    * graph has triangles but thin ones). Library callers pick K; the
+    * peel loop is K-independent. */
+  private val TrussK = 3
   /** Peel-round cap — must match the oracle's unroll depth. */
   private val MaxPeel = 16
   /** Label-propagation round cap (component diameter bound). */
@@ -95,7 +102,8 @@ object GraphMetricsQueries {
     "g11_degree_histogram" -> g11,
     "g12_label_propagation" -> g12,
     "g13_bfs_hops" -> g13,
-    "g14_strength_histogram" -> g14)
+    "g14_strength_histogram" -> g14,
+    "g15_ktruss" -> g15)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -240,6 +248,55 @@ object GraphMetricsQueries {
     coreDegrees(members)
       .select($"actor_id", $"core_degree")
       .orderBy($"actor_id")
+  }
+
+  /** g15: k-truss membership (K = [[TrussK]]) — g02's peel at the EDGE
+    * level: every surviving edge must close ≥ K−2 triangles WITHIN the
+    * surviving subgraph (Cohen '08), the standard community-core filter
+    * that is strictly stronger than k-core (a pendant edge between two
+    * high-degree hubs survives the core but not the truss). Per round,
+    * triangles enumerate once each (a<b<c by the canonical edge order —
+    * two keyed equi-joins, the c10/c11 wedge discipline), credit their
+    * three edges, and edges under the support floor drop; edge sets only
+    * shrink, so the edge count is the convergence signature
+    * ([[Fixpoint]] — subset + equal count ⟹ equal set). The oracle
+    * unrolls [[MaxPeel]] peel rounds as CTEs (peeling is idempotent at
+    * the fixpoint) and the Spark side throws past the cap. At 100 TB
+    * each round is two equi-joins + one hash agg on the SHRINKING edge
+    * list, hub skew AQE-splittable — never a per-vertex neighbor-set
+    * collect. Output: surviving edges with their final truss support. */
+  private def g15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e0 = dayEdges(s, d).select($"actor1", $"actor2")
+      .localCheckpoint(eager = false)
+
+    // per-edge triangle support within the current subset: each triangle
+    // a<b<c appears once, credited to (a,b), (b,c), (a,c)
+    def supports(edges: DataFrame): DataFrame = {
+      val ab = edges.select($"actor1".as("a"), $"actor2".as("b"))
+      val bc = edges.select($"actor1".as("b"), $"actor2".as("c"))
+      val ac = edges.select($"actor1".as("a2"), $"actor2".as("c2"))
+      val tri = ab.join(bc, "b")
+        .join(ac, $"a" === $"a2" && $"c" === $"c2")
+        .select($"a", $"b", $"c")
+      tri.select($"a".as("actor1"), $"b".as("actor2"))
+        .unionAll(tri.select($"b".as("actor1"), $"c".as("actor2")))
+        .unionAll(tri.select($"a".as("actor1"), $"c".as("actor2")))
+        .groupBy($"actor1", $"actor2").agg(count(lit(1)).as("truss_support"))
+    }
+
+    val kept = Fixpoint.iterate(e0, MaxPeel,
+      "k-truss peeling (deeper than the oracle unroll — raise MaxPeel in code AND oracle)") {
+      df => Seq(df.count())
+    } { (edges, _) =>
+      // un-supported edges vanish from the agg, so the filtered support
+      // frame IS the surviving edge set
+      supports(edges).filter($"truss_support" >= TrussK - 2)
+        .select($"actor1", $"actor2")
+    }
+    supports(kept)
+      .select($"actor1", $"actor2", $"truss_support")
+      .orderBy($"actor1", $"actor2")
   }
 
   /** g03: connected components on the probe-day window — min-label
@@ -1076,5 +1133,41 @@ object GraphMetricsQueries {
            |    JOIN m$MaxPeel x ON i.actor1 = x.actor_id
            |    JOIN m$MaxPeel y ON i.actor2 = y.actor_id) z
            |GROUP BY actor_id
-           |ORDER BY actor_id""".stripMargin))
+           |ORDER BY actor_id""".stripMargin),
+    // g15: the same unrolled-peel discipline at the edge level — each
+    // round enumerates triangles on the previous round's edge set (a<b<c
+    // once, by the canonical order), credits the three edges, and keeps
+    // those at or above the support floor; idempotent at the fixpoint
+    "g15_ktruss" -> EventGraphSql.query(
+      s""", $dayEdgesSql,
+         |e0 AS MATERIALIZED (SELECT actor1, actor2 FROM inter_d)""".stripMargin +
+        (1 to MaxPeel).map { i =>
+          s""",
+             |t$i AS (
+             |  SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c
+             |  FROM e${i - 1} x
+             |  JOIN e${i - 1} y ON y.actor1 = x.actor2
+             |  JOIN e${i - 1} z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2),
+             |e$i AS MATERIALIZED (
+             |  SELECT actor1, actor2 FROM (
+             |    SELECT actor1, actor2, COUNT(*) AS sup FROM (
+             |      SELECT a AS actor1, b AS actor2 FROM t$i
+             |      UNION ALL SELECT b, c FROM t$i
+             |      UNION ALL SELECT a, c FROM t$i) u
+             |    GROUP BY actor1, actor2) g
+             |  WHERE sup >= ${TrussK - 2}
+             |)""".stripMargin
+        }.mkString +
+        s""",
+           |tf AS (
+           |  SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c
+           |  FROM e$MaxPeel x
+           |  JOIN e$MaxPeel y ON y.actor1 = x.actor2
+           |  JOIN e$MaxPeel z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2)
+           |SELECT actor1, actor2, CAST(COUNT(*) AS BIGINT) AS truss_support FROM (
+           |  SELECT a AS actor1, b AS actor2 FROM tf
+           |  UNION ALL SELECT b, c FROM tf
+           |  UNION ALL SELECT a, c FROM tf) u
+           |GROUP BY actor1, actor2
+           |ORDER BY actor1, actor2""".stripMargin))
 }
