@@ -159,7 +159,8 @@ object SimilarityQueries {
     "ss19_ann_pareto" -> ss19,
     "ss19b_pareto_sampled" -> ss19b,
     "ss20_cell_curation" -> ss20,
-    "ss21_pq_fidelity" -> ss21)
+    "ss21_pq_fidelity" -> ss21,
+    "ss22_nprobe_sweep" -> ss22)
 
   /** Force at-rest index materialization + the one-row probe lookup
     * (ingest-time cost, untimed in Bench). */
@@ -834,6 +835,79 @@ object SimilarityQueries {
         (coalesce($"h", lit(0L)).cast("double") /
           lit((nProbes * TopK).toDouble)).as("recall"))
       .orderBy($"pool")
+  }
+
+  /** nProbe sweep of the declared ss22 audit — the same grid the recall
+    * artifact's embedded `ivf_nprobe` table measures; the widest point is
+    * [[DefaultCells]] BY CONSTRUCTION a full scan, so the curve always
+    * tops out at recall 1 and the knee is read against a known anchor. */
+  private val NProbeSweep = Seq(1, 2, 4, 8, DefaultCells)
+
+  /** ss22: sampled nProbe recall sweep — ss19b's at-scale instrument for
+    * the OTHER tuning dial: where ss19b turns the Hamming-pool width
+    * (scan selectivity of the compressed-domain arm), ss22 turns nProbe
+    * (cell fan-out of the trained-IVF arm, ss5/ss12's knob), completing
+    * the pair every production ANN deployment tunes together. Probes =
+    * the same fixed [[ParetoSampleN]] smallest-md5 sample; ONE corpus
+    * pass scores every (probe, vector) exact cosine; each vector's cell
+    * (the MAINTAINED trained assignment) joins the probe's cell RANKING
+    * against the trained centroids (a cells-bounded window), so "nProbe
+    * = v" candidates are exactly `cell_rank ≤ v` — the declared ss5
+    * search semantics, batch-shaped. Per-(probe, nProbe) top-k runs the
+    * two-phase grouped-top-K prune (no per-probe corpus-sized window),
+    * micro-averaged recall per sweep value, one exact division. The
+    * oracle retrains the quantizer in SQL (kmSql) and re-ranks directly. */
+  private def ss22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = index(s, d)
+    val probes = idx
+      .select($"vec_id".as("pid"), $"embedding".as("pemb"), $"nsq".as("pnsq"),
+        expr("conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10)")
+          .cast("long").as("h"))
+      .orderBy($"h", $"pid").limit(ParetoSampleN)
+      .drop("h")
+    val nProbes = probes.count()
+    // probe → cell ranking against the TRAINED centroids: probes × cells
+    // cosines (cells-bounded), ranked per probe
+    val pev = evRowsOf(probes.select($"pid".as("vec_id"), $"pemb".as("embedding")))
+    val cellRank = assignRank(pev, kmCentroids(s, d, DefaultCells))
+    val scored = idx.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"pid")
+      .select($"pid", $"vec_id",
+        (dotExact($"embedding", $"pemb") /
+          (sqrt($"nsq") * sqrt($"pnsq"))).as("cosine"))
+    def pruned(src: DataFrame, parts: Seq[Column], k: Int, as: String): DataFrame = {
+      val wl = Window.partitionBy(parts :+ $"_b": _*).orderBy(desc("cosine"), $"vec_id")
+      val wg = Window.partitionBy(parts: _*).orderBy(desc("cosine"), $"vec_id")
+      src.withColumn("_b", pmod($"vec_id", lit(32)))
+        .withColumn("_lr", row_number().over(wl)).filter($"_lr" <= k)
+        .withColumn(as, row_number().over(wg)).filter(col(as) <= k)
+        .drop("_b", "_lr")
+    }
+    val exact = pruned(scored, Seq($"pid"), TopK, "xr").select($"pid", $"vec_id")
+    val tagged = scored
+      .join(kmAssign(s, d, DefaultCells), "vec_id")
+      .join(broadcast(cellRank), Seq("pid", "cid"))
+    val nps = NProbeSweep.toDF("np")
+    val cand = tagged.join(broadcast(nps), $"crk" <= $"np")
+    val topk = pruned(cand, Seq($"pid", $"np"), TopK, "rk")
+    val hits = topk.join(exact, Seq("pid", "vec_id"), "left_semi")
+      .groupBy($"np").agg(count(lit(1)).as("h"))
+    broadcast(nps).join(hits, Seq("np"), "left")
+      .select($"np", lit(nProbes).as("n_probes"),
+        coalesce($"h", lit(0L)).as("n_hits"),
+        (coalesce($"h", lit(0L)).cast("double") /
+          lit((nProbes * TopK).toDouble)).as("recall"))
+      .orderBy($"np")
+  }
+
+  /** Full cosine RANKING of exploded probe rows against a centroid frame
+    * — [[assignTo]] without the rn=1 cut: (pid, cid, crk), the per-probe
+    * cell search order ss5 scans in. */
+  private def assignRank(pev: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), col("cid"))
+    cosTo(pev, cents).withColumn("crk", row_number().over(w))
+      .select(col("vec_id").as("pid"), col("cid"), col("crk"))
   }
 
   /** ss6: quantized-scan ANN — rank the WHOLE corpus by the int8
@@ -2222,6 +2296,71 @@ object SimilarityQueries {
            |SELECT pool, n_probes, n_hits, recall FROM (
            |$union
            |) z ORDER BY pool""".stripMargin
+    },
+    // ss22: the quantizer retrains via the kmSql Lloyd CTEs, the probe's
+    // cell ranking re-derives against the trained centroids, and each
+    // sweep value re-ranks the cell-admitted candidates directly (the
+    // engine's two-phase prune must be value-identical)
+    "ss22_nprobe_sweep" -> {
+      val h = (1 to 8).map { i =>
+        val pow = java.lang.Long.toString(1L << (4 * (8 - i)))
+        s"(strpos('0123456789abcdef', substring(md5(CAST(vec_id AS VARCHAR)), $i, 1)) - 1) * $pow"
+      }.mkString("(", " + ", ")")
+      val perNp = NProbeSweep.map { v =>
+        s""",
+           |rr$v AS (
+           |  SELECT pid, vec_id FROM (
+           |    SELECT c.pid, c.vec_id,
+           |           row_number() OVER (PARTITION BY c.pid
+           |                              ORDER BY c.cosine DESC, c.vec_id) AS rk
+           |    FROM cand c WHERE c.crk <= $v) t
+           |  WHERE rk <= $TopK),
+           |h$v AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS nh
+           |  FROM rr$v JOIN exact USING (pid, vec_id))""".stripMargin
+      }.mkString
+      val union = NProbeSweep.map { v =>
+        s"""SELECT $v AS np, CAST(npr.n AS BIGINT) AS n_probes, h$v.nh AS n_hits,
+           |       CAST(h$v.nh AS DOUBLE) / CAST(npr.n * $TopK AS DOUBLE) AS recall
+           |FROM h$v, npr""".stripMargin
+      }.mkString("\n|UNION ALL\n|".stripMargin)
+      s"""WITH $evSql,
+         |$kmSql,
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS pid FROM embeddings ORDER BY $h, vec_id LIMIT $ParetoSampleN),
+         |npr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM probes),
+         |pev AS (SELECT p.pid, ev.pos, ev.e AS pe FROM probes p JOIN ev ON ev.vec_id = p.pid),
+         |cosall AS MATERIALIZED (
+         |  SELECT pev.pid, ev.vec_id,
+         |         ${sqlSum("ev.e * pev.pe")} /
+         |           (sqrt(${sqlSum("ev.e * ev.e")}) * sqrt(${sqlSum("pev.pe * pev.pe")})) AS cosine
+         |  FROM ev JOIN pev USING (pos)
+         |  WHERE ev.vec_id <> pev.pid
+         |  GROUP BY pev.pid, ev.vec_id),
+         |exact AS MATERIALIZED (
+         |  SELECT pid, vec_id FROM (
+         |    SELECT pid, vec_id,
+         |           row_number() OVER (PARTITION BY pid ORDER BY cosine DESC, vec_id) AS xr
+         |    FROM cosall) t
+         |  WHERE xr <= $TopK),
+         |crk AS MATERIALIZED (
+         |  SELECT pid, cid,
+         |         row_number() OVER (PARTITION BY pid ORDER BY ccos DESC, cid) AS crk
+         |  FROM (
+         |    SELECT pev.pid, c.cid,
+         |           ${sqlSum("pev.pe * c.ce")} /
+         |             (sqrt(${sqlSum("pev.pe * pev.pe")}) * sqrt(${sqlSum("c.ce * c.ce")})) AS ccos
+         |    FROM c$KmIters c JOIN pev USING (pos)
+         |    GROUP BY pev.pid, c.cid) t),
+         |cand AS MATERIALIZED (
+         |  SELECT c.pid, c.vec_id, c.cosine, k.crk
+         |  FROM cosall c
+         |  JOIN af ON af.vec_id = c.vec_id
+         |  JOIN crk k ON k.pid = c.pid AND k.cid = af.cid)""".stripMargin + perNp +
+        s"""
+           |SELECT np, n_probes, n_hits, recall FROM (
+           |$union
+           |) z ORDER BY np""".stripMargin
     },
     "ss4_ivf_topk" ->
       s"""WITH $evSql,
