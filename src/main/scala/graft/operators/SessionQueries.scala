@@ -50,7 +50,8 @@ object SessionQueries {
     "a12_seasonality" -> a12,
     "a13_activity_gini" -> a13,
     "a14_session_profile" -> a14,
-    "a15_halflife_score" -> a15)
+    "a15_halflife_score" -> a15,
+    "a16_streaks" -> a16)
 
   /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
     * dur_sec), session breaking when the gap to the previous event exceeds
@@ -494,7 +495,57 @@ object SessionQueries {
       .orderBy($"user_id")
   }
 
+  private def a16(s: SparkSession, d: String): DataFrame =
+    streaksOf(Tables.events(s, d))
+
+  /** a16: active-day STREAK profile — the consecutive-days engagement
+    * feature ("7-day streak") behind habit/retention cohort cuts, and the
+    * behavioral complement of a15's decay score: per user, the active-day
+    * count, the number of maximal consecutive-day runs, the longest run,
+    * and the length of the final run (the "current streak" as of the
+    * user's last active day). Classic gaps-and-islands, all integers:
+    * island key = epoch-day − row_number (constant exactly within a
+    * consecutive run), one distinct + one user-keyed window whose
+    * partitions are bounded by days-per-user (the a09 calendar bound,
+    * never event volume), then two user-keyed hash aggs. */
+  private[operators] def streaksOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val daily = ev.select($"user_id", to_date($"ts").as("day")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val runs = daily
+      .withColumn("g", datediff($"day", lit(java.sql.Date.valueOf("1970-01-01")))
+        - row_number().over(w))
+      .groupBy($"user_id", $"g")
+      .agg(count(lit(1)).as("len"), max($"day").as("run_end"))
+    runs.groupBy($"user_id")
+      .agg(
+        sum($"len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max($"len").as("max_streak"),
+        max(struct($"run_end", $"len")).as("_last"))
+      .select($"user_id", $"n_active_days", $"n_streaks", $"max_streak",
+        $"_last.len".as("current_streak"))
+      .orderBy($"user_id")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "a16_streaks" ->
+      """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |runs AS (
+        |  SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS len, MAX(day) AS run_end
+        |  FROM (
+        |    SELECT user_id, day,
+        |           CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+        |             - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+        |    FROM daily) t
+        |  GROUP BY user_id, g)
+        |SELECT user_id,
+        |       CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |       CAST(MAX(len) AS BIGINT) AS max_streak,
+        |       CAST(arg_max(len, run_end) AS BIGINT) AS current_streak
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a15_halflife_score" ->
       s"""WITH daily AS (
          |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
