@@ -62,7 +62,8 @@ object DedupQueries {
     "dd15_band_profile" -> dd15,
     "dd16_novelty_profile" -> dd16,
     "dd17_cluster_profile" -> dd17,
-    "dd18_boilerplate" -> dd18)
+    "dd18_boilerplate" -> dd18,
+    "dd19_canonical_copy" -> dd19)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -1333,7 +1334,71 @@ object DedupQueries {
        |),
        |$islandSql""".stripMargin
 
+  /** dd19: canonical-copy selection — dd6 keeps the LOWEST id per dup
+    * cluster (a deterministic but quality-blind rule); real curation
+    * keeps the BEST copy (CCNet keeps the lowest-perplexity one). Per
+    * document: its cluster, its tx2 quality (THE gate's formula, via
+    * [[PipelineQueries]]' construction — one text scan), the cluster
+    * size, and a keep verdict = argmax (quality DESC, doc_id) within the
+    * cluster — so near-identical copies that differ in boilerplate tails
+    * keep the cleaner text, not the earlier crawl. One id-keyed join of
+    * the maintained cluster table onto the scored scan + one
+    * cluster-keyed argmax agg (`max(struct(quality, −doc_id))` — a hash
+    * agg with map-side partials, no per-cluster window). Singleton
+    * clusters keep themselves by construction. */
+  private def dd19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = TextQueries.wsTokens($"text")
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(TextQueries.stop))).cast("double")
+    val nPunct = size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val nChars = length($"text").cast("double")
+    val quality = TextQueries.qualityFormula(
+      nTok,
+      when(nTok > 0, nStop / nTok).otherwise(lit(0.0)),
+      when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)))
+    val scored = Tables.documentsWide(s, d).select($"doc_id", quality.as("quality"))
+    val j = dupClusters(s, d).join(scored, "doc_id")
+    val canon = j.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("cluster_sz"),
+        max(struct($"quality", (-$"doc_id").as("nid"))).as("_best"))
+      .select($"cluster_id", $"cluster_sz", (-$"_best.nid").as("canonical_doc"))
+    j.join(canon, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"quality", $"cluster_sz",
+        ($"doc_id" === $"canonical_doc").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // dd19: clusters re-derive from raw (dd6Sql), quality re-scores via
+    // the shared gate CTEs, and the argmax is stated as the naive
+    // per-cluster rank — the engine's hash-agg argmax must agree
+    "dd19_canonical_copy" ->
+      s"""WITH ${PipelineQueries.gateSql},
+         |q AS (
+         |  SELECT doc_id,
+         |    ${TextQueries.qualityFormulaSql("n_tok",
+              "CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END",
+              "CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END")} AS quality
+         |  FROM gsig),
+         |clusters AS (
+         |$dd6Sql
+         |),
+         |j AS (
+         |  SELECT c.doc_id, c.cluster_id, q.quality
+         |  FROM clusters c JOIN q USING (doc_id)),
+         |canon AS (
+         |  SELECT cluster_id, doc_id AS canonical_doc FROM (
+         |    SELECT cluster_id, doc_id,
+         |           row_number() OVER (PARTITION BY cluster_id
+         |                              ORDER BY quality DESC, doc_id) AS rn
+         |    FROM j) t WHERE rn = 1),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_sz
+         |       FROM j GROUP BY cluster_id)
+         |SELECT j.doc_id, j.cluster_id, j.quality, sz.cluster_sz,
+         |       (j.doc_id = canon.canonical_doc) AS keep
+         |FROM j JOIN sz USING (cluster_id) JOIN canon USING (cluster_id)
+         |ORDER BY j.doc_id""".stripMargin,
     // dd18: the dd12 construction with the start set redefined — a window
     // is boilerplate when its TEXT spans >= BoilerMinSources distinct
     // sources (the oracle groups on raw window text where the engine
