@@ -36,7 +36,8 @@ object PipelineQueries {
     "p08_epoch_shuffle" -> p08,
     "p09_dataset_card" -> p09,
     "p10_weighted_sample" -> p10,
-    "p11_budget_select" -> p11)
+    "p11_budget_select" -> p11,
+    "p12_mixture_order" -> p12)
 
   /** Quality gate: tx2's score ≥ [[MinQuality]] (which already zeroes
     * docs under 10 tokens) and a token-count ceiling. */
@@ -607,6 +608,62 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** p12's interleave grid: each document's stream position is its
+    * within-language quantile (2r−1)/(2n) snapped to a 2^20-step grid —
+    * fine enough that per-prefix mixture deviation stays ≤ n_l/2^20 + 1
+    * document per language, coarse enough that (2r−1)·2^20 stays inside
+    * long for any real corpus (ranks to 2^42). */
+  private val MixGrid = 1L << 20
+
+  /** p12: deterministic MIXTURE-PRESERVING stream order — the data-loader
+    * interleave every multilingual pretraining run needs: one global
+    * training order where EVERY PREFIX carries the corpus's language mix
+    * (a mixture defined per-epoch is useless if the first million steps
+    * are all one language). No RNG: each doc gets a salted-hash
+    * within-language rank (p08's machinery per stratum — two-level, the
+    * per-language bucket pass bounded by the 32-bit hash space), its
+    * stream key is the rank's language-quantile on the [[MixGrid]] grid,
+    * and the global position is the two-level rank over that FIXED key
+    * space (gb = pk div (grid/4096) — the p08 construction again, so no
+    * corpus-sized window partition exists anywhere). Retried tasks,
+    * resumes, and different clusters reproduce the identical stream; the
+    * oracle states both ranks as naive single windows. Integer-only math
+    * (one `div` per key), hash-exact. */
+  private def p12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val hashed = Tables.documents(s, d).select($"doc_id", $"lang")
+      .withColumn("h",
+        conv(substring(md5(concat(lit("p12mix:"), $"doc_id".cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("bucket", expr(s"h div $RankBucketWidth"))
+      .repartition(n, $"lang", $"bucket")
+    val bsums = hashed.groupBy($"lang", $"bucket").agg(count(lit(1)).as("bn"))
+    val boffs = bsums
+      .withColumn("boff", coalesce(sum($"bn").over(
+        Window.partitionBy($"lang").orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"lang", $"bucket", $"boff")
+    val nl = bsums.groupBy($"lang").agg(sum($"bn").as("nl"))
+    val within = Window.partitionBy($"lang", $"bucket").orderBy($"h", $"doc_id")
+    val ranked = hashed.join(boffs, Seq("lang", "bucket"))
+      .withColumn("lang_rank", $"boff" + row_number().over(within).cast("long"))
+      .join(broadcast(nl), "lang")
+      .withColumn("pk", expr(s"((2 * lang_rank - 1) * $MixGrid) div (2 * nl)"))
+    val g = ranked.withColumn("gb", expr(s"pk div ${MixGrid / 4096}"))
+      .repartition(n, $"gb")
+    val gsums = g.groupBy($"gb").agg(count(lit(1)).as("gn"))
+    val goffs = gsums.withColumn("goff", coalesce(sum($"gn").over(
+        Window.partitionBy(PrefixSum.onePart($"gb")).orderBy($"gb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"gb", $"goff")
+    val gwithin = Window.partitionBy($"gb").orderBy($"pk", $"lang", $"doc_id")
+    g.join(goffs, "gb")
+      .withColumn("pos", $"goff" + row_number().over(gwithin).cast("long") - 1L)
+      .select($"doc_id", $"lang", $"lang_rank", $"pos")
+      .orderBy($"doc_id")
+  }
+
   /** Quality-quantile buckets for p11's global ranking. quality ∈ [0, 1]
     * by the tx2 formula, so the bucket domain is a CONSTANT [0, 4096] —
     * stronger than value-domain-bounded: the ordered bucket pass is ≤ 4097
@@ -769,6 +826,27 @@ object PipelineQueries {
            |WHERE CAST($h32 AS HUGEINT) * total_tokens
            |      < CAST(n_tokens * $PpsTarget AS HUGEINT) * $Kmv32
            |ORDER BY doc_id""".stripMargin
+      },
+      // p12: both ranks stated as naive single windows — within-language
+      // salted-hash order, then the global order by the grid key
+      "p12_mixture_order" -> {
+        val h32 = (1 to 8).map { i =>
+          val pow = java.lang.Long.toString(1L << (4 * (8 - i)))
+          s"(strpos('0123456789abcdef', substring(md5('p12mix:' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $pow"
+        }.mkString("(", "\n         + ", ")")
+        s"""WITH r AS (
+           |  SELECT doc_id, lang,
+           |         row_number() OVER (PARTITION BY lang
+           |                            ORDER BY CAST($h32 AS BIGINT), doc_id) AS lang_rank
+           |  FROM documents),
+           |nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+           |k AS (
+           |  SELECT r.doc_id, r.lang, CAST(r.lang_rank AS BIGINT) AS lang_rank,
+           |         ((2 * r.lang_rank - 1) * $MixGrid) // (2 * nl.n) AS pk
+           |  FROM r JOIN nl USING (lang))
+           |SELECT doc_id, lang, lang_rank,
+           |       CAST(row_number() OVER (ORDER BY pk, lang, doc_id) - 1 AS BIGINT) AS pos
+           |FROM k ORDER BY doc_id""".stripMargin
       },
       // p11: the semantics as the naive single-window rank — one global
       // cumulative sum ordered (quality DESC, doc_id) over the gate CTEs;
