@@ -103,7 +103,8 @@ object GraphMetricsQueries {
     "g12_label_propagation" -> g12,
     "g13_bfs_hops" -> g13,
     "g14_strength_histogram" -> g14,
-    "g15_ktruss" -> g15)
+    "g15_ktruss" -> g15,
+    "g16_assortativity_evolution" -> g16)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -510,6 +511,37 @@ object GraphMetricsQueries {
         (($"n".cast("double") * $"sxy" - $"sx".cast("double") * $"sx") /
           ($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"))
           .as("assortativity"))
+  }
+
+  /** g16: per-day degree-assortativity EVOLUTION — g07's exact integer
+    * moments grouped by day, the structural-drift curve next to g09's
+    * edge-turnover and g10's component curve: dynamic-network studies
+    * read all three together to tell churn (g09) from fragmentation
+    * (g10) from mixing-pattern change (g16, hubs pairing with hubs vs
+    * leaves). Same bit-exact arithmetic as g07 — integer moments, ONE
+    * fixed-order double expression per day — with the one new case the
+    * whole-run axis forces: a REGULAR day graph (all degrees equal, e.g.
+    * a single-edge day) has zero variance, where r is undefined; both
+    * engines report 0.0 under the same CASE guard. One day-keyed degree
+    * agg + two (day, actor)-keyed joins + one day-keyed moment agg;
+    * output bounded by |days|. */
+  private def g16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = edgesByDay(s, d)
+    val und = e.select($"dkey", $"actor1".as("z"), $"actor2".as("o"))
+      .unionAll(e.select($"dkey", $"actor2".as("z"), $"actor1".as("o")))
+      .localCheckpoint(eager = false)
+    val deg = und.groupBy($"dkey", $"z").agg(count(lit(1)).as("deg"))
+    val num = $"n_dir_edges".cast("double") * $"sxy" - $"sx".cast("double") * $"sx"
+    val den = $"n_dir_edges".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"
+    und.join(deg.select($"dkey", $"z", $"deg".as("x")), Seq("dkey", "z"))
+      .join(deg.select($"dkey", $"z".as("o"), $"deg".as("y")), Seq("dkey", "o"))
+      .groupBy($"dkey")
+      .agg(count(lit(1)).as("n_dir_edges"), sum($"x").as("sx"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"dkey", $"n_dir_edges",
+        when(den =!= 0.0, num / den).otherwise(lit(0.0)).as("assortativity"))
+      .orderBy($"dkey")
   }
 
   /** One memoized count of (day, actor) label rows decides g10's state-side
@@ -1134,6 +1166,36 @@ object GraphMetricsQueries {
            |    JOIN m$MaxPeel y ON i.actor2 = y.actor_id) z
            |GROUP BY actor_id
            |ORDER BY actor_id""".stripMargin),
+    // g16: g07's moment CTEs grouped by the g10 dkey construction; the
+    // CASE guard mirrors the engine's regular-day (zero-variance) rule
+    "g16_assortativity_evolution" -> EventGraphSql.query(
+      s""", de AS MATERIALIZED (
+         |  SELECT DISTINCT f.year * 10000 + f.month * 100 + f.day AS dkey,
+         |         fi.actor1, fi.actor2
+         |  FROM fi JOIN frames f USING (frame_id)
+         |),
+         |und AS MATERIALIZED (
+         |  SELECT dkey, actor1 AS z, actor2 AS o FROM de
+         |  UNION ALL SELECT dkey, actor2, actor1 FROM de),
+         |pdeg AS MATERIALIZED (SELECT dkey, z, COUNT(*) AS deg FROM und GROUP BY dkey, z),
+         |agg AS (
+         |  SELECT u.dkey,
+         |         CAST(COUNT(*) AS BIGINT) AS n_dir_edges,
+         |         CAST(SUM(dz.deg) AS BIGINT) AS sx,
+         |         CAST(SUM(dz.deg * dob.deg) AS BIGINT) AS sxy,
+         |         CAST(SUM(dz.deg * dz.deg) AS BIGINT) AS sxx
+         |  FROM und u
+         |  JOIN pdeg dz ON u.dkey = dz.dkey AND u.z = dz.z
+         |  JOIN pdeg dob ON u.dkey = dob.dkey AND u.o = dob.z
+         |  GROUP BY u.dkey
+         |)
+         |SELECT dkey, n_dir_edges,
+         |       CASE WHEN CAST(n_dir_edges AS DOUBLE) * sxx
+         |                 - CAST(sx AS DOUBLE) * sx <> 0
+         |            THEN (CAST(n_dir_edges AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) /
+         |                 (CAST(n_dir_edges AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |            ELSE 0.0 END AS assortativity
+         |FROM agg ORDER BY dkey""".stripMargin),
     // g15: the same unrolled-peel discipline at the edge level — each
     // round enumerates triangles on the previous round's edge set (a<b<c
     // once, by the canonical order), credits the three edges, and keeps
