@@ -531,7 +531,10 @@ object GraphMetricsQueries {
     val und = e.select($"dkey", $"actor1".as("z"), $"actor2".as("o"))
       .unionAll(e.select($"dkey", $"actor2".as("z"), $"actor1".as("o")))
       .localCheckpoint(eager = false)
+    // snapshotted: BOTH endpoint joins read the one degree aggregation
+    // (un-checkpointed, each broadcast branch re-aggregates und)
     val deg = und.groupBy($"dkey", $"z").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
     val num = $"n_dir_edges".cast("double") * $"sxy" - $"sx".cast("double") * $"sx"
     val den = $"n_dir_edges".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"
     und.join(deg.select($"dkey", $"z", $"deg".as("x")), Seq("dkey", "z"))

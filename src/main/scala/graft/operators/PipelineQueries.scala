@@ -638,6 +638,9 @@ object PipelineQueries {
           .cast("binary")), 1, 8), 16, 10).cast("long"))
       .withColumn("bucket", expr(s"h div $RankBucketWidth"))
       .repartition(n, $"lang", $"bucket")
+      // snapshotted: the bucket sums AND the ranked join both read this
+      // narrow frame (column pruning would otherwise split the exchange)
+      .localCheckpoint(eager = false)
     val bsums = hashed.groupBy($"lang", $"bucket").agg(count(lit(1)).as("bn"))
     val boffs = bsums
       .withColumn("boff", coalesce(sum($"bn").over(
@@ -652,6 +655,9 @@ object PipelineQueries {
       .withColumn("pk", expr(s"((2 * lang_rank - 1) * $MixGrid) div (2 * nl)"))
     val g = ranked.withColumn("gb", expr(s"pk div ${MixGrid / 4096}"))
       .repartition(n, $"gb")
+      // snapshotted for the same two-consumer reason — and it cuts the
+      // whole first-level rank out of the second level's lineage
+      .localCheckpoint(eager = false)
     val gsums = g.groupBy($"gb").agg(count(lit(1)).as("gn"))
     val goffs = gsums.withColumn("goff", coalesce(sum($"gn").over(
         Window.partitionBy(PrefixSum.onePart($"gb")).orderBy($"gb")
