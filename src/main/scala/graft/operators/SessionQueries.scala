@@ -51,7 +51,8 @@ object SessionQueries {
     "a13_activity_gini" -> a13,
     "a14_session_profile" -> a14,
     "a15_halflife_score" -> a15,
-    "a16_streaks" -> a16)
+    "a16_streaks" -> a16,
+    "a17_return_profile" -> a17)
 
   /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
     * dur_sec), session breaking when the gap to the previous event exceeds
@@ -424,6 +425,41 @@ object SessionQueries {
       .orderBy($"metric")
   }
 
+  /** a17: session RETURN-TIME profile — the "how long until they come
+    * back" retention signal next to a14's within-session profile: per
+    * consecutive same-user session pair, the gap from session end to the
+    * next session start, profiled with a14's exact nearest-rank
+    * discipline (min/max/mean/p25..p99). Read off the MAINTAINED
+    * sessions table — one user-keyed lead window bounded by
+    * sessions-per-user, then the value-keyed histogram and the PrefixSum
+    * two-level cumulative ranks (gap domain is corpus-dependent, so the
+    * single-partition window stays retired). Gaps are > the sessionize
+    * threshold by construction — spec-pinned. */
+  private def a17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"session_id")
+    val gaps = sessions(s, d)
+      .withColumn("next_start", lead($"ts_start", 1).over(w))
+      .filter($"next_start".isNotNull)
+      .select((unix_timestamp($"next_start") - unix_timestamp($"ts_end")).as("v"))
+      .withColumn("metric", lit("return_gap_sec"))
+    val hist = gaps.groupBy($"metric", $"v").agg(count(lit(1)).as("cnt"))
+    val (cumDf, totDf) = PrefixSum.cumulative(hist, Seq("metric"), "v",
+      "cnt", asc = true, "cum", "tot")
+    val cum = cumDf.join(broadcast(totDf), "metric")
+    val qCols = A14Qs.map { q =>
+      min(when($"cum" >= ceil($"tot" * lit(q / 100.0)), $"v")).as(s"p$q")
+    }
+    val aggs = Seq(
+      min($"v").as("v_min"),
+      max($"v").as("v_max"),
+      (sum($"v".cast("decimal(38,0)") * $"cnt").cast("double") /
+        max($"tot").cast("double")).as("mean")) ++ qCols
+    cum.groupBy($"metric")
+      .agg(max($"tot").as("n_gaps"), aggs: _*)
+      .orderBy($"metric")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val sessionsSql =
@@ -619,6 +655,40 @@ object SessionQueries {
          |)
          |SELECT metric,
          |  CAST(MAX(tot) AS BIGINT) AS n_sessions,
+         |  MIN(v) AS v_min,
+         |  MAX(v) AS v_max,
+         |  CAST(CAST(SUM(CAST(v AS HUGEINT) * cnt) AS VARCHAR) AS DOUBLE)
+         |    / CAST(MAX(tot) AS DOUBLE) AS mean,
+         |${A14Qs.map(q =>
+            s"  MIN(CASE WHEN cum >= ceil(tot * ${q / 100.0}e0) THEN v END) AS p$q")
+            .mkString(",\n")}
+         |FROM cum GROUP BY metric ORDER BY metric""".stripMargin,
+    // a17: the same profile over consecutive-session return gaps — one
+    // user-keyed lead window over the session CTE, then a14's histogram
+    // + naive cumulative-rank statement of the quantiles
+    "a17_return_profile" ->
+      s"""WITH $sessionsSql,
+         |g AS (
+         |  SELECT 'return_gap_sec' AS metric,
+         |         CAST(date_diff('second', ts_end, next_start) AS BIGINT) AS v
+         |  FROM (
+         |    SELECT ts_end,
+         |           lead(ts_start) OVER (PARTITION BY user_id
+         |                                ORDER BY session_id) AS next_start
+         |    FROM sess) t
+         |  WHERE next_start IS NOT NULL
+         |),
+         |hist AS (
+         |  SELECT metric, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2
+         |),
+         |cum AS (
+         |  SELECT metric, v, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY metric ORDER BY v) AS BIGINT) AS cum,
+         |         CAST(SUM(cnt) OVER (PARTITION BY metric) AS BIGINT) AS tot
+         |  FROM hist
+         |)
+         |SELECT metric,
+         |  CAST(MAX(tot) AS BIGINT) AS n_gaps,
          |  MIN(v) AS v_min,
          |  MAX(v) AS v_max,
          |  CAST(CAST(SUM(CAST(v AS HUGEINT) * cnt) AS VARCHAR) AS DOUBLE)
