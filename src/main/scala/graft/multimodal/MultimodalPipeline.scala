@@ -627,6 +627,105 @@ object MultimodalPipeline {
       }
   }
 
+  /** Real MP3 corpus: every audio-modality document as a structurally
+    * spec-conformant MPEG-1 Layer III stream ([[RealContainers.writeMp3]]
+    * — ID3v2 prefix, alternating-padding frame chain, Xing header). The
+    * stream parameters are closed-form in the doc keys so the mm15 oracle
+    * derives the expected structure with zero byte parsing:
+    * bitrate index `1 + doc_id % 14`, sample-rate index `(doc_id/3) % 3`,
+    * `2 + n_chars % 5` frames, `16 + n_chars % 16` ID3 padding bytes. */
+  def mp3Assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars").as[(Long, Long)]
+      .filter((r: (Long, Long)) => r._1 % 3 == 1)
+      .map { case (id, nChars) =>
+        MediaAsset(id, "audio",
+          RealContainers.writeMp3(s"$id#mp3",
+            nFrames = 2 + (nChars % 5).toInt,
+            brIdx = 1 + (id % 14).toInt,
+            srIdx = ((id / 3) % 3).toInt,
+            id3Payload = 16 + (nChars % 16).toInt),
+          Map("format" -> "mp3"))
+      }
+  }
+
+  /** Real MP4 corpus: every video-modality document as a structurally
+    * spec-conformant single-track ISO-BMFF file
+    * ([[RealContainers.writeMp4]]) carrying `n_chars % 3 + 2` samples —
+    * the same frame count as the GRFV corpus, so the two video paths
+    * audit the same mass through different real containers. */
+  def mp4Assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars").as[(Long, Long)]
+      .filter((r: (Long, Long)) => r._1 % 3 == 2)
+      .map { case (id, nChars) =>
+        MediaAsset(id, "video",
+          RealContainers.writeMp4(s"$id#mp4", (nChars % 3).toInt + 2),
+          Map("format" -> "mp4"))
+      }
+  }
+
+  /** mm15 audit row: MP3 frame-chain structure; `ok` false with −1 fields
+    * on malformed streams (quarantine rows, never failed jobs). */
+  final case class Mp3AuditRow(
+      assetId: Long,
+      nFrames: Int,
+      sampleRate: Int,
+      bitrateKbps: Int,
+      nStreamBytes: Long,
+      nSamples: Long,
+      xingFrames: Int,
+      ok: Boolean)
+
+  /** Frame-sync-walk every MP3 ([[RealContainers.parseMp3]]). */
+  def mp3Audit(assets: Dataset[MediaAsset]): Dataset[Mp3AuditRow] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(col("assetId"))
+      .map { a =>
+        try {
+          val s = RealContainers.parseMp3(a.bytes)
+          Mp3AuditRow(a.assetId, s.nFrames, s.sampleRate, s.bitrateKbps,
+            s.nStreamBytes, s.nSamples, s.xingFrames, ok = true)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Mp3AuditRow(a.assetId, -1, -1, -1, -1L, -1L, -1, ok = false)
+        }
+      }
+  }
+
+  /** mm16 audit row: ISO-BMFF box-walk structure; `ok` false with −1
+    * fields on malformed files (quarantine rows, never failed jobs). */
+  final case class Mp4AuditRow(
+      assetId: Long,
+      nBoxes: Int,
+      majorBrand: String,
+      timescale: Int,
+      durationTicks: Int,
+      nSamples: Int,
+      mdatBytes: Long,
+      totalBytes: Long,
+      ok: Boolean)
+
+  /** Box-walk every MP4 ([[RealContainers.parseMp4]]). */
+  def mp4Audit(assets: Dataset[MediaAsset]): Dataset[Mp4AuditRow] = {
+    import assets.sparkSession.implicits._
+    assets
+      .repartition(col("assetId"))
+      .map { a =>
+        try {
+          val s = RealContainers.parseMp4(a.bytes)
+          Mp4AuditRow(a.assetId, s.nBoxes, s.majorBrand, s.timescale,
+            s.duration, s.nSamples, s.mdatBytes, s.nBytes, ok = true)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Mp4AuditRow(a.assetId, -1, "", -1, -1, -1, -1L, -1L, ok = false)
+        }
+      }
+  }
+
   /** Demo/test asset source: wraps document texts as fake binary payloads
     * (videos get an n_frames metadata entry derived from doc length). */
   def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {

@@ -56,6 +56,9 @@ object GraphMetricsQueries {
     * graph has triangles but thin ones). Library callers pick K; the
     * peel loop is K-independent. */
   private val TrussK = 3
+
+  /** g17's floor — the first K where truss peeling CASCADES (see g17). */
+  private val TrussK4 = 4
   /** Peel-round cap — must match the oracle's unroll depth. */
   private val MaxPeel = 16
   /** Label-propagation round cap (component diameter bound). */
@@ -104,7 +107,8 @@ object GraphMetricsQueries {
     "g13_bfs_hops" -> g13,
     "g14_strength_histogram" -> g14,
     "g15_ktruss" -> g15,
-    "g16_assortativity_evolution" -> g16)
+    "g16_assortativity_evolution" -> g16,
+    "g17_ktruss4" -> g17)
 
   /** Distinct canonical edges active on the probe date, as an AT-REST
     * derived table: five declared queries (c12, g02–g05) start from this
@@ -262,17 +266,44 @@ object GraphMetricsQueries {
     * shrink, so the edge count is the convergence signature
     * ([[Fixpoint]] — subset + equal count ⟹ equal set). The oracle
     * unrolls [[MaxPeel]] peel rounds as CTEs (peeling is idempotent at
-    * the fixpoint) and the Spark side throws past the cap. At 100 TB
-    * each round is two equi-joins + one hash agg on the SHRINKING edge
-    * list, hub skew AQE-splittable — never a per-vertex neighbor-set
-    * collect. Output: surviving edges with their final truss support. */
-  private def g15(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e0 = dayEdges(s, d).select($"actor1", $"actor2")
-      .localCheckpoint(eager = false)
+    * the fixpoint) and the Spark side throws past the cap.
+    *
+    * Round 11: support is MAINTAINED INCREMENTALLY (decremental truss,
+    * Cohen '08 §4 discipline). Triangles enumerate in full exactly once
+    * (the init support frame); each peel round then touches only the
+    * triangles incident to that round's deletions — common-neighbor
+    * wedges seeded from the DYING edge set, not the whole graph — and
+    * decrements the surviving edges they credited. A triangle with two
+    * or three dying edges dies ONCE (dedup on the sorted vertex triple),
+    * so the maintained counts stay exactly equal to a fresh
+    * re-enumeration on the surviving subgraph; the final frame needs no
+    * closing re-count. At 100 TB the per-round cost is |deletions| ×
+    * avg-degree wedge probes against the shrinking adjacency instead of
+    * a full triangle pass per round. Output: surviving edges with their
+    * final truss support. */
+  private def g15(s: SparkSession, d: String): DataFrame =
+    ktruss(s, dayEdges(s, d).select(col("actor1"), col("actor2")), TrussK)
 
-    // per-edge triangle support within the current subset: each triangle
-    // a<b<c appears once, credited to (a,b), (b,c), (a,c)
+  /** g17: the same incremental peel at K = [[TrussK4]] — the first rung
+    * where the decremental machinery actually cycles (K=3 deletes only
+    * triangle-free edges, which break no triangles, so it converges in
+    * one round; K=4 cascades: an edge dropping under 2 triangles kills
+    * triangles that push OTHER edges under the floor next round). Same
+    * unrolled-CTE oracle as g15 with the higher floor. */
+  private def g17(s: SparkSession, d: String): DataFrame =
+    ktruss(s, dayEdges(s, d).select(col("actor1"), col("actor2")), TrussK4)
+
+  /** Shared incremental k-truss peel over a canonical (actor1 < actor2)
+    * edge frame; see [[g15]] for the exactness argument. Spec-visible so
+    * KtrussSpec can drive planted cascade graphs through it. */
+  private[operators] def ktruss(s: SparkSession, edges0: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val e0 = edges0.localCheckpoint(eager = false)
+
+    // full per-edge triangle support: each triangle a<b<c enumerated once
+    // via the canonical order, credited to (a,b), (b,c), (a,c). Paid ONCE
+    // at init; zero-support edges vanish from the agg — they sit in no
+    // triangle, so peeling them implicitly decrements nothing.
     def supports(edges: DataFrame): DataFrame = {
       val ab = edges.select($"actor1".as("a"), $"actor2".as("b"))
       val bc = edges.select($"actor1".as("b"), $"actor2".as("c"))
@@ -286,18 +317,39 @@ object GraphMetricsQueries {
         .groupBy($"actor1", $"actor2").agg(count(lit(1)).as("truss_support"))
     }
 
-    val kept = Fixpoint.iterate(e0, MaxPeel,
+    // state = (actor1, actor2, truss_support) — the maintained support
+    // frame. Rows only leave and supports only fall, so the row count is
+    // the convergence signature: |next| = |state| − |dying|, and with no
+    // dying edges no triangle dies, so equal count ⟹ identical frame.
+    val fin = Fixpoint.iterate(supports(e0), MaxPeel,
       "k-truss peeling (deeper than the oracle unroll — raise MaxPeel in code AND oracle)") {
       df => Seq(df.count())
-    } { (edges, _) =>
-      // un-supported edges vanish from the agg, so the filtered support
-      // frame IS the surviving edge set
-      supports(edges).filter($"truss_support" >= TrussK - 2)
-        .select($"actor1", $"actor2")
+    } { (sup, _) =>
+      val dying = sup.filter($"truss_support" < k - 2).select($"actor1", $"actor2")
+      val keep = sup.filter($"truss_support" >= k - 2)
+      // adjacency of the CURRENT graph (keep ∪ dying): a dying edge's
+      // triangles are its endpoints' common neighbors in the live set
+      val cur = sup.select($"actor1", $"actor2")
+      val adj = cur.select($"actor1".as("u"), $"actor2".as("w"))
+        .unionAll(cur.select($"actor2".as("u"), $"actor1".as("w")))
+      val deadTri = dying
+        .join(adj.select($"u".as("actor1"), $"w".as("c")), "actor1")
+        .join(adj.select($"u".as("actor2"), $"w".as("c")), Seq("actor2", "c"))
+        .select(sort_array(array($"actor1", $"actor2", $"c")).as("t"))
+        .distinct()
+        .select($"t"(0).as("x"), $"t"(1).as("y"), $"t"(2).as("z"))
+      val dec = deadTri.select(explode(array(
+          struct($"x".as("actor1"), $"y".as("actor2")),
+          struct($"y".as("actor1"), $"z".as("actor2")),
+          struct($"x".as("actor1"), $"z".as("actor2")))).as("e"))
+        .select($"e.actor1", $"e.actor2")
+        .join(dying, Seq("actor1", "actor2"), "left_anti")
+        .groupBy($"actor1", $"actor2").agg(count(lit(1)).as("d"))
+      keep.join(dec, Seq("actor1", "actor2"), "left")
+        .select($"actor1", $"actor2",
+          ($"truss_support" - coalesce($"d", lit(0L))).as("truss_support"))
     }
-    supports(kept)
-      .select($"actor1", $"actor2", $"truss_support")
-      .orderBy($"actor1", $"actor2")
+    fin.orderBy($"actor1", $"actor2")
   }
 
   /** g03: connected components on the probe-day window — min-label
@@ -1199,40 +1251,45 @@ object GraphMetricsQueries {
          |                 (CAST(n_dir_edges AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
          |            ELSE 0.0 END AS assortativity
          |FROM agg ORDER BY dkey""".stripMargin),
-    // g15: the same unrolled-peel discipline at the edge level — each
+    // g15/g17: the same unrolled-peel discipline at the edge level — each
     // round enumerates triangles on the previous round's edge set (a<b<c
     // once, by the canonical order), credits the three edges, and keeps
-    // those at or above the support floor; idempotent at the fixpoint
-    "g15_ktruss" -> EventGraphSql.query(
-      s""", $dayEdgesSql,
-         |e0 AS MATERIALIZED (SELECT actor1, actor2 FROM inter_d)""".stripMargin +
-        (1 to MaxPeel).map { i =>
-          s""",
-             |t$i AS (
-             |  SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c
-             |  FROM e${i - 1} x
-             |  JOIN e${i - 1} y ON y.actor1 = x.actor2
-             |  JOIN e${i - 1} z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2),
-             |e$i AS MATERIALIZED (
-             |  SELECT actor1, actor2 FROM (
-             |    SELECT actor1, actor2, COUNT(*) AS sup FROM (
-             |      SELECT a AS actor1, b AS actor2 FROM t$i
-             |      UNION ALL SELECT b, c FROM t$i
-             |      UNION ALL SELECT a, c FROM t$i) u
-             |    GROUP BY actor1, actor2) g
-             |  WHERE sup >= ${TrussK - 2}
-             |)""".stripMargin
-        }.mkString +
+    // those at or above the support floor; idempotent at the fixpoint.
+    // (The oracle re-enumerates per round on purpose — it pins the
+    // SEMANTICS the Spark side's incremental decrement must reproduce.)
+    "g15_ktruss" -> ktrussSql(TrussK),
+    "g17_ktruss4" -> ktrussSql(TrussK4))
+
+  private def ktrussSql(k: Int): String = EventGraphSql.query(
+    s""", $dayEdgesSql,
+       |e0 AS MATERIALIZED (SELECT actor1, actor2 FROM inter_d)""".stripMargin +
+      (1 to MaxPeel).map { i =>
         s""",
-           |tf AS (
+           |t$i AS (
            |  SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c
-           |  FROM e$MaxPeel x
-           |  JOIN e$MaxPeel y ON y.actor1 = x.actor2
-           |  JOIN e$MaxPeel z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2)
-           |SELECT actor1, actor2, CAST(COUNT(*) AS BIGINT) AS truss_support FROM (
-           |  SELECT a AS actor1, b AS actor2 FROM tf
-           |  UNION ALL SELECT b, c FROM tf
-           |  UNION ALL SELECT a, c FROM tf) u
-           |GROUP BY actor1, actor2
-           |ORDER BY actor1, actor2""".stripMargin))
+           |  FROM e${i - 1} x
+           |  JOIN e${i - 1} y ON y.actor1 = x.actor2
+           |  JOIN e${i - 1} z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2),
+           |e$i AS MATERIALIZED (
+           |  SELECT actor1, actor2 FROM (
+           |    SELECT actor1, actor2, COUNT(*) AS sup FROM (
+           |      SELECT a AS actor1, b AS actor2 FROM t$i
+           |      UNION ALL SELECT b, c FROM t$i
+           |      UNION ALL SELECT a, c FROM t$i) u
+           |    GROUP BY actor1, actor2) g
+           |  WHERE sup >= ${k - 2}
+           |)""".stripMargin
+      }.mkString +
+      s""",
+         |tf AS (
+         |  SELECT x.actor1 AS a, x.actor2 AS b, y.actor2 AS c
+         |  FROM e$MaxPeel x
+         |  JOIN e$MaxPeel y ON y.actor1 = x.actor2
+         |  JOIN e$MaxPeel z ON z.actor1 = x.actor1 AND z.actor2 = y.actor2)
+         |SELECT actor1, actor2, CAST(COUNT(*) AS BIGINT) AS truss_support FROM (
+         |  SELECT a AS actor1, b AS actor2 FROM tf
+         |  UNION ALL SELECT b, c FROM tf
+         |  UNION ALL SELECT a, c FROM tf) u
+         |GROUP BY actor1, actor2
+         |ORDER BY actor1, actor2""".stripMargin)
 }

@@ -56,7 +56,9 @@ object MultimodalQueries {
     "mm11_png_decode" -> mm11,
     "mm12_jpeg_audit" -> mm12,
     "mm13_png_phash" -> mm13,
-    "mm14_jpeg_fidelity" -> mm14)
+    "mm14_jpeg_fidelity" -> mm14,
+    "mm15_mp3_audit" -> mm15,
+    "mm16_mp4_audit" -> mm16)
 
   /** mm11: REAL-WORLD format decode — every image-modality document as a
     * spec-conformant truecolor PNG (zlib IDAT, CRC32-validated chunks),
@@ -98,6 +100,54 @@ object MultimodalQueries {
         $"width".cast("long").as("width"), $"height".cast("long").as("height"),
         $"nComponents".cast("long").as("n_components"),
         $"precision".cast("long").as("precision"), $"ok")
+      .orderBy($"asset_id")
+  }
+
+  /** mm15: REAL-WORLD audio-container structural audit — every
+    * audio-modality document as a spec-conformant MPEG-1 Layer III stream
+    * (ID3v2 prefix, alternating-padding frame chain, Xing VBR header),
+    * frame-sync-walked by the hand-rolled
+    * [[graft.multimodal.RealContainers.parseMp3]] (sync/version/layer
+    * bits, the public bitrate and sample-rate index tables, per-frame
+    * `⌊144·bitrate/sr⌋ + pad` jumps, Xing extraction, exact stream
+    * consumption). The oracle derives what the walk MUST measure from the
+    * generation formula alone — one mis-sized frame, a swallowed padding
+    * bit, or a mis-skipped ID3 tag breaks the hash match. Malformed
+    * streams quarantine as `ok = false` rows (RealContainersSpec pins
+    * that path with planted corruption). */
+  private def mm15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    MultimodalPipeline.mp3Audit(MultimodalPipeline.mp3Assets(s, d)).toDF()
+      .select($"assetId".as("asset_id"),
+        $"nFrames".cast("long").as("n_frames"),
+        $"sampleRate".cast("long").as("sample_rate"),
+        $"bitrateKbps".cast("long").as("bitrate_kbps"),
+        $"nStreamBytes".as("n_stream_bytes"),
+        $"nSamples".as("n_samples"),
+        $"xingFrames".cast("long").as("xing_frames"), $"ok")
+      .orderBy($"asset_id")
+  }
+
+  /** mm16: REAL-WORLD video-container structural audit — every
+    * video-modality document as a spec-conformant single-track ISO-BMFF
+    * file, box-walked by [[graft.multimodal.RealContainers.parseMp4]]
+    * (recursive size+fourcc tiling, mvhd/mdhd version handling, and the
+    * demuxer cross-checks: Σ stsz == mdat payload, stco offset == mdat
+    * payload file offset). The oracle states the closed-form structure
+    * (box census, 40 ticks/sample duration, 192-byte samples, total
+    * `522 + 196·n` bytes) from the generation formula — a box walk that
+    * drops a level, misreads a version-1 width, or miscounts mdat breaks
+    * the match. Malformed files quarantine as `ok = false` rows. */
+  private def mm16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    MultimodalPipeline.mp4Audit(MultimodalPipeline.mp4Assets(s, d)).toDF()
+      .select($"assetId".as("asset_id"),
+        $"nBoxes".cast("long").as("n_boxes"),
+        $"majorBrand".as("major_brand"),
+        $"timescale".cast("long").as("timescale"),
+        $"durationTicks".cast("long").as("duration_ticks"),
+        $"nSamples".cast("long").as("n_samples"),
+        $"mdatBytes".as("mdat_bytes"), $"totalBytes".as("total_bytes"), $"ok")
       .orderBy($"asset_id")
   }
 
@@ -521,6 +571,58 @@ object MultimodalQueries {
          |       CAST(8 AS BIGINT) AS precision,
          |       TRUE AS ok
          |FROM documents WHERE doc_id % 3 = 0
+         |ORDER BY asset_id""".stripMargin,
+    // mm15: the MP3 frame chain is closed-form in the doc keys — bitrate
+    // index 1 + doc_id%14 through the public MPEG-1 L3 kbps table,
+    // sample-rate index (doc_id/3)%3, 2 + n_chars%5 frames, frame f of
+    // length 144000·kbps//sr + f%2 — so the oracle reconstructs what the
+    // engine's real frame-sync walk must measure, byte-count for
+    // byte-count, with zero binary parsing.
+    "mm15_mp3_audit" ->
+      s"""WITH a AS (
+         |  SELECT doc_id AS asset_id,
+         |         CASE CAST(1 + doc_id % 14 AS INTEGER)
+         |           WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+         |           WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+         |           WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+         |           WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS kbps,
+         |         CASE CAST((doc_id // 3) % 3 AS INTEGER)
+         |           WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+         |         2 + CAST(n_chars % 5 AS INTEGER) AS nf
+         |  FROM documents WHERE doc_id % 3 = 1
+         |),
+         |fr AS (
+         |  SELECT asset_id, kbps, sr, nf,
+         |         unnest(generate_series(0, nf - 1)) AS f
+         |  FROM a
+         |)
+         |SELECT asset_id,
+         |       CAST(nf AS BIGINT) AS n_frames,
+         |       CAST(sr AS BIGINT) AS sample_rate,
+         |       CAST(kbps AS BIGINT) AS bitrate_kbps,
+         |       CAST(SUM(144000 * kbps // sr + f % 2) AS BIGINT) AS n_stream_bytes,
+         |       CAST(nf AS BIGINT) * 1152 AS n_samples,
+         |       CAST(nf AS BIGINT) AS xing_frames,
+         |       TRUE AS ok
+         |FROM fr GROUP BY asset_id, nf, sr, kbps
+         |ORDER BY asset_id""".stripMargin,
+    // mm16: the ISO-BMFF layout is closed-form in n = n_chars%3 + 2 —
+    // 19 boxes (ftyp, moov[mvhd, trak[tkhd, mdia[mdhd, hdlr, minf[vmhd,
+    // dinf[dref], stbl[stsd, stts, stsc, stsz, stco]]]]], mdat), duration
+    // 40n ticks at timescale 1000, mdat 192n payload bytes, total
+    // 522 + 196n (pinned against the writer in RealContainersSpec) — the
+    // engine box-walks real files, the oracle derives the must-be values.
+    "mm16_mp4_audit" ->
+      s"""SELECT doc_id AS asset_id,
+         |       CAST(19 AS BIGINT) AS n_boxes,
+         |       'isom' AS major_brand,
+         |       CAST(1000 AS BIGINT) AS timescale,
+         |       40 * (CAST(n_chars % 3 AS BIGINT) + 2) AS duration_ticks,
+         |       CAST(n_chars % 3 AS BIGINT) + 2 AS n_samples,
+         |       192 * (CAST(n_chars % 3 AS BIGINT) + 2) AS mdat_bytes,
+         |       522 + 196 * (CAST(n_chars % 3 AS BIGINT) + 2) AS total_bytes,
+         |       TRUE AS ok
+         |FROM documents WHERE doc_id % 3 = 2
          |ORDER BY asset_id""".stripMargin,
     // mm9: closed-form expected sizes from the generation formula — image
     // PPM = "P6\n16 16\n255\n"(13) + 768 raster; audio WAV = 44-byte

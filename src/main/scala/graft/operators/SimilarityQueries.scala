@@ -829,7 +829,11 @@ object SimilarityQueries {
       .filter($"rrk" <= TopK)
     val hits = rr.join(exact, Seq("pid", "vec_id"), "left_semi")
       .groupBy($"pool").agg(count(lit(1)).as("h"))
-    broadcast(pools).join(hits, Seq("pool"), "left")
+    // broadcast the AGGREGATE side: a left-outer join can only build
+    // (broadcast) its non-preserved right side, so hinting the tiny
+    // `pools` frame on the left is dropped by Spark (HintErrorLogger);
+    // `hits` is a ≤|pools|-row groupBy result — the legal broadcast side
+    pools.join(broadcast(hits), Seq("pool"), "left")
       .select($"pool", lit(nProbes).as("n_probes"),
         coalesce($"h", lit(0L)).as("n_hits"),
         (coalesce($"h", lit(0L)).cast("double") /
@@ -893,7 +897,9 @@ object SimilarityQueries {
     val topk = pruned(cand, Seq($"pid", $"np"), TopK, "rk")
     val hits = topk.join(exact, Seq("pid", "vec_id"), "left_semi")
       .groupBy($"np").agg(count(lit(1)).as("h"))
-    broadcast(nps).join(hits, Seq("np"), "left")
+    // same legality fix as ss19b: broadcast the ≤|sweep|-row aggregate
+    // (the right side a left-outer join can actually build)
+    nps.join(broadcast(hits), Seq("np"), "left")
       .select($"np", lit(nProbes).as("n_probes"),
         coalesce($"h", lit(0L)).as("n_hits"),
         (coalesce($"h", lit(0L)).cast("double") /

@@ -101,6 +101,38 @@ class RealFormatsSpec extends SparkSpec {
     }
   }
 
+  test("JPEG marker walk classifies progressive (SOF2) streams, not quarantines") {
+    // encode with ImageIO's progressive mode: the stream carries an SOF2
+    // frame header and MULTIPLE SOS scans; the walker must read the frame
+    // dims out of SOF2 and skip every scan by the stuffing rules
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val w = 48; val h = 32
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = gradient(7, w, h)
+      var p = 0
+      while (p < w * h) {
+        img.setRGB(p % w, p / w, ((rgb(3 * p) & 0xff) << 16) |
+          ((rgb(3 * p + 1) & 0xff) << 8) | (rgb(3 * p + 2) & 0xff))
+        p += 1
+      }
+      writer.write(null, new IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    val jpg = out.toByteArray
+    // confirm the plant: an SOF2 marker is actually present
+    assert((0 until jpg.length - 1).exists(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc2), "not progressive")
+    val s = RealFormats.parseJpeg(jpg)
+    assert(s.width == w && s.height == h && s.nComponents == 3 && s.precision == 8)
+    assert(s.nScanBytes > 0)
+  }
+
   test("JPEG marker walk fails loudly on malformed streams") {
     intercept[IllegalArgumentException](RealFormats.parseJpeg(Array[Byte](1, 2, 3, 4)))
     val jpg = RealFormats.writeJpeg(16, 16, gradient(5, 16, 16))

@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.build.GraphCache
 
-/** g15 k-truss: exact driver-side peel differential + the maximality and
-  * truss-vs-core separation invariants. The hash oracle pins the values;
-  * these pin the semantics against an independent implementation. */
+/** g15/g17 k-truss: exact driver-side peel differential + the maximality
+  * and truss-vs-core separation invariants, plus a planted cascade graph
+  * that forces the round-11 INCREMENTAL support maintenance through
+  * multiple decrement rounds (K=3 on real data converges in one round —
+  * triangle-free edges break no triangles — so without the plant the
+  * decrement path would never be exercised). The hash oracle pins the
+  * values; these pin the semantics against an independent implementation. */
 class KtrussSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
-  private val K = 3
 
   private def dayEdgeSet: Set[(Long, Long)] = {
     val g = GraphCache(spark, dir)
@@ -23,8 +26,8 @@ class KtrussSpec extends SparkSpec {
   }
 
   /** Naive peel: recompute per-edge triangle support within the current
-    * set, drop edges under K−2, repeat to fixpoint. */
-  private def naiveTruss(edges0: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+    * set from scratch, drop edges under k−2, repeat to fixpoint. */
+  private def naiveTruss(edges0: Set[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
     def supports(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
       val s = scala.collection.mutable.Map.empty[(Long, Long), Long]
       for ((a, b) <- es; (b2, c) <- es if b2 == b; if es.contains((a, c))) {
@@ -38,7 +41,7 @@ class KtrussSpec extends SparkSpec {
     var done = false
     while (!done) {
       val sup = supports(es)
-      val next = es.filter(e => sup.getOrElse(e, 0L) >= K - 2)
+      val next = es.filter(e => sup.getOrElse(e, 0L) >= k - 2)
       done = next == es
       es = next
     }
@@ -48,11 +51,61 @@ class KtrussSpec extends SparkSpec {
   test("g15 equals the driver-side peel, edge for edge and support for support") {
     val got = GraphMetricsQueries.queries("g15_ktruss")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val want = naiveTruss(dayEdgeSet)
+    val want = naiveTruss(dayEdgeSet, 3)
     assert(got == want, s"truss mismatch: got ${got.size}, want ${want.size}")
     assert(got.nonEmpty, "fixture should have a non-empty 3-truss")
     assert(got.size < dayEdgeSet.size, "the peel should drop tree/path edges")
-    got.values.foreach(s => assert(s >= K - 2))
+    got.values.foreach(s => assert(s >= 1L))
+  }
+
+  test("g17 (K=4) equals the driver-side peel on the fixture day") {
+    val got = GraphMetricsQueries.queries("g17_ktruss4")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = naiveTruss(dayEdgeSet, 4)
+    assert(got == want, s"4-truss mismatch: got ${got.size}, want ${want.size}")
+    got.values.foreach(s => assert(s >= 2L))
+  }
+
+  test("incremental peel survives a multi-round cascade (planted strip + K6 core)") {
+    import spark.implicits._
+    // triangle strip P²: edges (i,i+1) and (i,i+2) — end edges close one
+    // triangle, interior edges two, so at K=4 the strip unravels from
+    // both ends over several DECREMENT rounds; the K6 clique (every edge
+    // in 4 triangles) must come through untouched with support 4
+    val strip = (100L to 110L).flatMap(i =>
+      Seq((i, i + 1), (i, i + 2)).filter(_._2 <= 111L))
+    val k6 = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val edges = (strip ++ k6).toDF("actor1", "actor2")
+    val got = GraphMetricsQueries.ktruss(spark, edges, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = naiveTruss((strip ++ k6).toSet, 4)
+    assert(got == want, s"cascade mismatch: got $got want $want")
+    assert(got.keySet == k6.toSet, "only the K6 core should survive K=4")
+    got.values.foreach(s => assert(s == 4L))
+    // sanity on the plant itself: the naive peel needs >2 rounds, so the
+    // incremental path really cycled (fixpoint in 1 round would mean the
+    // decrement arm was never taken)
+    var es: Set[(Long, Long)] = (strip ++ k6).toSet
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val sup = naiveSupports(es)
+      val next = es.filter(e => sup.getOrElse(e, 0L) >= 2L)
+      done = next == es
+      es = next
+      rounds += 1
+    }
+    assert(rounds > 2, s"plant too weak: peel settled in $rounds rounds")
+  }
+
+  private def naiveSupports(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+    val s = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((a, b) <- es; (b2, c) <- es if b2 == b; if es.contains((a, c))) {
+      s((a, b)) = s.getOrElse((a, b), 0L) + 1
+      s((b, c)) = s.getOrElse((b, c), 0L) + 1
+      s((a, c)) = s.getOrElse((a, c), 0L) + 1
+    }
+    s.toMap
   }
 
   test("g15 maximality: no dropped edge re-qualifies against the kept set") {
@@ -69,7 +122,7 @@ class KtrussSpec extends SparkSpec {
         case (p, q) if q == x => p
       }
       val tri = nbrs(a).toSet.intersect(nbrs(b).toSet).size
-      assert(tri < K - 2,
+      assert(tri < 1,
         s"dropped edge ($a,$b) closes $tri triangles vs kept — peel not maximal")
     }
   }
