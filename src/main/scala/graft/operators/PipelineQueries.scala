@@ -676,6 +676,13 @@ object PipelineQueries {
     * rows at any corpus size. */
   private val SelBuckets = 4096L
 
+  /** p11's level-3 subdivision width: doc_ids per sub-bucket within a
+    * constant-quality run (session-tunable like [[PackBucketKey]] — C
+    * trades the per-run ordered-pass row count, docRange/C, against the
+    * row-level window partition size). */
+  val SelSubBucketKey = "spark.graft.select.subbucket"
+  private val SelSubBucketDefault = 4096L
+
   /** p11: token-BUDGET data selection — the greedy "take the best
     * documents until the token budget is spent" step every
     * quality-filtered pretraining mix ends with (the selection side of
@@ -686,21 +693,35 @@ object PipelineQueries {
     * taken and the selected set is exactly a prefix of the ranking.
     *
     * Scale shape: the global ranking's running total NEVER runs as one
-    * corpus-sized window. quality buckets by `floor(quality·B)` (floor is
-    * monotone, so bucket order IS quality order across buckets and the
-    * bucket key doubles as the window partition), per-bucket token sums
-    * aggregate map-side, ONLY the ≤ B+1 bucket rows pay an ordered pass
-    * (constant-bounded — quality ∈ [0,1] by construction), and each doc
-    * adds its bucket's exclusive offset (broadcastable join) to a
-    * within-bucket exclusive prefix windowed BY bucket — the p05/PrefixSum
-    * two-level construction with a total order (quality DESC, doc_id)
-    * inside each bucket. The one corpus scan tokenizes once
-    * (localCheckpoint — the tx19 shared-subtree discipline: bucket sums
-    * and the ranked join both read it); n_tokens is the SAME whitespace
-    * expression the maintained offsets are built from, computed in the
-    * scan that already tokenizes for the stopword ratio. Budget compare
-    * in integers (2·cum < total), hash-exact; the oracle states the
-    * semantics as the naive single-window rank over the gate CTEs. */
+    * corpus-sized window — and, since round 11, not as one BUCKET-sized
+    * window either. The tx2 quality formula is highly discrete (every
+    * ≥10-token punctuation-free doc scores exactly 1.0), so the coarse
+    * `floor(quality·B)` bucket alone gives no balance guarantee: the
+    * qb = B cell can hold a constant fraction of the corpus. The prefix
+    * therefore decomposes over THREE nested order-contiguous levels of
+    * (quality DESC, doc_id):
+    *
+    *  1. qb = floor(quality·B) — monotone, ≤ B+1 bucket rows pay the
+    *     ordered pass (constant-bounded: quality ∈ [0,1]) → `boff`;
+    *  2. exact quality within qb — per-(qb, quality) sums, ordered pass
+    *     over the DISTINCT qualities of each bucket → `qoff`. Its task
+    *     size is the bucket's distinct-quality count — large exactly when
+    *     runs are short, i.e. when level 3's partitions are small: the
+    *     two skew modes are complementary, never stacked;
+    *  3. sb = doc_id div C within a constant-quality run (doc_id is the
+    *     tiebreak order, so `div` is order-contiguous) — per-(qb,
+    *     quality, sb) sums, ordered pass over ≤ docRange/C sb rows per
+    *     run → `soff`; the row-level window partitions by the FULL (qb,
+    *     quality, sb) key, so even an all-1.0 corpus fans out across
+    *     docRange/C tasks instead of one.
+    *
+    * `cum_before = boff + qoff + soff +` the within-(qb, quality, sb)
+    * exclusive running sum. One corpus scan tokenizes once
+    * (localCheckpoint — the tx19 shared-subtree discipline: all three
+    * offset levels and the ranked join read it); n_tokens is the SAME
+    * whitespace expression the maintained offsets are built from. Budget
+    * compare in integers (2·cum < total), hash-exact; the oracle states
+    * the semantics as the naive single-window rank over the gate CTEs. */
   private def p11(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = TextQueries.wsTokens($"text")
@@ -713,24 +734,47 @@ object PipelineQueries {
       when(nTok > 0, nStop / nTok).otherwise(lit(0.0)),
       when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)))
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val c = s.conf.getOption(SelSubBucketKey).map(_.toLong).getOrElse(SelSubBucketDefault)
     val scored = Tables.documentsWide(s, d)
       .select($"doc_id", quality.as("quality"),
         size(toks).cast("long").as("n_tokens"))
       .withColumn("qb", floor($"quality" * SelBuckets).cast("long"))
+      .withColumn("sb", expr(s"doc_id div $c"))
       .localCheckpoint(eager = false)
-    val bsums = scored.groupBy($"qb").agg(sum($"n_tokens").as("bsum"))
+    // level-3 cell sums: one map-side agg on the full nested key
+    val ssums = scored.groupBy($"qb", $"quality", $"sb")
+      .agg(sum($"n_tokens").as("ssum"))
+      .localCheckpoint(eager = false)
+    // level-2: run offsets within a constant-quality run (sb ascending —
+    // doc_id is the tiebreak order, so sb is order-contiguous)
+    val sw = Window.partitionBy($"qb", $"quality").orderBy($"sb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val soffs = ssums
+      .withColumn("soff", coalesce(sum($"ssum").over(sw), lit(0L)))
+      .select($"qb", $"quality", $"sb", $"soff")
+    // level-2 totals → quality offsets within a bucket (quality DESC)
+    val qsums = ssums.groupBy($"qb", $"quality").agg(sum($"ssum").as("qsum"))
+    val qw = Window.partitionBy($"qb").orderBy($"quality".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val qoffs = qsums
+      .withColumn("qoff", coalesce(sum($"qsum").over(qw), lit(0L)))
+      .select($"qb", $"quality", $"qoff")
+    // level-1: bucket offsets (≤ B+1 rows, the declared bounded pass)
+    val bsums = qsums.groupBy($"qb").agg(sum($"qsum").as("bsum"))
     val bw = Window.partitionBy(PrefixSum.onePart($"qb")).orderBy($"qb".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val boffs = bsums
       .withColumn("boff", coalesce(sum($"bsum").over(bw), lit(0L)))
       .select($"qb", $"boff")
     val total = bsums.agg(sum($"bsum").as("total_tokens"))
-    val ww = Window.partitionBy($"qb").orderBy($"quality".desc, $"doc_id")
+    val ww = Window.partitionBy($"qb", $"quality", $"sb").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    scored.repartition(n, $"qb")
+    scored.repartition(n, $"qb", $"quality", $"sb")
+      .join(soffs, Seq("qb", "quality", "sb"))
+      .join(qoffs, Seq("qb", "quality"))
       .join(boffs, "qb")
       .withColumn("cum_before",
-        $"boff" + coalesce(sum($"n_tokens").over(ww), lit(0L)))
+        $"boff" + $"qoff" + $"soff" + coalesce(sum($"n_tokens").over(ww), lit(0L)))
       .crossJoin(broadcast(total))
       .select($"doc_id", $"quality", $"n_tokens", $"cum_before",
         ($"cum_before" * 2 < $"total_tokens").as("selected"))
