@@ -63,7 +63,8 @@ object DedupQueries {
     "dd16_novelty_profile" -> dd16,
     "dd17_cluster_profile" -> dd17,
     "dd18_boilerplate" -> dd18,
-    "dd19_canonical_copy" -> dd19)
+    "dd19_canonical_copy" -> dd19,
+    "dd20_threshold_sweep" -> dd20)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -1369,7 +1370,109 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
+  /** dd20's threshold grid — EXACT rationals (num, den), so the sweep's
+    * comparisons are integer arithmetic (`shared·den ≥ num·union`), never
+    * a float-vs-float tie at the boundary. */
+  private[operators] val SweepTaus = Seq((1, 2), (3, 5), (7, 10), (4, 5), (9, 10), (1, 1))
+
+  /** dd20: dedup-threshold WHAT-IF sweep — for a grid of Jaccard
+    * thresholds, how many candidate pairs and how many distinct documents
+    * the near-dup filter would implicate: the dedup analog of ss22's
+    * nProbe sweep and ss19b's pool-width Pareto — the TUNING DIAL as a
+    * declared, hash-checked query, so "what does raising τ from 0.8 to
+    * 0.9 cost me?" is answered from the at-rest index without running the
+    * full pipeline once per τ.
+    *
+    * One candidate generation + one shared-count pass (the dd3 machinery,
+    * banded — never all-pairs), then the bounded [[SweepTaus]] grid
+    * cross-joins the pair stats (|pairs|×6 rows, pairs are
+    * LSH-candidate-bounded) and each threshold's qualifying test is the
+    * exact integer comparison `shared·den ≥ num·(n1+n2−shared)` — no
+    * Jaccard double ever compared against a threshold. Every grid row
+    * survives to the output (zero-match thresholds report 0, not
+    * absence). */
+  private def dd20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = minhashBands(s, d)
+    val cand = bands.select($"doc_id".as("d1"), $"band", $"bh")
+      .join(bands.select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2").distinct()
+    val sh = shingles(s, d)
+    val sizes = docSizes(s, d)
+    val pairs = cand
+      .join(sh.select($"doc_id".as("d1"), $"sg"), "d1")
+      .join(sh.select($"doc_id".as("d2"), $"sg"), Seq("d2", "sg"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("shared"))
+      .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
+      .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+    sweepOf(pairs)
+  }
+
+  /** The dd20 sweep over any (d1, d2, shared, n1, n2) pair-stats frame —
+    * split out so the planted-pair spec can drive it directly. */
+  private[operators] def sweepOf(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val grid = SweepTaus.toDF("tau_num", "tau_den")
+    // snapshot: the qualifying pairs feed BOTH the pair count and the
+    // distinct-doc count (the tx19 shared-subtree discipline)
+    val qual = pairs.crossJoin(broadcast(grid))
+      .filter($"shared" * $"tau_den" >= $"tau_num" * ($"n1" + $"n2" - $"shared"))
+      .localCheckpoint(eager = false)
+    val nPairs = qual.groupBy($"tau_num", $"tau_den")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = qual
+      .select($"tau_num", $"tau_den", explode(array($"d1", $"d2")).as("doc"))
+      .distinct()
+      .groupBy($"tau_num", $"tau_den").agg(count(lit(1)).as("n_dup_docs"))
+    grid
+      .join(nPairs, Seq("tau_num", "tau_den"), "left")
+      .join(nDocs, Seq("tau_num", "tau_den"), "left")
+      .select(
+        ($"tau_num".cast("double") / $"tau_den".cast("double")).as("tau"),
+        $"tau_num", $"tau_den",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_dup_docs", lit(0L)).as("n_dup_docs"))
+      .orderBy($"tau")
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // dd20: the dd3 candidate chain, pair stats kept as integers, the
+    // grid stated as VALUES and every threshold preserved by left joins
+    "dd20_threshold_sweep" ->
+      s"""WITH $mhCandSql,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |  JOIN cand c ON a.doc_id = c.d1 AND b.doc_id = c.d2
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT s.d1, s.d2, s.shared, s1.n AS n1, s2.n AS n2
+         |  FROM shared s
+         |  JOIN sizes s1 ON s.d1 = s1.doc_id
+         |  JOIN sizes s2 ON s.d2 = s2.doc_id),
+         |grid AS (SELECT * FROM (VALUES ${SweepTaus.map { case (n, q) => s"($n, $q)" }
+            .mkString(", ")}) g(tau_num, tau_den)),
+         |qual AS (
+         |  SELECT g.tau_num, g.tau_den, p.d1, p.d2
+         |  FROM pairs p CROSS JOIN grid g
+         |  WHERE p.shared * g.tau_den >= g.tau_num * (p.n1 + p.n2 - p.shared)),
+         |np AS (SELECT tau_num, tau_den, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM qual GROUP BY 1, 2),
+         |nd AS (SELECT tau_num, tau_den, CAST(COUNT(*) AS BIGINT) AS n_dup_docs FROM (
+         |         SELECT DISTINCT tau_num, tau_den, doc FROM (
+         |           SELECT tau_num, tau_den, unnest([d1, d2]) AS doc FROM qual))
+         |       GROUP BY 1, 2)
+         |SELECT CAST(g.tau_num AS DOUBLE) / g.tau_den AS tau,
+         |       g.tau_num, g.tau_den,
+         |       COALESCE(np.n_pairs, 0) AS n_pairs,
+         |       COALESCE(nd.n_dup_docs, 0) AS n_dup_docs
+         |FROM grid g
+         |LEFT JOIN np USING (tau_num, tau_den)
+         |LEFT JOIN nd USING (tau_num, tau_den)
+         |ORDER BY tau""".stripMargin,
     // dd19: clusters re-derive from raw (dd6Sql), quality re-scores via
     // the shared gate CTEs, and the argmax is stated as the naive
     // per-cluster rank — the engine's hash-agg argmax must agree

@@ -52,7 +52,8 @@ object SessionQueries {
     "a14_session_profile" -> a14,
     "a15_halflife_score" -> a15,
     "a16_streaks" -> a16,
-    "a17_return_profile" -> a17)
+    "a17_return_profile" -> a17,
+    "a18_burstiness" -> a18)
 
   /** Per-user sessions: (user_id, session_id, n_events, ts_start, ts_end,
     * dur_sec), session breaking when the gap to the previous event exceeds
@@ -460,6 +461,50 @@ object SessionQueries {
       .orderBy($"metric")
   }
 
+  private def a18(s: SparkSession, d: String): DataFrame =
+    burstinessOf(Tables.events(s, d))
+
+  /** a18: per-user burstiness — the Fano dispersion index (variance-to-
+    * mean ratio) of DAILY event counts over each user's ACTIVE days, the
+    * standard "is this activity Poisson-like or bursty?" diagnostic
+    * (Fano ≈ 1 ⇒ Poisson; > 1 ⇒ over-dispersed/bursty; < 1 ⇒ regular).
+    * The a09 anomaly detector flags individual outlier DAYS; a18 scores
+    * the USER's whole dispersion regime — the per-author signal a
+    * crawl-source audit reads before trusting per-user rate limits.
+    *
+    * Exact arithmetic, the a09/a13 discipline: with n active days and
+    * daily counts x, `fano_num = n·Σx² − (Σx)²` (= n² × population
+    * variance) and `fano_den = n·Σx` (= n² × mean) are exact integers
+    * (products through decimal(19,0), the a09 overflow guard; final
+    * values fit long — n is calendar-bounded, counts are per-user-day),
+    * `fano` is the ONE double division of the two, and the bursty flag
+    * compares the integers directly (variance > mean ⟺ num > den) — no
+    * float accumulation anywhere, hash-exact on any partitioning.
+    *
+    * Scale shape: two hash aggregates, both map-side-partial — (user,
+    * day) then (user) — on event-volume input; output is |users| rows.
+    * No windows, no joins. */
+  private[operators] def burstinessOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val daily = ev
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum($"cnt").as("n_events"),
+        sum($"cnt" * $"cnt").as("sum_sq"))
+      .select($"user_id", $"n_days", $"n_events",
+        (dec($"n_days") * dec($"sum_sq") - dec($"n_events") * dec($"n_events"))
+          .cast("long").as("fano_num"),
+        (dec($"n_days") * dec($"n_events")).cast("long").as("fano_den"))
+      .withColumn("fano", $"fano_num".cast("double") / $"fano_den".cast("double"))
+      .withColumn("bursty", $"fano_num" > $"fano_den")
+      .orderBy($"user_id")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private val sessionsSql =
@@ -697,6 +742,29 @@ object SessionQueries {
             s"  MIN(CASE WHEN cum >= ceil(tot * ${q / 100.0}e0) THEN v END) AS p$q")
             .mkString(",\n")}
          |FROM cum GROUP BY metric ORDER BY metric""".stripMargin,
+    // a18: two plain GROUP BYs restate the daily-count dispersion; the
+    // integer num/den pair goes through HUGEINT then back to BIGINT, the
+    // flag and the one division read the same integers
+    "a18_burstiness" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT user_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+        |  FROM daily GROUP BY user_id)
+        |SELECT user_id, n_days, n_events,
+        |       CAST(CAST(n_days AS HUGEINT) * sum_sq
+        |            - CAST(n_events AS HUGEINT) * n_events AS BIGINT) AS fano_num,
+        |       CAST(CAST(n_days AS HUGEINT) * n_events AS BIGINT) AS fano_den,
+        |       CAST(CAST(n_days AS HUGEINT) * sum_sq
+        |            - CAST(n_events AS HUGEINT) * n_events AS DOUBLE)
+        |         / CAST(CAST(n_days AS HUGEINT) * n_events AS DOUBLE) AS fano,
+        |       (CAST(n_days AS HUGEINT) * sum_sq - CAST(n_events AS HUGEINT) * n_events
+        |          > CAST(n_days AS HUGEINT) * n_events) AS bursty
+        |FROM st ORDER BY user_id""".stripMargin,
     // a13: the same tied-block Gini identity over the value histogram;
     // HUGEINT products mirror decimal(38,0), and both exact integers reach
     // double through correctly-rounded casts (DuckDB via VARCHAR — its

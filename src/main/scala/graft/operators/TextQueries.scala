@@ -40,7 +40,8 @@ object TextQueries {
     "tx17_zipf_head" -> tx17,
     "tx18_rake_phrases" -> tx18,
     "tx19_lm_familiarity" -> tx19,
-    "tx20_lexical_diversity" -> tx20)
+    "tx20_lexical_diversity" -> tx20,
+    "tx21_source_divergence" -> tx21)
 
   /** Force at-rest posting-index materialization and BPE merge-table
     * training (untimed in Bench — training is ingest-time work like ss5's
@@ -789,6 +790,70 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** tx21: per-source distribution shift — the total-variation distance
+    * between each source's unigram distribution and the whole-corpus
+    * distribution, the "which crawl sources look unlike the mix?" audit a
+    * pretraining pipeline runs before setting mixture weights (a source
+    * whose TV distance jumps between snapshots changed its content
+    * pipeline; one near `1 − m_s/N` is lexically disjoint from the rest).
+    *
+    * EXACT integer arithmetic via the absent-word identity: with
+    * per-source counts `c_{s,w}` (m_s = Σ_w c_{s,w}) and corpus counts
+    * `C_w` (N = Σ C_w),
+    *
+    *   Σ_w |c_{s,w}·N − C_w·m_s|                    (over ALL corpus words)
+    *     = Σ_{w∈s} (|c_{s,w}·N − C_w·m_s| − C_w·m_s) + N·m_s
+    *
+    * because every word ABSENT from the source contributes exactly
+    * C_w·m_s and Σ_w C_w·m_s = N·m_s — so the sum runs only over words
+    * the source actually contains, never over the |sources|×|vocab|
+    * dense grid. `tv_num` is that integer (products through
+    * decimal(19,0), the a09 guard; at petabyte token counts the pipeline
+    * swaps the casts to decimal(38,0)), and `tv = tv_num / (2·N·m_s)` is
+    * the ONE double division (2·N·m_s < 2^53 at declared scale) —
+    * hash-exact on any partitioning, TV ∈ [0, 1].
+    *
+    * Scale shape: served off the MAINTAINED posting index (no text pass)
+    * — one doc→source equi-join (doc-keyed), one (source, word) agg, one
+    * word-keyed agg + equi-join for corpus counts, then a source-keyed
+    * rollup; the tiny per-source totals and the 1-row corpus total
+    * broadcast. All aggs map-side-partial; nothing is ever
+    * |vocab|×|sources| dense. */
+  private def tx21(s: SparkSession, d: String): DataFrame =
+    divergenceOf(postings(s, d), Tables.documents(s, d)
+      .select(col("doc_id"), col("source")))
+
+  /** The tx21 computation over any (doc_id, t, tf) posting frame and
+    * (doc_id, source) mapping — split out so the planted-corpus spec can
+    * drive it directly. */
+  private[operators] def divergenceOf(posting: DataFrame, srcOf: DataFrame): DataFrame = {
+    val s = posting.sparkSession
+    import s.implicits._
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    // snapshot: feeds corpus word counts, per-source totals, AND the TV
+    // join (the tx19 shared-subtree discipline)
+    val sc = posting.join(srcOf, "doc_id")
+      .groupBy($"source", $"t").agg(sum($"tf").as("sc"))
+      .localCheckpoint(eager = false)
+    val wc = sc.groupBy($"t").agg(sum($"sc").as("wc"))
+    val ms = sc.groupBy($"source").agg(sum($"sc").as("m_tokens"))
+    val tot = ms.agg(sum($"m_tokens").as("n_corpus"))
+    val term = abs(dec($"sc") * dec($"n_corpus") - dec($"wc") * dec($"m_tokens")) -
+      dec($"wc") * dec($"m_tokens")
+    sc.join(wc, "t")
+      .join(broadcast(ms), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy($"source")
+      .agg(max($"m_tokens").as("m_tokens"), max($"n_corpus").as("n_corpus"),
+        sum(term).as("sum_term"))
+      .withColumn("tv_num",
+        ($"sum_term" + dec($"n_corpus") * dec($"m_tokens")).cast("long"))
+      .select($"source", $"m_tokens", $"tv_num",
+        ($"tv_num".cast("double") /
+          (lit(2.0) * $"n_corpus".cast("double") * $"m_tokens".cast("double"))).as("tv"))
+      .orderBy($"source")
+  }
+
   // ---------------------------------------------------------------- oracle --
 
   private[operators] val wsTokSql = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> len(t) > 0)"
@@ -810,6 +875,30 @@ object TextQueries {
       caseFor(0)
     }
     Map(
+      // tx21: the same absent-word identity — the sum runs over the
+      // source's own words only, the closed-form N·m_s covers the rest;
+      // HUGEINT products mirror the decimal(19,0) casts
+      "tx21_source_divergence" ->
+        s"""WITH p AS (SELECT source, unnest($wsTokSql) AS t FROM documents),
+           |sc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS sc FROM p GROUP BY 1, 2),
+           |wc AS (SELECT t, CAST(SUM(sc) AS BIGINT) AS wc FROM sc GROUP BY t),
+           |ms AS (SELECT source, CAST(SUM(sc) AS BIGINT) AS m_tokens FROM sc GROUP BY source),
+           |tot AS (SELECT CAST(SUM(m_tokens) AS BIGINT) AS n_corpus FROM ms),
+           |terms AS (
+           |  SELECT s.source,
+           |         ABS(CAST(s.sc AS HUGEINT) * tot.n_corpus
+           |             - CAST(w.wc AS HUGEINT) * m.m_tokens)
+           |           - CAST(w.wc AS HUGEINT) * m.m_tokens AS term
+           |  FROM sc s JOIN wc w USING (t) JOIN ms m USING (source), tot),
+           |agg AS (SELECT source, SUM(term) AS sum_term FROM terms GROUP BY source)
+           |SELECT a.source, m.m_tokens,
+           |       CAST(a.sum_term + CAST(tot.n_corpus AS HUGEINT) * m.m_tokens AS BIGINT)
+           |         AS tv_num,
+           |       CAST(CAST(a.sum_term + CAST(tot.n_corpus AS HUGEINT) * m.m_tokens
+           |                 AS BIGINT) AS DOUBLE)
+           |         / (2.0 * tot.n_corpus * m.m_tokens) AS tv
+           |FROM agg a JOIN ms m USING (source), tot
+           |ORDER BY a.source""".stripMargin,
       "tx1_token_stats" ->
         s"""SELECT doc_id,
            |  CAST(len($wsTokSql) AS BIGINT) AS ws_tokens,
