@@ -11,9 +11,16 @@ item 2). sf1 is DERIVED from sf0.1 deterministically (seed 42):
   offsets (custkey +r*15000, orderkey +r*150000, partkey +r*20000,
   suppkey +r*1000, event_id +r*100000, user_id +r*1500) so every FK stays
   consistent and every per-replica distribution matches sf0.1 exactly.
-  Event timestamps are copied per replica: the 30-day window then carries
-  10x the users with the same temporal profile -- a bigger deployment,
-  not a longer one (user_id offsets keep replica contact graphs disjoint).
+  Event timestamps shift by r*(span rounded up to the 20 s frame grid):
+  each replica occupies its OWN time window -- a 10x LONGER deployment
+  with the same per-frame activity. This is load-bearing for the graph
+  family: interactions are co-occurrence pairs per (frame, event_type),
+  so replicating users INTO the same frames would grow per-frame groups
+  10x and pairs ~100x / triangles ~1000x -- a densified graph, not a
+  scaled one (the first sf1 cut did exactly that and OOMed the c12
+  triangle join through a 64 GB heap). Time-shifted replicas keep the
+  contact graphs genuinely disjoint and every graph exponent's declared
+  growth model linear in sf, which is what a scaling rung measures.
 - documents: replica 0 is the original corpus; replicas 1-9 resample each
   row's text as a fresh uniform word sequence of the SAME word count from
   the measured 31-word vocabulary (copying text verbatim would give every
@@ -78,8 +85,18 @@ replicate("lineitem",
           "SELECT l_orderkey + {r}*150000 AS l_orderkey, l_partkey + {r}*20000 AS l_partkey, "
           "l_suppkey + {r}*1000 AS l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
           "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM src")
+# per-replica time shift: the sf0.1 span rounded UP to a whole number of
+# 20 s frames (plus one frame of slack), so every replica's events keep
+# their within-frame offsets and no two replicas share a frame
+t0, t1 = con.execute(
+    f"SELECT min(epoch(ts))::BIGINT, max(epoch(ts))::BIGINT FROM '{SRC}/events.parquet'"
+).fetchone()
+DELTA = 20
+shift = ((t1 - t0) // DELTA + 2) * DELTA
 replicate("events",
-          "SELECT event_id + {r}*100000 AS event_id, ts, user_id + {r}*1500 AS user_id, "
+          "SELECT event_id + {r}*100000 AS event_id, "
+          f"ts + to_seconds({{r}} * {shift}) AS ts, "
+          "user_id + {r}*1500 AS user_id, "
           "event_type, value, props FROM src")
 
 # ---- documents: resampled replicas -----------------------------------------
