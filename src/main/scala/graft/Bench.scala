@@ -85,6 +85,15 @@ object Bench {
           // contract must survive any exception text
           errors(name) = e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
       }
+      // measurement hygiene (round 11): drop the query's one-shot storage
+      // (localCheckpoint snapshots) OUTSIDE its timed window. Without this
+      // every later query pays the accumulated block-manager mass of every
+      // earlier one in GC/eviction — at the sf1 rung that inflated
+      // late-alphabet medians up to 10× over their standalone cost. Each
+      // rep still rebuilds (and is billed for) its own snapshots; only the
+      // CROSS-query pollution goes. At-rest caches are parquet, unaffected.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
     }
     val stats = named.map { case (name, _) => name -> samples(name).sorted.toSeq }
 

@@ -84,6 +84,11 @@ object Scaling {
           if (times.nonEmpty)
             medians.getOrElseUpdate(name, mutable.LinkedHashMap.empty)(sf) =
               pct(times, 0.5)
+          // Bench's round-11 hygiene: clear one-shot storage between
+          // queries so a ladder exponent measures the QUERY, not the
+          // block-manager mass accumulated by everything before it
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
         }
     }
 

@@ -3,7 +3,7 @@ package graft.multimodal
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column pipeline: image/audio/video as opaque `binary` columns
@@ -24,12 +24,28 @@ import org.apache.spark.sql.functions._
   * Execution model: decode runs in `mapPartitions`, the Scala analog of a
   * vectorized `mapInPandas` stage — one decoder context per partition, rows
   * streamed through it (never a per-row UDF re-initializing the codec).
-  * Assets are `repartition(assetId)`-distributed first so decode parallelism
-  * is by asset, independent of the (possibly skewed, size-correlated) source
-  * file layout — at 100 TB the binary column dominates I/O, so partition
-  * count should target ~128 MB of payload per task.
+  * Distribution happens on the NARROW per-document key rows ([[keyed]]):
+  * every asset source repartitions (doc_id[, n_chars]) by doc_id at an
+  * explicit width BEFORE the byte-generating map, and the generated blobs
+  * then flow through parse/decode inside the same stage — media BYTES never
+  * shuffle anywhere in this module. (Round 11: the consumers used to
+  * `repartition(assetId)` the generated binaries, re-shuffling the whole
+  * blob column once per query; the sf1 rung surfaced it as mm9's
+  * super-linear tail.) At 100 TB you shuffle fetch lists, not payloads;
+  * parallelism is by asset key, independent of the (possibly skewed,
+  * size-correlated) source file layout.
   */
 object MultimodalPipeline {
+
+  /** Distribute the NARROW per-document key rows before byte generation —
+    * EXPLICIT width, because AQE sees only the tiny key-shuffle bytes and
+    * would coalesce the exchange feeding the size-expanding generate/decode
+    * stage down to ~1 task (the dd7/g05 explode trap). Every asset source
+    * goes through here; no consumer repartitions the generated binaries. */
+  private def keyed(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, col("doc_id"))
+  }
 
   /** An opaque media blob + typed metadata (modality ∈ image|audio|video). */
   final case class MediaAsset(
@@ -74,7 +90,6 @@ object MultimodalPipeline {
   def decode(assets: Dataset[MediaAsset], stride: Int = 1): Dataset[DecodedFrame] = {
     import assets.sparkSession.implicits._
     assets
-      .repartition(col("assetId"))
       .mapPartitions { it =>
         // real impl: open codec context once here
         it.flatMap { a =>
@@ -138,8 +153,8 @@ object MultimodalPipeline {
     * document keys so the decode oracle is end-to-end checkable. */
   def codecAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select($"doc_id", $"n_chars")
+    keyed(graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars"))
       .as[(Long, Long)]
       .map { case (id, n) =>
         (id % 3) match {
@@ -167,8 +182,8 @@ object MultimodalPipeline {
 
   /** REAL decode: parse the actual container bytes ([[Codec]] parsers —
     * header validation, chunk walking, frame-index extraction), emit
-    * integer frame stats. Same execution model as [[decode]]: repartition
-    * by asset, per-partition batch loop. */
+    * integer frame stats. Same execution model as [[decode]]: source-keyed
+    * partitions, per-partition batch loop. */
   /** One structural-integrity verdict per asset (mm9): container parsed
     * with the REAL codec, measured byte/frame/unit counts emitted, `ok`
     * false (with −1 counts) on any malformed container instead of a
@@ -189,7 +204,6 @@ object MultimodalPipeline {
   def integrity(assets: Dataset[MediaAsset]): Dataset[IntegrityRow] = {
     import assets.sparkSession.implicits._
     assets
-      .repartition(col("assetId"))
       .map { a =>
         try {
           a.modality match {
@@ -224,7 +238,6 @@ object MultimodalPipeline {
   def decodeCodec(assets: Dataset[MediaAsset], stride: Int = 1): Dataset[CodecFrame] = {
     import assets.sparkSession.implicits._
     assets
-      .repartition(col("assetId"))
       .mapPartitions { it =>
         it.flatMap { a =>
           a.modality match {
@@ -263,7 +276,7 @@ object MultimodalPipeline {
   /** Consecutive-frame raster deltas of every video container — the
     * temporal-structure primitive under scene-cut detection (mm6) and
     * keyframe selection. Same execution model as [[decodeCodec]]:
-    * repartition by asset, per-partition loop; each asset's work is its
+    * source-keyed partitions, per-partition loop; each asset's work is its
     * own frame count, so a million-video corpus parallelizes per asset
     * with no shuffle after the repartition. Frames decode once each — the
     * previous frame's raster is carried across the pair loop, never
@@ -272,7 +285,6 @@ object MultimodalPipeline {
     import assets.sparkSession.implicits._
     assets
       .filter(col("modality") === "video")
-      .repartition(col("assetId"))
       .mapPartitions { it =>
         it.flatMap { a =>
           val nf = Codec.grfvFrameCount(a.bytes)
@@ -312,13 +324,12 @@ object MultimodalPipeline {
     * `win` samples (last window may be short), emit per-window integer
     * features — the frame-level analysis stage (VAD, loudness, onset
     * detection) every audio pipeline layers over decode. Same execution
-    * model as [[decodeCodec]]: repartition by asset, per-partition batch
+    * model as [[decodeCodec]]: source-keyed partitions, per-partition batch
     * loop, one decoder pass per asset. */
   def decodeWavWindows(assets: Dataset[MediaAsset], win: Int): Dataset[AudioWindow] = {
     import assets.sparkSession.implicits._
     assets
       .filter(col("modality") === "audio")
-      .repartition(col("assetId"))
       .mapPartitions { it =>
         it.flatMap { a =>
           val (_, samples) = Codec.parseWav(a.bytes)
@@ -354,7 +365,6 @@ object MultimodalPipeline {
     import assets.sparkSession.implicits._
     assets
       .filter(col("modality") === "image")
-      .repartition(col("assetId"))
       .mapPartitions { it =>
         it.flatMap { a =>
           val (w, h, rgb) = Codec.parsePpm(a.bytes)
@@ -399,14 +409,13 @@ object MultimodalPipeline {
 
   /** dHash every image asset (REAL codec path — PPM parse, not the stub).
     * Dimensions must divide 8×8 (loud failure otherwise). Same execution
-    * model as [[decodeCodec]]: repartition by asset, per-partition loop,
+    * model as [[decodeCodec]]: source-keyed partitions, per-partition loop,
     * each image decoded exactly once; output is one narrow 26-byte row per
     * image, the at-rest shape the candidate join scans. */
   def imageHashes(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
     import assets.sparkSession.implicits._
     assets
       .filter(col("modality") === "image")
-      .repartition(col("assetId"))
       .mapPartitions { it =>
         it.map { a =>
           val (w, h, rgb) = Codec.parsePpm(a.bytes)
@@ -447,7 +456,6 @@ object MultimodalPipeline {
   def pngHashes(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
     import assets.sparkSession.implicits._
     assets
-      .repartition(col("assetId"))
       .mapPartitions { it =>
         it.map { a =>
           val (w, h, rgb) = RealFormats.parsePng(a.bytes)
@@ -471,7 +479,6 @@ object MultimodalPipeline {
   def jpegHashes(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
     import assets.sparkSession.implicits._
     assets
-      .repartition(col("assetId"))
       .mapPartitions { it =>
         it.map { a =>
           val (w, h, rgb) = RealFormats.decodeJpeg(a.bytes)
@@ -502,13 +509,12 @@ object MultimodalPipeline {
     * the stub). The stream must split into 8..64 whole windows in whole
     * bands (loud failure otherwise — partial windows would make the last
     * bit depend on padding policy). Same execution model as
-    * [[decodeCodec]]: repartition by asset, per-partition loop, each WAV
+    * [[decodeCodec]]: source-keyed partitions, per-partition loop, each WAV
     * parsed exactly once; output is one narrow row per asset. */
   def audioFingerprints(assets: Dataset[MediaAsset], win: Int = 8): Dataset[AudioFingerprint] = {
     import assets.sparkSession.implicits._
     assets
       .filter(col("modality") === "audio")
-      .repartition(col("assetId"))
       .mapPartitions { it =>
         it.map { a =>
           val (_, samples) = Codec.parseWav(a.bytes)
@@ -549,8 +555,8 @@ object MultimodalPipeline {
     * truecolor PNG ([[RealFormats.writePng]] — zlib IDAT, CRC32 chunks). */
   def pngAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select($"doc_id").as[Long]
+    keyed(graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id")).as[Long]
       .filter((id: Long) => id % 3 == 0)
       .map(id => MediaAsset(id, "image",
         RealFormats.writePng(16, 16, realRaster(id)), Map("format" -> "png")))
@@ -560,8 +566,8 @@ object MultimodalPipeline {
     * codec at quality 0.95 — a lossy recompression of [[pngAssets]]. */
   def jpegAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select($"doc_id").as[Long]
+    keyed(graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id")).as[Long]
       .filter((id: Long) => id % 3 == 0)
       .map(id => MediaAsset(id, "image",
         RealFormats.writeJpeg(16, 16, realRaster(id)), Map("format" -> "jpeg")))
@@ -583,11 +589,10 @@ object MultimodalPipeline {
 
   /** Decode every PNG with the hand-rolled real decoder and reduce each
     * raster to channel sums. Same execution model as [[decodeCodec]]:
-    * repartition by asset, per-partition loop, one decode per asset. */
+    * source-keyed partitions, per-partition loop, one decode per asset. */
   def decodePngStats(assets: Dataset[MediaAsset]): Dataset[PngStatsRow] = {
     import assets.sparkSession.implicits._
     assets
-      .repartition(col("assetId"))
       .mapPartitions { it =>
         it.map { a =>
           val (s, rgb) = RealFormats.parsePngFull(a.bytes)
@@ -615,7 +620,6 @@ object MultimodalPipeline {
   def jpegAudit(assets: Dataset[MediaAsset]): Dataset[JpegAuditRow] = {
     import assets.sparkSession.implicits._
     assets
-      .repartition(col("assetId"))
       .map { a =>
         try {
           val s = RealFormats.parseJpeg(a.bytes)
@@ -636,8 +640,8 @@ object MultimodalPipeline {
     * `2 + n_chars % 5` frames, `16 + n_chars % 16` ID3 padding bytes. */
   def mp3Assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select($"doc_id", $"n_chars").as[(Long, Long)]
+    keyed(graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars")).as[(Long, Long)]
       .filter((r: (Long, Long)) => r._1 % 3 == 1)
       .map { case (id, nChars) =>
         MediaAsset(id, "audio",
@@ -657,8 +661,8 @@ object MultimodalPipeline {
     * audit the same mass through different real containers. */
   def mp4Assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select($"doc_id", $"n_chars").as[(Long, Long)]
+    keyed(graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars")).as[(Long, Long)]
       .filter((r: (Long, Long)) => r._1 % 3 == 2)
       .map { case (id, nChars) =>
         MediaAsset(id, "video",
@@ -683,7 +687,6 @@ object MultimodalPipeline {
   def mp3Audit(assets: Dataset[MediaAsset]): Dataset[Mp3AuditRow] = {
     import assets.sparkSession.implicits._
     assets
-      .repartition(col("assetId"))
       .map { a =>
         try {
           val s = RealContainers.parseMp3(a.bytes)
@@ -713,7 +716,6 @@ object MultimodalPipeline {
   def mp4Audit(assets: Dataset[MediaAsset]): Dataset[Mp4AuditRow] = {
     import assets.sparkSession.implicits._
     assets
-      .repartition(col("assetId"))
       .map { a =>
         try {
           val s = RealContainers.parseMp4(a.bytes)
@@ -730,8 +732,8 @@ object MultimodalPipeline {
     * (videos get an n_frames metadata entry derived from doc length). */
   def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
-    graft.sources.Tables.documents(spark, dir)
-      .select($"doc_id", $"text", $"n_chars")
+    keyed(graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, text, n) =>
         val modality = (id % 3) match {

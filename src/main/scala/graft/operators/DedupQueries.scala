@@ -605,7 +605,12 @@ object DedupQueries {
     * banding: the 64-bit hash splits into 4×16-bit chunks; Hamming distance
     * ≤ 3 forces at least one identical chunk, so the (band, chunk) self-join
     * finds every such pair without an all-pairs scan — the SimHash analog of
-    * dd3's LSH bands, and the reason this scales to 100 TB. The oracle
+    * dd3's LSH bands, and the reason this scales to 100 TB. (Same
+    * vocabulary-saturation caveat as dd7: SimHash bits are signs of
+    * word-vector sums, so a corpus drawn from a tiny fixed vocabulary
+    * concentrates chunk values and the pigeonhole candidates grow
+    * super-linearly — measured at the sf1 rung; on Heaps'-law text the
+    * chunk distribution stays near-uniform.) The oracle
     * reconstructs the identical hash in SQL: md5 hex prefix → 64 per-bit
     * sign sums → sign bits reassembled (two's-complement via HUGEINT
     * wraparound), then the same banding and bit_count(xor) verification. */
@@ -678,7 +683,20 @@ object DedupQueries {
     * Every step is integer arithmetic (10·shared ≥ 9·n1, prefix bound
     * n1 div 10 + 1), so the DuckDB oracle matches bit-for-bit; the final
     * `containment` column is one bigint/bigint IEEE division, identical on
-    * both engines. */
+    * both engines.
+    *
+    * VOCABULARY-SATURATION regime (measured at the sf1 rung): the prefix
+    * principle bounds candidates by Σ_{sg∈prefix} df(sg), which is
+    * near-linear only while the shingle space grows with the corpus
+    * (Heaps' law on real text). The synthetic corpus reuses a ~31-word
+    * vocabulary, so its ~30k-shingle space saturates and every df grows
+    * linearly with N — candidate mass then grows ~N², and dd7's sf0.1→sf1
+    * tail exponent measures ≈1.9. That mass is REQUIRED for exactness
+    * (any pair sharing a prefix shingle can satisfy the threshold);
+    * the engine's answer is dd15's pre-flight — the band-occupancy
+    * profile whose pair-mass total predicts exactly this blow-up BEFORE
+    * the join launches, so a 100-TB operator re-shingles at higher n,
+    * raises τ, or routes to the semantic family instead. */
   /** (name, version) identities of the containment-prefix family — the
     * prefix rows, the FROZEN df-rank snapshot they were ranked under, and
     * the snapshot's corpus size (the re-rank trigger's reference point).
