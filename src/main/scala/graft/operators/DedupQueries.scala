@@ -64,7 +64,8 @@ object DedupQueries {
     "dd17_cluster_profile" -> dd17,
     "dd18_boilerplate" -> dd18,
     "dd19_canonical_copy" -> dd19,
-    "dd20_threshold_sweep" -> dd20)
+    "dd20_threshold_sweep" -> dd20,
+    "dd21_prefix_profile" -> dd21)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -693,10 +694,12 @@ object DedupQueries {
     * linearly with N — candidate mass then grows ~N², and dd7's sf0.1→sf1
     * tail exponent measures ≈1.9. That mass is REQUIRED for exactness
     * (any pair sharing a prefix shingle can satisfy the threshold);
-    * the engine's answer is dd15's pre-flight — the band-occupancy
-    * profile whose pair-mass total predicts exactly this blow-up BEFORE
-    * the join launches, so a 100-TB operator re-shingles at higher n,
-    * raises τ, or routes to the semantic family instead. */
+    * the engine's answer is dd21's pre-flight — the prefix-row df
+    * histogram whose `cand_mass` total IS this join's exact pre-distinct
+    * row count, read off the at-rest indexes BEFORE the join launches,
+    * so a 100-TB operator re-shingles at higher n, raises τ, or routes
+    * to the semantic family instead (dd15 plays the same role for the
+    * banded family). */
   /** (name, version) identities of the containment-prefix family — the
     * prefix rows, the FROZEN df-rank snapshot they were ranked under, and
     * the snapshot's corpus size (the re-rank trigger's reference point).
@@ -752,7 +755,7 @@ object DedupQueries {
     * append extends against ([[appendPrefix]]) are an explicit at-rest
     * artifact with a deterministic snapshot point — day 0 when built via
     * [[Ingest.buildDocumentIndexes]], first-query time when built lazily. */
-  private def containPrefix(s: SparkSession, d: String): DataFrame =
+  private[operators] def containPrefix(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, PrefixTable) {
       import s.implicits._
       val sh = shingles(s, d)
@@ -1427,6 +1430,32 @@ object DedupQueries {
     sweepOf(pairs)
   }
 
+  /** dd21: containment-candidate MASS profile — dd15's pre-flight
+    * discipline for the PREFIX family (dd7/dd10): per live document
+    * frequency `df`, how many at-rest prefix rows carry a shingle with
+    * that df and how many candidate probes they will generate
+    * (`cand_mass = Σ (df − 1)` — each prefix row joins the live shingle
+    * index on its sg and meets df occurrences, one of which is d1
+    * itself). The histogram total IS the exact pre-distinct row count of
+    * dd7's candidate join, so a 100-TB operator reads this
+    * zero-text-read profile BEFORE launching containment and sees
+    * vocabulary saturation (the sf1-rung regime: fixed vocab ⇒ df grows
+    * linearly with the corpus ⇒ quadratic mass) as a handful of
+    * high-df histogram rows — then re-shingles at higher n, raises τ, or
+    * routes to the semantic family. Two keyed hash aggs over the two
+    * at-rest index tables; integers only, hash-exact. */
+  private def dd21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val live = shingles(s, d).groupBy($"sg").agg(count(lit(1)).as("df_live"))
+    containPrefix(s, d)
+      .join(live, "sg")
+      .groupBy($"df_live")
+      .agg(count(lit(1)).as("n_prefix_rows"),
+        sum($"df_live" - 1L).as("cand_mass"))
+      .select($"df_live".as("df"), $"n_prefix_rows", $"cand_mass")
+      .orderBy($"df")
+  }
+
   /** The dd20 sweep over any (d1, d2, shared, n1, n2) pair-stats frame —
     * split out so the planted-pair spec can drive it directly. */
   private[operators] def sweepOf(pairs: DataFrame): DataFrame = {
@@ -1456,6 +1485,25 @@ object DedupQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // dd21: the containSqlFor prefix chain (df ranking, per-doc prefix
+    // cut), then one histogram over the prefix rows' live df
+    "dd21_prefix_profile" ->
+      s"""WITH $shSql,
+         |df AS (SELECT sg, COUNT(*) AS df FROM sh GROUP BY sg),
+         |ranked AS (
+         |  SELECT doc_id, sg,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, sg) AS rn,
+         |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM sh JOIN df USING (sg)
+         |),
+         |pref AS (
+         |  SELECT doc_id AS d1, sg FROM ranked
+         |  WHERE rn <= (n * ${ContainDen - ContainNum}) // $ContainDen + 1
+         |)
+         |SELECT d.df, CAST(COUNT(*) AS BIGINT) AS n_prefix_rows,
+         |       CAST(SUM(d.df - 1) AS BIGINT) AS cand_mass
+         |FROM pref p JOIN df d USING (sg)
+         |GROUP BY d.df ORDER BY d.df""".stripMargin,
     // dd20: the dd3 candidate chain, pair stats kept as integers, the
     // grid stated as VALUES and every threshold preserved by left joins
     "dd20_threshold_sweep" ->
