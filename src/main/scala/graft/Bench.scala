@@ -74,6 +74,10 @@ object Bench {
     // quiet environment (same samples, different order).
     val samples = mutable.LinkedHashMap(
       named.map { case (name, _) => name -> mutable.Buffer.empty[Double] }: _*)
+    // storage pinned by warm() (the adjacency index, the graph-cache
+    // tables) is SESSION-lifetime by design — the hygiene sweep below must
+    // never evict it, only the per-query one-shot snapshots
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet
     for (_ <- 1 to reps; (name, fn) <- named) {
       val t0 = System.nanoTime()
       try {
@@ -85,15 +89,20 @@ object Bench {
           // contract must survive any exception text
           errors(name) = e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
       }
-      // measurement hygiene (round 11): drop the query's one-shot storage
-      // (localCheckpoint snapshots) OUTSIDE its timed window. Without this
-      // every later query pays the accumulated block-manager mass of every
-      // earlier one in GC/eviction — at the sf1 rung that inflated
-      // late-alphabet medians up to 10× over their standalone cost. Each
+      // measurement hygiene (round 11, narrowed round 12): drop the query's
+      // one-shot storage (localCheckpoint snapshots) OUTSIDE its timed
+      // window. Without this every later query pays the accumulated
+      // block-manager mass of every earlier one in GC/eviction — at the sf1
+      // rung that inflated late-alphabet medians up to 10× over their
+      // standalone cost. ONLY storage this query added goes: round 11's
+      // blanket sweep also evicted the warm()-pinned adjacency index, so
+      // every later reachability query re-materialized it INSIDE its timed
+      // window (g01 bench +52% — the round-11 verdict's finding 3). Each
       // rep still rebuilds (and is billed for) its own snapshots; only the
       // CROSS-query pollution goes. At-rest caches are parquet, unaffected.
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinned.contains(id)) rdd.unpersist(blocking = false)
+      }
     }
     val stats = named.map { case (name, _) => name -> samples(name).sorted.toSeq }
 

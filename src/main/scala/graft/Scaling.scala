@@ -67,12 +67,17 @@ object Scaling {
       try SparkEntry.warm(spark, dir)
       catch { case e: Throwable =>
         errors(s"_warm@$sf") = e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200) }
+      // session-lifetime pins from THIS sf's warm() — the per-rep hygiene
+      // sweep below must not evict them (Bench's round-12 narrowing); the
+      // snapshot is re-taken per rung because each warm() pins that rung's
+      // own index copies
+      val pinned = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.exists(name.contains)) }
         .foreach { case (name, fn) =>
           val times = (1 to reps).flatMap { _ =>
             val t0 = System.nanoTime()
-            try {
+            val r = try {
               fn(spark, dir).write.format("noop").mode("overwrite").save()
               Some((System.nanoTime() - t0) / 1e9)
             } catch { case e: Throwable =>
@@ -80,15 +85,18 @@ object Scaling {
                 e.toString.replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
               None
             }
+            // Bench's hygiene, INSIDE the rep loop (round-12 advice): each
+            // timed rep starts from a clean block manager, so rep r doesn't
+            // accumulate the checkpoint blocks of reps 1..r-1; only storage
+            // the query itself added goes — warm()-pinned indexes stay
+            spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+              if (!pinned.contains(id)) rdd.unpersist(blocking = false)
+            }
+            r
           }.sorted
           if (times.nonEmpty)
             medians.getOrElseUpdate(name, mutable.LinkedHashMap.empty)(sf) =
               pct(times, 0.5)
-          // Bench's round-11 hygiene: clear one-shot storage between
-          // queries so a ladder exponent measures the QUERY, not the
-          // block-manager mass accumulated by everything before it
-          spark.sparkContext.getPersistentRDDs.valuesIterator
-            .foreach(_.unpersist(blocking = false))
         }
     }
 

@@ -45,6 +45,37 @@ private[operators] object Controls {
       s"$what is a declared correctness/recall CONTROL, not a scale path: " +
         s"input has $n rows > $MaxRowsKey=$max. Use the indexed variant " +
         "(dd3 / ss2+) or raise the guard deliberately.")
+
+  val CandMassKey = "spark.graft.containment.maxCandMass"
+  val CandMassDefault = 1000000000L
+
+  /** Candidate-MASS pre-flight gate for the index-driven candidate families
+    * (prefix containment dd7/dd10, banded LSH dd3/dd8/dd9, SimHash
+    * pigeonhole dd4) — the seatbelt on top of the dd21/dd15 instruments.
+    * The prefix/pigeonhole candidate sets are REQUIRED for exactness, but
+    * in the vocabulary-saturation regime (fixed vocabulary ⇒ every df grows
+    * linearly with the corpus) they grow ~N² — measured at the sf1 rung:
+    * dd7 exp +1.81, dd4 +1.12; one more decade at exp 1.8 is hours of
+    * quadratic join. `mass` must be the EXACT pre-distinct candidate-join
+    * row count, computable from the at-rest index tables with one narrow
+    * agg (zero text reads for the prefix/band families); it is memoized per
+    * (session, query, corpus, mutation epoch) like the row-count gates, so
+    * timed reps never re-pay it but any append forces a re-check. The
+    * default admits the sf1 ladder rung (max measured mass 2.1e7) with
+    * ~50× headroom; crossing it is a deliberate act, never an accident. */
+  def massGate(s: SparkSession, what: String, corpus: String,
+      instrument: String)(mass: => Long): Unit = {
+    val max = s.conf.getOption(CandMassKey)
+      .map(_.toLong).getOrElse(CandMassDefault)
+    val m = EpochMemo.scalar(s, s"mass:$what", corpus)(mass)
+    require(m <= max,
+      s"$what pre-flight: candidate mass $m exceeds $CandMassKey=$max — " +
+        "this corpus is in the VOCABULARY-SATURATION regime for the index " +
+        "(df grows with the corpus, candidates ~N²). Re-shingle at a higher " +
+        "n, raise the threshold, or route to the semantic family (dd13); " +
+        s"$instrument shows where the mass concentrates. Raising the guard " +
+        "is a deliberate act.")
+  }
 }
 
 /** Memoized scalar data properties keyed by (session, name, corpus,

@@ -551,6 +551,15 @@ object DedupQueries {
   private def dd9(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bands = minhashBands(s, d)
+    // pre-flight: the batch×corpus bucket join's exact size — per bucket
+    // occ_batch · occ_corpus, one narrow agg over the at-rest band index
+    Controls.massGate(s, "dd9_online_dedup", d, "dd15_band_profile") {
+      bands.groupBy($"band", $"bh")
+        .agg(sum(when($"doc_id" % 10 === 0, 1L).otherwise(0L)).as("occb"),
+          sum(when($"doc_id" % 10 =!= 0, 1L).otherwise(0L)).as("occc"))
+        .agg(coalesce(sum($"occb" * $"occc"), lit(0L)))
+        .head.getLong(0)
+    }
     val candidates = bands.filter($"doc_id" % 10 === 0)
       .select($"doc_id".as("d1"), $"band", $"bh")
       .join(bands.filter($"doc_id" % 10 =!= 0)
@@ -559,11 +568,26 @@ object DedupQueries {
     jaccardPairs(s, shingles(s, d), Some(candidates), sizesOpt = Some(docSizes(s, d)))
   }
 
+  /** Exact pre-`d1<d2` candidate mass of the band-bucket SELF-join —
+    * dd15's `cand_pairs` total, Σ over (band, bh) buckets of
+    * occ·(occ−1)/2, one narrow agg over the at-rest band index. The
+    * [[Controls.massGate]] pre-flight for dd3/dd8. */
+  private def bandSelfMass(s: SparkSession, d: String): Long = {
+    import s.implicits._
+    minhashBands(s, d).groupBy($"band", $"bh").agg(count(lit(1)).as("occ"))
+      .agg(coalesce(sum(expr("occ * (occ - 1) div 2")), lit(0L)))
+      .head.getLong(0)
+  }
+
   /** dd3: MinHash+LSH near-dup — banded min-hash signatures generate
     * candidates, then exact Jaccard verifies. Same output contract as dd2
-    * restricted to LSH-caught candidates. */
+    * restricted to LSH-caught candidates. Pre-flight mass-gated on dd15's
+    * bucket histogram total (the exact bucket self-join size) — the
+    * round-12 seatbelt on the instrument. */
   private def dd3(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    Controls.massGate(s, "dd3_minhash_lsh", d, "dd15_band_profile")(
+      bandSelfMass(s, d))
     val bands = minhashBands(s, d)
     val candidates = bands.select($"doc_id".as("d1"), $"band", $"bh")
       .join(bands.select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
@@ -581,6 +605,9 @@ object DedupQueries {
     * side is the dd3 candidate-driven verify WITHOUT the threshold. */
   private def dd8(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // identical candidate join to dd3's — same pre-flight
+    Controls.massGate(s, "dd8_minhash_estimate", d, "dd15_band_profile")(
+      bandSelfMass(s, d))
     val bands = minhashBands(s, d)
     val candidates = bands.select($"doc_id".as("d1"), $"band", $"bh")
       .join(bands.select($"doc_id".as("d2"), $"band", $"bh"), Seq("band", "bh"))
@@ -624,6 +651,16 @@ object DedupQueries {
     val bands = hashed.select($"doc_id", $"sh",
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("chunk", expr("(sh >> (16 * band)) & 65535"))
+    // pre-flight: the (band, chunk) pigeonhole buckets' exact self-join
+    // size. Unlike dd7/dd3 there is no at-rest index (the 64-bit hash is
+    // one narrow column, cheaper to recompute than to maintain), so the
+    // probe costs one hash pass over the corpus — memoized per mutation
+    // epoch, so timed reps never re-pay it
+    Controls.massGate(s, "dd4_simhash", d, "the (band, chunk) occupancy") {
+      bands.groupBy($"band", $"chunk").agg(count(lit(1)).as("occ"))
+        .agg(coalesce(sum(expr("occ * (occ - 1) div 2")), lit(0L)))
+        .head.getLong(0)
+    }
     val cand = bands.select($"doc_id".as("d1"), $"sh".as("sh1"), $"band", $"chunk")
       .join(bands.select($"doc_id".as("d2"), $"sh".as("sh2"), $"band", $"chunk"),
         Seq("band", "chunk"))
@@ -699,7 +736,11 @@ object DedupQueries {
     * row count, read off the at-rest indexes BEFORE the join launches,
     * so a 100-TB operator re-shingles at higher n, raises τ, or routes
     * to the semantic family instead (dd15 plays the same role for the
-    * banded family). */
+    * banded family). Since round 12 the instrument is also ENFORCED:
+    * [[containmentPairs]] computes that mass and refuses to launch past
+    * [[Controls.CandMassKey]] (default 1e9 — ~50× the sf1 rung), so the
+    * saturated-corpus quadratic join is a deliberate act, never an
+    * accident (CandMassGuardSpec). */
   /** (name, version) identities of the containment-prefix family — the
     * prefix rows, the FROZEN df-rank snapshot they were ranked under, and
     * the snapshot's corpus size (the re-rank trigger's reference point).
@@ -812,12 +853,34 @@ object DedupQueries {
   /** The shared containment pipeline behind dd7 (whole corpus) and dd10
     * (ingest batch vs corpus): prefix-index candidates under `d1Pred` (on
     * the prefix table's d1) and `d2Pred` (on the probed shingle index's
-    * doc_id), PPJoin size filter, candidate-driven verify. */
+    * doc_id), PPJoin size filter, candidate-driven verify.
+    *
+    * PRE-FLIGHT (round 12): before the candidate join launches, its EXACT
+    * pre-distinct row count — Σ over qualifying prefix rows of the probed
+    * side's live df, self-probes excluded, i.e. dd21's `cand_mass` total
+    * restricted to the query's predicates — is read off the two at-rest
+    * index tables (one narrow agg, zero text reads) and checked against
+    * [[Controls.CandMassKey]]. In the vocabulary-saturation regime the
+    * instrument (dd21) showed the blow-up but nothing stopped it; now the
+    * join refuses to launch past the guard, with the scaladoc's own
+    * remediation in the error. */
   private[operators] def containmentPairs(s: SparkSession, d: String,
-      d1Pred: Column, d2Pred: Column): DataFrame = {
+      what: String, d1Pred: Column, d2Pred: Column): DataFrame = {
     import s.implicits._
     val sh = shingles(s, d)
     val sizes = docSizes(s, d)
+    Controls.massGate(s, what, d, "dd21_prefix_profile") {
+      val live = sh.filter(d2Pred).groupBy($"sg").agg(count(lit(1)).as("dfm"))
+      // rename d1 → doc_id so d2Pred decides the self-probe correction:
+      // a prefix row's own (d1, sg) sits on the probe side iff d1 passes
+      // d2Pred (prefix rows are a subset of the shingle index)
+      containPrefix(s, d).filter(d1Pred)
+        .select($"d1".as("doc_id"), $"sg")
+        .join(live, Seq("sg"), "left")
+        .agg(coalesce(sum(coalesce($"dfm", lit(0L)) -
+          when(d2Pred, 1L).otherwise(0L)), lit(0L)))
+        .head.getLong(0)
+    }
     // PPJoin size filter BEFORE the expensive expansion: shared ≤ |S2|, so
     // C(d1→d2) ≥ t already implies 10·n2 ≥ 9·n1 — applying it to candidates
     // prunes the verify's Σ|S(d1)| work ~2× (measured at sf0.1) without
@@ -848,7 +911,7 @@ object DedupQueries {
 
   private def dd7(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    containmentPairs(s, d, lit(true), lit(true))
+    containmentPairs(s, d, "dd7_prefix_containment", lit(true), lit(true))
   }
 
   /** dd10: ONLINE containment — dd9's ingest-day analog for the ASYMMETRIC
@@ -862,7 +925,8 @@ object DedupQueries {
     * (doc_id % 10 = 0) as dd9. */
   private def dd10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    containmentPairs(s, d, $"d1" % 10 === 0, $"doc_id" % 10 =!= 0)
+    containmentPairs(s, d, "dd10_online_containment",
+      $"d1" % 10 === 0, $"doc_id" % 10 =!= 0)
   }
 
   // ---------------------------------------------------------------- oracle --

@@ -101,7 +101,7 @@ class AdversarialDfSpec extends SparkSpec {
     assert(dd2.contains((1L, 9001L)))
     assert(dd3.subsetOf(dd2), "dd3 must never invent a pair dd2 lacks")
 
-    val dd7 = DedupQueries.containmentPairs(spark, d, lit(true), lit(true))
+    val dd7 = DedupQueries.containmentPairs(spark, d, "dd7_prefix_containment", lit(true), lit(true))
       .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dd7.contains((9002L, 2L)),
       s"dd7 must find the planted containment under adversarial df, got $dd7")

@@ -34,9 +34,9 @@ class IncrementalPrefixSpec extends SparkSpec {
 
   /** dd7's exact shape (corpus × corpus) and dd10's (batch × corpus). */
   private def dd7Pairs(d: String): DataFrame =
-    DedupQueries.containmentPairs(spark, d, lit(true), lit(true))
+    DedupQueries.containmentPairs(spark, d, "dd7_prefix_containment", lit(true), lit(true))
   private def dd10Pairs(d: String): DataFrame =
-    DedupQueries.containmentPairs(spark, d, $"d1" % 10 === 0, $"doc_id" % 10 =!= 0)
+    DedupQueries.containmentPairs(spark, d, "dd10_online_containment", $"d1" % 10 === 0, $"doc_id" % 10 =!= 0)
 
   test("appended prefix index keeps dd7/dd10 results exact; append-then-rerank == rebuild") {
     val d = freshKey("appended")
