@@ -39,6 +39,6 @@ object DocTables {
   // per-document media fingerprints (mm7 dHash + mm8 acoustic fp) — one
   // narrow row per image/audio asset; the band layout is baked into the
   // rows, so changing the hash construction REQUIRES a bump here
-  val MediaFp = ("media_fp", 3) // v3: + jpeg_image rows (lossy real-format dHash)
+  val MediaFp = ("media_fp", 4) // v4: + adpcm_audio rows (real lossy audio decode)
   val TemporalAdj = ("temporal_adj", 2)
 }

@@ -518,26 +518,60 @@ object MultimodalPipeline {
       .mapPartitions { it =>
         it.map { a =>
           val (_, samples) = Codec.parseWav(a.bytes)
-          require(samples.length % win == 0,
-            s"${samples.length} samples not whole $win-sample windows")
-          val nw = samples.length / win
-          require(nw % 8 == 0 && nw >= 8 && nw <= 64,
-            s"$nw windows not packable into whole 8-bit bands of one long")
-          val e = new Array[Long](nw)
-          var i = 0
-          while (i < samples.length) {
-            val v = samples(i).toLong
-            e(i / win) += v * v
-            i += 1
-          }
-          var fp = 0L
-          var w = 0
-          while (w < nw) {
-            if (e(w) > e((w + 1) % nw)) fp |= 1L << w
-            w += 1
-          }
-          AudioFingerprint(a.assetId, fp,
-            Array.tabulate(nw / 8)(j => ((fp >>> (8 * j)) & 255L).toInt))
+          energyFingerprint(a.assetId, samples, win)
+        }
+      }
+  }
+
+  /** The fingerprint formula itself, shared by the PCM arm above and the
+    * ADPCM real-decode arm below — ONE derivation, so mm17's drift bound
+    * measures the CODEC, never a formula divergence. */
+  private[multimodal] def energyFingerprint(
+      assetId: Long, samples: Array[Short], win: Int): AudioFingerprint = {
+    require(samples.length % win == 0,
+      s"${samples.length} samples not whole $win-sample windows")
+    val nw = samples.length / win
+    require(nw % 8 == 0 && nw >= 8 && nw <= 64,
+      s"$nw windows not packable into whole 8-bit bands of one long")
+    val e = new Array[Long](nw)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toLong
+      e(i / win) += v * v
+      i += 1
+    }
+    var fp = 0L
+    var w = 0
+    while (w < nw) {
+      if (e(w) > e((w + 1) % nw)) fp |= 1L << w
+      w += 1
+    }
+    AudioFingerprint(assetId, fp,
+      Array.tabulate(nw / 8)(j => ((fp >>> (8 * j)) & 255L).toInt))
+  }
+
+  /** Real lossy audio corpus: the SAME PCM streams as [[audioAsset]],
+    * IMA-ADPCM-encoded (4-bit adaptive quantizer, format tag 0x11 WAV —
+    * [[RealAudio]]), the audio sibling of [[jpegAssets]]' recompression
+    * relationship to [[pngAssets]]. */
+  def adpcmAsset(id: Long): MediaAsset =
+    MediaAsset(id, "audio",
+      RealAudio.writeWavAdpcm(8000, Codec.contentSamples(s"$id#aud", 256)),
+      Map("format" -> "adpcm"))
+
+  /** Fingerprint the ADPCM corpus through the REAL lossy decode
+    * ([[RealAudio.parseWavAdpcm]]: chunk walk, fact cross-check, adaptive
+    * staircase reconstruction) — same formula, same execution model as
+    * [[audioFingerprints]]; mm17 bounds the resulting drift against the
+    * exactly-proven PCM arm. */
+  def adpcmFingerprints(assets: Dataset[MediaAsset], win: Int = 8): Dataset[AudioFingerprint] = {
+    import assets.sparkSession.implicits._
+    assets
+      .filter(col("modality") === "audio")
+      .mapPartitions { it =>
+        it.map { a =>
+          val (_, samples) = RealAudio.parseWavAdpcm(a.bytes)
+          energyFingerprint(a.assetId, samples, win)
         }
       }
   }

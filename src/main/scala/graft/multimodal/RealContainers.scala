@@ -314,9 +314,12 @@ object RealContainers {
   /** Walk an ISO-BMFF file: size+fourcc at every level (sizes must tile
     * their parent EXACTLY), recursion into the standard container boxes,
     * full-box version handling for mvhd/mdhd (v0 and v1 field widths),
-    * and the demuxer consistency checks — Σ stsz == mdat payload bytes
-    * and stco's first chunk offset == the mdat payload's file offset.
-    * Loud failure on any violation — callers quarantine. */
+    * both ISO 14496-12 §4.2 size escapes (size==1 → 64-bit largesize
+    * after the fourcc, what any muxer emits for mdat > 4 GiB; size==0 →
+    * box extends to the end of its enclosing scope, legal only for the
+    * last box), and the demuxer consistency checks — Σ stsz == mdat
+    * payload bytes and stco's first chunk offset == the mdat payload's
+    * file offset. Loud failure on any violation — callers quarantine. */
   def parseMp4(bytes: Array[Byte]): Mp4Structure = {
     var nBoxes = 0
     var majorBrand = ""
@@ -332,21 +335,36 @@ object RealContainers {
       var i = start
       while (i < end) {
         require(i + 8 <= end, s"truncated box header at $i")
-        val bb = ByteBuffer.wrap(bytes, i, end - i)
-        val size = bb.getInt
+        val size32 = ByteBuffer.wrap(bytes, i, 4).getInt
         val typ = new String(bytes, i + 4, 4, StandardCharsets.US_ASCII)
-        require(size >= 8 && i + size <= end, s"bad box size $size for '$typ' at $i")
+        // §4.2 size escapes: 1 → 64-bit largesize follows the fourcc;
+        // 0 → box runs to the end of the enclosing scope (last box only —
+        // the tiling check below enforces that for free, since any
+        // following sibling would overrun)
+        val hdr = if (size32 == 1) 16 else 8
+        val size =
+          if (size32 == 1) {
+            require(i + 16 <= end, s"truncated largesize header at $i")
+            val ls = ByteBuffer.wrap(bytes, i + 8, 8).getLong
+            require(ls >= 16 && ls <= (end - i).toLong,
+              s"bad largesize $ls for '$typ' at $i")
+            ls.toInt
+          } else if (size32 == 0) end - i
+          else size32
+        require(size >= hdr && i + size <= end,
+          s"bad box size $size for '$typ' at $i")
+        val p = i + hdr // payload offset — header width varies per box now
         nBoxes += 1
         typ match {
-          case t if Mp4Containers(t) => walk(i + 8, i + size, depth + 1)
+          case t if Mp4Containers(t) => walk(p, i + size, depth + 1)
           case "ftyp" =>
-            require(depth == 0 && size >= 16, "malformed ftyp")
-            majorBrand = new String(bytes, i + 8, 4, StandardCharsets.US_ASCII)
+            require(depth == 0 && size >= hdr + 8, "malformed ftyp")
+            majorBrand = new String(bytes, p, 4, StandardCharsets.US_ASCII)
           case "mvhd" | "mdhd" =>
-            val ver = bytes(i + 8) & 0xff
+            val ver = bytes(p) & 0xff
             require(ver <= 1, s"bad $typ version $ver")
             // v0: 4-byte times; v1: 8-byte creation/modification/duration
-            val tsOff = if (ver == 0) i + 8 + 4 + 8 else i + 8 + 4 + 16
+            val tsOff = if (ver == 0) p + 4 + 8 else p + 4 + 16
             val ts = ByteBuffer.wrap(bytes, tsOff, 12).getInt
             val dur =
               if (ver == 0) ByteBuffer.wrap(bytes, tsOff + 4, 4).getInt
@@ -355,26 +373,26 @@ object RealContainers {
             else require(ts == timescale && dur == duration,
               "mdhd timescale/duration disagree with mvhd")
           case "stsz" =>
-            val fixed = ByteBuffer.wrap(bytes, i + 12, 4).getInt
-            val n = ByteBuffer.wrap(bytes, i + 16, 4).getInt
+            val fixed = ByteBuffer.wrap(bytes, p + 4, 4).getInt
+            val n = ByteBuffer.wrap(bytes, p + 8, 4).getInt
             nSamples = n
             sampleSum =
               if (fixed != 0) fixed.toLong * n
               else {
-                require(size == 20 + 4 * n, "stsz size table length mismatch")
+                require(size == hdr + 12 + 4 * n, "stsz size table length mismatch")
                 var s = 0L
                 var k = 0
-                while (k < n) { s += ByteBuffer.wrap(bytes, i + 20 + 4 * k, 4).getInt; k += 1 }
+                while (k < n) { s += ByteBuffer.wrap(bytes, p + 12 + 4 * k, 4).getInt; k += 1 }
                 s
               }
           case "stco" =>
-            val n = ByteBuffer.wrap(bytes, i + 12, 4).getInt
-            require(n >= 1 && size >= 16 + 4 * n, "malformed stco")
-            stcoFirst = ByteBuffer.wrap(bytes, i + 16, 4).getInt.toLong
+            val n = ByteBuffer.wrap(bytes, p + 4, 4).getInt
+            require(n >= 1 && size >= hdr + 8 + 4 * n, "malformed stco")
+            stcoFirst = ByteBuffer.wrap(bytes, p + 8, 4).getInt.toLong
           case "mdat" =>
             require(depth == 0, "nested mdat")
-            mdatBytes = (size - 8).toLong
-            mdatPayloadOff = (i + 8).toLong
+            mdatBytes = (size - hdr).toLong
+            mdatPayloadOff = p.toLong
           case _ => () // leaf box (tkhd, hdlr, vmhd, dref, url , stsd, ...)
         }
         i += size

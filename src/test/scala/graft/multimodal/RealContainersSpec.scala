@@ -116,6 +116,34 @@ class RealContainersSpec extends SparkSpec {
     assert(s.nSamples == 2 && s.sampleBytes == 10L)
   }
 
+  test("MP4 walker reads the §4.2 size escapes: 64-bit largesize, size==0 to-end") {
+    val good = writeMp4("esc", 3)
+    val ref = parseMp4(good)
+    val idx = indexOfBox(good, "mdat")
+    // size==0: mdat is the last top-level box, so "to end of enclosing
+    // scope" resolves to end-of-file — identical structure must come back
+    val b0 = good.clone(); ByteBuffer.wrap(b0).putInt(idx, 0)
+    assert(parseMp4(b0) == ref)
+    // size==1: 16-byte header with the 64-bit largesize after the fourcc
+    // (what any muxer emits for mdat > 4 GiB); the payload shifts +8, so
+    // the stco chunk offset is patched to keep the demuxer check honest
+    val payload = good.drop(idx + 8)
+    val hdr16 = ByteBuffer.allocate(16).putInt(1)
+      .put("mdat".getBytes(StandardCharsets.US_ASCII))
+      .putLong(16L + payload.length).array()
+    val b1 = good.take(idx) ++ hdr16 ++ payload
+    val stcoIdx = indexOfBox(b1, "stco")
+    val oldOff = ByteBuffer.wrap(b1).getInt(stcoIdx + 16)
+    ByteBuffer.wrap(b1).putInt(stcoIdx + 16, oldOff + 8)
+    val s1 = parseMp4(b1)
+    assert(s1.nSamples == ref.nSamples && s1.sampleBytes == ref.sampleBytes &&
+      s1.mdatBytes == ref.mdatBytes && s1.nBytes == ref.nBytes + 8)
+    // a largesize below the 16-byte header is malformed — loud failure
+    val b2 = b1.clone()
+    ByteBuffer.wrap(b2).putLong(indexOfBox(b2, "mdat") + 8, 8L)
+    intercept[IllegalArgumentException](parseMp4(b2))
+  }
+
   test("MP4 corruption fails loudly: box size, stsz/mdat disagreement, stco offset") {
     val good = writeMp4("bad4", 3)
     // oversize top-level box

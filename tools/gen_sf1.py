@@ -70,6 +70,32 @@ def replicate(table, sql):
 copy("region")
 copy("nation")
 
+# Replica key strides are assumptions about sf0.1 cardinalities: if a
+# source key ever exceeds its stride, replica keys silently collide and
+# merge rows across replicas (for user_id that re-densifies the contact
+# graph -- the exact failure mode the time shift exists to avoid). Fail
+# loudly instead.
+STRIDES = {
+    "customer": ("c_custkey", 15000),
+    "supplier": ("s_suppkey", 1000),
+    "part": ("p_partkey", 20000),
+    "orders": ("o_orderkey", 150000),
+    "events": ("event_id", 100000),
+    "documents": ("doc_id", 5000),
+    "embeddings": ("vec_id", 2000),
+}
+for tbl, (key, stride) in STRIDES.items():
+    mx = con.execute(
+        f"SELECT max({key}) FROM '{SRC}/{tbl}.parquet'").fetchone()[0]
+    assert mx < stride, (
+        f"{tbl}.{key} max {mx} >= replica stride {stride}: source testdata "
+        f"outgrew the stride table -- raise it before generating sf1")
+user_max = con.execute(
+    f"SELECT max(user_id) FROM '{SRC}/events.parquet'").fetchone()[0]
+assert user_max < 1500, (
+    f"events.user_id max {user_max} >= replica stride 1500: replica "
+    f"contact graphs would merge -- raise the stride before generating sf1")
+
 replicate("customer",
           "SELECT c_custkey + {r}*15000 AS c_custkey, c_name, c_nationkey, c_acctbal, "
           "c_mktsegment FROM src")
