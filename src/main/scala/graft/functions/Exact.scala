@@ -12,12 +12,14 @@ import org.apache.spark.sql.types.{DataType, Decimal, DecimalType, DoubleType}
   *
   * Floating-point SUM is association-order dependent, so a Spark plan and the
   * DuckDB oracle can disagree in the last ulps on large groups. The fix used
-  * throughout this library: round each per-row double to DECIMAL(28,10)
-  * (doubles are binary fractions, so no value is an exact decimal-10 tie —
-  * the rounding is unambiguous and engine-independent), sum exactly in
-  * decimal, and cast the final value back to double. Identical bits on any
-  * engine, any partitioning, any order — which also makes results stable
-  * across cluster sizes at 100 TB, not just oracle-matched at sf0.01.
+  * throughout this library: round each per-row double to DECIMAL(28,10) —
+  * BY ITS SHORTEST-DECIMAL STRING, the one convention both engines can
+  * reproduce exactly (see [[sqlSum]]; rounding the exact binary value
+  * instead diverges on terms whose shortest form and binary value straddle
+  * a 10⁻¹⁰ boundary) — sum exactly in decimal, and cast the final value
+  * back to double. Identical bits on any engine, any partitioning, any
+  * order — which also makes results stable across cluster sizes at 100 TB,
+  * not just oracle-matched at sf0.01.
   *
   * The double→decimal conversion is the [[Dec10]] native expression rather
   * than a Cast: Spark's Cast goes through Double.toString + BigDecimal
@@ -51,12 +53,28 @@ object Exact {
   }
 
   /** Oracle (DuckDB) SQL fragments mirroring the above, for use in oracleSql.
-    * DuckDB's direct DECIMAL→DOUBLE cast is not correctly rounded (it divides
-    * the int128 by 10^scale in double arithmetic), while Spark's (via
-    * BigDecimal) is — so the oracle casts through VARCHAR, whose strtod IS
-    * correctly rounded. Verified empirically against Spark bit-for-bit. */
+    * BOTH directions route through VARCHAR, because DuckDB's direct casts
+    * differ from the JVM's in the last decimal digit on rare inputs:
+    *
+    *  - DECIMAL→DOUBLE divides the int128 by 10^scale in double arithmetic
+    *    (not correctly rounded), while VARCHAR→DOUBLE's strtod is — hence
+    *    the outer VARCHAR hop (verified bit-for-bit since round 4).
+    *  - DOUBLE→DECIMAL rounds the exact BINARY value, while [[toDec10]]
+    *    rounds the SHORTEST-DECIMAL string (`BigDecimal.valueOf` — Spark's
+    *    own CAST semantics). The two straddle a 10⁻¹⁰ boundary for ~1 in
+    *    10⁶ uniformly-random terms (the exact value and its ≤17-digit
+    *    shortest form differ by <½ ulp, occasionally on opposite sides),
+    *    which a multi-million-term sf1 aggregate hits a few times per run:
+    *    ss21 measured 2 of 500 rows off by 1e-10 at sf1, green at sf0.1.
+    *    DOUBLE→VARCHAR prints the shortest string and VARCHAR→DECIMAL
+    *    rounds it half-up, exactly [[toDec10]]'s rule — 0 mismatches over
+    *    210k boundary-crafted probes, vs 1 for the direct cast.
+    *
+    * TRY_CAST on the inner hop reproduces [[toDec10]]'s null rule
+    * (NaN/±Inf/|x|≥1e18 → NULL, so SUM skips them); the plain direct cast
+    * ERRORS on those in DuckDB. */
   def sqlSum(expr: String): String =
-    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+    s"CAST(CAST(SUM(TRY_CAST(CAST(($expr) AS VARCHAR) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
   def sqlAvg(expr: String): String =
     s"(${sqlSum(expr)} / COUNT($expr))"
 }

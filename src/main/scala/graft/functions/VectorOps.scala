@@ -87,9 +87,10 @@ object VectorOps {
     JBigDecimal.valueOf(unscaled, Scale).doubleValue
 
   /** Non-finite terms are SKIPPED, mirroring the oracle construction exactly:
-    * CAST(NaN/Inf AS DECIMAL) is NULL in both Spark and DuckDB and SUM skips
-    * NULLs. Long-domain overflow (|term| ≥ ~9.2e8, astronomically far from
-    * embedding magnitudes) reruns the whole sum in exact BigDecimal. */
+    * Spark's CAST(NaN/Inf AS DECIMAL) is NULL, the oracle's TRY_CAST
+    * (Exact.sqlSum) is NULL, and SUM skips NULLs. Long-domain overflow
+    * (|term| ≥ ~9.2e8, astronomically far from embedding magnitudes) reruns
+    * the whole sum in exact BigDecimal. */
   private def finite(x: Double): Boolean = x - x == 0.0
 
   /** Static entry point for DotExact. */

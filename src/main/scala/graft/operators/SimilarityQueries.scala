@@ -712,9 +712,11 @@ object SimilarityQueries {
     * nicety: unscaled e·q terms are ~127× the library's proven e·e
     * magnitude class, which multiplies the chance that a term's shortest-
     * decimal and exact-binary values straddle a DECIMAL(28,10) rounding
-    * boundary (Java's Dec10 rounds the shortest string, DuckDB's cast the
-    * binary value) — measured as six last-ulp row mismatches at sf0.1
-    * before the rescale, zero after. One exact decimal mixed dot, the
+    * boundary — measured as six last-ulp row mismatches at sf0.1 before
+    * the rescale, zero after. (Since round 12 the straddle class itself is
+    * gone — Exact.sqlSum routes the oracle's term cast through VARCHAR so
+    * both engines round the shortest string — but staying in the proven
+    * magnitude class keeps the terms exactly representable headroom-wise.) One exact decimal mixed dot, the
     * stored exact norm, one integer code-norm — no reconstruction array
     * is ever materialized. Zero vectors (scale = 0) quantize losslessly
     * and are reported at fidelity 1. One narrow index join, per-row
