@@ -72,9 +72,21 @@ object Exact {
     *
     * TRY_CAST on the inner hop reproduces [[toDec10]]'s null rule
     * (NaN/±Inf/|x|≥1e18 → NULL, so SUM skips them); the plain direct cast
-    * ERRORS on those in DuckDB. */
+    * ERRORS on those in DuckDB.
+    *
+    * The CASE guard covers the one VARCHAR→DECIMAL defect (DuckDB 1.0.0):
+    * a scientific-notation string ENTIRELY below the scale rounds on the
+    * mantissa's leading digit instead of the scale-aligned one ('6.69e-12'
+    * and even '9.9e-15' → 1E-10; correct is 0). Every |x| < 5e-11 rounds
+    * to exactly 0 under half-up-at-1e-10 — stated directly. The boundary
+    * itself is safe without the guard: the double nearest 5e-11 prints
+    * '5e-11' whose leading-digit rule coincides with half-up (→ 1E-10),
+    * and [5e-11, 1e-10) parses correctly. Guarded route: 0 mismatches
+    * over 156k probes dense around both boundaries and across the
+    * scientific-notation band, plus the 210k general-magnitude probes. */
   def sqlSum(expr: String): String =
-    s"CAST(CAST(SUM(TRY_CAST(CAST(($expr) AS VARCHAR) AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)"
+    s"CAST(CAST(SUM(CASE WHEN abs($expr) < 5e-11 THEN CAST(0 AS DECIMAL(28,10)) " +
+      s"ELSE TRY_CAST(CAST(($expr) AS VARCHAR) AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE)"
   def sqlAvg(expr: String): String =
     s"(${sqlSum(expr)} / COUNT($expr))"
 }

@@ -471,7 +471,8 @@ object RelationalQueries {
       """SELECT o_custkey, o_orderkey, o_totalprice, rk, run_sum FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER w AS BIGINT) AS rk,
-        |    CAST(CAST(SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10))) OVER
+        |    CAST(CAST(SUM(CASE WHEN abs(o_totalprice) < 5e-11 THEN CAST(0 AS DECIMAL(28,10))
+        |      ELSE TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)) END) OVER
         |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS run_sum
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
@@ -532,7 +533,8 @@ object RelationalQueries {
     // construction applied to a WINDOW aggregate
     "q19_range_window" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
-        |       CAST(CAST(SUM(TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE) AS rev30,
+        |       CAST(CAST(SUM(CASE WHEN abs(o_totalprice) < 5e-11 THEN CAST(0 AS DECIMAL(28,10))
+        |         ELSE TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)) END) OVER w AS VARCHAR) AS DOUBLE) AS rev30,
         |       CAST(COUNT(*) OVER w AS BIGINT) AS n30
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
