@@ -94,7 +94,13 @@ private[operators] object PrefixSum {
     // the ONE ordered pass: n/B bucket rows, bounded by construction; the
     // constant key declares the single small partition instead of leaving
     // the partition spec empty
-    val bwParts: Seq[Column] = if (pcols.isEmpty) Seq(onePart(col("_bucket"))) else pcols
+    // onePart is ALWAYS appended, not just for empty parts: a caller's
+    // partition column can be constant-foldable (a17's lit() metric tag
+    // was), and Spark 4's EliminateWindowPartitions strips foldable keys,
+    // leaving WindowExec unpartitioned — the exact anti-pattern onePart
+    // exists to prevent. The extra key is 0 for every row, so the grouping
+    // is unchanged; it only pins the partition spec as non-foldable.
+    val bwParts: Seq[Column] = pcols :+ onePart(col("_bucket"))
     val bw = Window
       .partitionBy(bwParts: _*)
       .orderBy(bucketOrder)

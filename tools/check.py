@@ -16,9 +16,10 @@ Env knobs (all optional; default = full surface, stdout only):
   GRAFT_CHECK_JSON=path       also write a driver-format artifact
                               {name: {rows_match, schema_match, hash_match,
                                spark_rows, oracle_rows, err, oracle_s}}
-Used for the one-off sf1 hash-check, where a few quadratic-control oracle
-cells (dd2/dd6-class all-pairs SQL) exceed DuckDB's single-core reach and
-are cut with documentation rather than waited out.
+Also used for the sf1 hash-check rungs. At sf1 no oracle cells are cut: the
+quadratic-control SQL is slow but tractable (dd7 ~30 min, g01 ~38 min), and
+the one capacity incident (ss9 exhausting DuckDB's temp disk) is handled by
+re-running in-memory via GRAFT_CHECK_DUCKDB_MEM — not by skipping.
 """
 import duckdb, json, math, os, sys, time
 
@@ -113,6 +114,16 @@ def main():
             n_pass += 1
     jp = os.environ.get("GRAFT_CHECK_JSON")
     if jp:
+        # A filtered run's artifact must be self-describing: ONLY silently
+        # omits non-matching queries (unlike SKIP, which writes explicit
+        # records), so a partial artifact would otherwise be
+        # indistinguishable from a full one. The meta record carries the
+        # filter settings and the declared-vs-checked counts.
+        if only or skip:
+            report["__meta__"] = {
+                "partial": True, "only": only, "skip": skip,
+                "declared_queries": len(oracle),
+                "checked": n_pass + n_fail, "skipped": n_skip}
         with open(jp, "w") as f:
             json.dump(report, f, indent=2, sort_keys=True)
     tail = f", {n_skip} skip" if n_skip else ""
