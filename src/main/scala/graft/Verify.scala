@@ -59,6 +59,23 @@ object Verify {
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // round-12 post-mortem aid (the driver's CORRECTNESS artifact came back
+    // empty with no engine-side error): self-check the dump before exiting —
+    // the oracle map must round-trip through Spark's own JSON reader and
+    // every listed query must have a parquet directory — then leave a DONE
+    // sentinel with the counts, so an empty driver artifact is attributable
+    // at a glance to the consumer side, not the dump.
+    val reread = spark.read.json(s"$outDir/oracle_sql.json").columns.toSet
+    val listed = SparkEntry.oracleSql.keySet.filter(selected)
+    require(reread == listed,
+      s"oracle_sql.json does not round-trip: ${(listed -- reread) ++ (reread -- listed)}")
+    val missingDirs = listed.filterNot(n =>
+      Files.exists(Paths.get(s"$outDir/$n/_SUCCESS")))
+    require(missingDirs.isEmpty, s"missing parquet dumps: $missingDirs")
+    Files.writeString(Paths.get(s"$outDir/_VERIFY_DONE"),
+      s"queries=${listed.size} failures=${failures.size}\n")
+    println(s"[verify] dumped ${listed.size} queries, " +
+      s"${failures.size} failures, oracle_sql.json round-trip OK")
     spark.stop()
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} queries FAILED: " +

@@ -62,13 +62,16 @@ object Exact {
     *  - DOUBLE→DECIMAL rounds the exact BINARY value, while [[toDec10]]
     *    rounds the SHORTEST-DECIMAL string (`BigDecimal.valueOf` — Spark's
     *    own CAST semantics). The two straddle a 10⁻¹⁰ boundary for ~1 in
-    *    10⁶ uniformly-random terms (the exact value and its ≤17-digit
-    *    shortest form differ by <½ ulp, occasionally on opposite sides),
-    *    which a multi-million-term sf1 aggregate hits a few times per run:
-    *    ss21 measured 2 of 500 rows off by 1e-10 at sf1, green at sf0.1.
-    *    DOUBLE→VARCHAR prints the shortest string and VARCHAR→DECIMAL
-    *    rounds it half-up, exactly [[toDec10]]'s rule — 0 mismatches over
-    *    210k boundary-crafted probes, vs 1 for the direct cast.
+    *    10⁶ uniformly-random terms, which a multi-million-term sf1
+    *    aggregate hits a few times per run (ss21: 2 of 500 rows at sf1).
+    *    So the inner hop must parse the SHORTEST ROUND-TRIP string — and
+    *    DuckDB 1.0's own DOUBLE→VARCHAR prints at most 15 significant
+    *    digits, which silently drops the 16th/17th digit wherever the
+    *    shortest form needs them (measured: 150/2000 full-mantissa terms
+    *    at the 1e6 band; the round-12 ADVICE item). [[sqlDec10]] therefore
+    *    BUILDS the shortest round-trip repr with a printf cascade: the
+    *    first of %.15g/%.16g/%.17g that parses back to the identical
+    *    double. VARCHAR→DECIMAL then rounds it half-up, [[toDec10]]'s rule.
     *
     * TRY_CAST on the inner hop reproduces [[toDec10]]'s null rule
     * (NaN/±Inf/|x|≥1e18 → NULL, so SUM skips them); the plain direct cast
@@ -78,15 +81,28 @@ object Exact {
     * a scientific-notation string ENTIRELY below the scale rounds on the
     * mantissa's leading digit instead of the scale-aligned one ('6.69e-12'
     * and even '9.9e-15' → 1E-10; correct is 0). Every |x| < 5e-11 rounds
-    * to exactly 0 under half-up-at-1e-10 — stated directly. The boundary
-    * itself is safe without the guard: the double nearest 5e-11 prints
-    * '5e-11' whose leading-digit rule coincides with half-up (→ 1E-10),
-    * and [5e-11, 1e-10) parses correctly. Guarded route: 0 mismatches
-    * over 156k probes dense around both boundaries and across the
-    * scientific-notation band, plus the 210k general-magnitude probes. */
+    * to exactly 0 under half-up-at-1e-10 — stated directly.
+    *
+    * Proven domain (tools/dec_probe.py vs a [[graft.tools.DecProbe]] dump
+    * from the running JVM — 1.22M probes: per-decade full-mantissa bands
+    * 1e-15..1e17, half-up-boundary-crafted, scale-10-grid, dyadic exact
+    * ties odd·2⁻ʲ, sub-scale guards, NaN/±Inf/±1e18): bit-exact for every
+    * per-term |x| < 2⁵³ ≈ 9.0e15, zero mismatches. At |x| ≥ 2⁵³ doubles
+    * are integer-valued and Java 17's legacy Double.toString prints
+    * NON-MINIMAL digits for most of them (fixed in JDK 19's Ryu rewrite),
+    * so there [[toDec10]] itself is JVM-version-defined and no DuckDB
+    * formula can track it — every library call site's terms are ≤ ~1e9,
+    * six orders of magnitude inside the proven domain. */
+  def sqlDec10(expr: String): String = {
+    val e = s"($expr)"
+    def p(fmt: String) = s"printf('%.${fmt}g', $e)"
+    s"CASE WHEN abs($e) < 5e-11 THEN CAST(0 AS DECIMAL(28,10)) " +
+      s"WHEN TRY_CAST(${p("15")} AS DOUBLE) = $e THEN TRY_CAST(${p("15")} AS DECIMAL(28,10)) " +
+      s"WHEN TRY_CAST(${p("16")} AS DOUBLE) = $e THEN TRY_CAST(${p("16")} AS DECIMAL(28,10)) " +
+      s"ELSE TRY_CAST(${p("17")} AS DECIMAL(28,10)) END"
+  }
   def sqlSum(expr: String): String =
-    s"CAST(CAST(SUM(CASE WHEN abs($expr) < 5e-11 THEN CAST(0 AS DECIMAL(28,10)) " +
-      s"ELSE TRY_CAST(CAST(($expr) AS VARCHAR) AS DECIMAL(28,10)) END) AS VARCHAR) AS DOUBLE)"
+    s"CAST(CAST(SUM(${sqlDec10(expr)}) AS VARCHAR) AS DOUBLE)"
   def sqlAvg(expr: String): String =
     s"(${sqlSum(expr)} / COUNT($expr))"
 }

@@ -1,8 +1,5 @@
 package graft.multimodal
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,15 +8,14 @@ import org.apache.spark.sql.functions._
   * stages.
   *
   * The Spark-side plumbing — schema, partitioning, per-partition batch shape —
-  * is real. TWO codec paths exist:
-  *  - [[decodeCodec]] + [[codecAssets]]: REAL binary formats (PPM images,
+  * is real, and so is every codec path (the round-1..12 `decodeStub` arm is
+  * retired):
+  *  - [[decodeCodec]] + [[codecAssets]]: uncompressed formats (PPM images,
   *    PCM16 WAVs, GRFV frame containers) with real parsers ([[Codec]]) —
   *    the mm3 oracle checks the decoded byte/sample sums end-to-end;
-  *  - [[decode]] + [[syntheticAssets]]: `decodeStub` derives deterministic
-  *    fake dimensions/features from the bytes, standing in for compressed
-  *    codecs (JPEG/MP3/H.264) that need native libraries this container
-  *    doesn't ship. Swapping in a real compressed decoder changes ONE
-  *    function and nothing in the plan shape.
+  *  - [[decode]] + [[realMediaAssets]]: the COMPRESSED/mixed corpus (zlib
+  *    PNG, RIFF WAV, GRFV) decoded to real pixel/sample values that flow
+  *    through real [[resize]] box-pooling and [[bucketFeatures]] — mm1/mm2.
   *
   * Execution model: decode runs in `mapPartitions`, the Scala analog of a
   * vectorized `mapInPandas` stage — one decoder context per partition, rows
@@ -54,30 +50,19 @@ object MultimodalPipeline {
       bytes: Array[Byte],
       meta: Map[String, String])
 
-  /** One decoded frame (images decode to exactly one). */
+  /** One REAL decoded frame: `vals` is the decoded payload — unsigned RGB
+    * bytes (image/video, row-major interleaved, `channels` = 3) or PCM16
+    * samples (audio, `height` = 1, `channels` = 1). Carrying the decoded
+    * values (not a digest of them) is what makes the downstream stages —
+    * [[resize]] and [[bucketFeatures]] — REAL transforms of real content. */
   final case class DecodedFrame(
       assetId: Long,
+      modality: String,
       frameIdx: Int,
       width: Int,
       height: Int,
       channels: Int,
-      features: Array[Float])
-
-  /** ======== STUB ======== deterministic fake decode: dimensions and a
-    * 16-dim feature vector derived from md5(bytes ++ "#frameIdx"). A real
-    * build replaces this body with the actual codec call; signature and call
-    * sites stay. The salt is printable so the mm1 oracle can reconstruct the
-    * digest with SQL's VARCHAR md5. */
-  def decodeStub(bytes: Array[Byte], frameIdx: Int): (Int, Int, Int, Array[Float]) = {
-    val md = MessageDigest.getInstance("MD5")
-    md.update(bytes)
-    md.update(("#" + frameIdx).getBytes(StandardCharsets.UTF_8))
-    val d = md.digest()
-    val w = 16 + (d(0) & 0x7f)
-    val h = 16 + (d(1) & 0x7f)
-    val features = Array.tabulate(16)(i => ((d(i) & 0xff) - 128) / 128.0f)
-    (w, h, 3, features)
-  }
+      vals: Array[Int])
 
   /** Frames per video asset when frame-sampling (every `stride`-th frame). */
   def frameIndices(meta: Map[String, String], stride: Int): Seq[Int] = {
@@ -85,31 +70,102 @@ object MultimodalPipeline {
     0 until n by stride
   }
 
-  /** Decode + frame-sample: one output row per sampled frame. Partition-level
-    * batching; decoder state would be initialized once per partition here. */
+  /** REAL decode + frame-sample: one output row per sampled frame, every
+    * byte parsed by the real codecs — PNG (chunk walk, CRC verify, inflate,
+    * five-filter reconstruction), RIFF/WAV PCM16, GRFV frame container of
+    * PPM frames. Partition-level batching (one Inflater context per
+    * partition-stream, never a per-row re-init) — the Scala analog of a
+    * vectorized `mapInPandas` decode stage. Replaces the round-1..12
+    * `decodeStub` arm: every mm query is now real-decode-backed. */
   def decode(assets: Dataset[MediaAsset], stride: Int = 1): Dataset[DecodedFrame] = {
     import assets.sparkSession.implicits._
-    assets
-      .mapPartitions { it =>
-        // real impl: open codec context once here
-        it.flatMap { a =>
-          val idxs = if (a.modality == "video") frameIndices(a.meta, stride) else Seq(0)
-          idxs.iterator.map { fi =>
-            val (w, h, c, feats) = decodeStub(a.bytes, fi)
-            DecodedFrame(a.assetId, fi, w, h, c, feats)
-          }
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        a.modality match {
+          case "image" =>
+            val (w, h, rgb) = RealFormats.parsePng(a.bytes)
+            Iterator.single(DecodedFrame(a.assetId, a.modality, 0, w, h, 3,
+              rgb.map(_ & 0xff)))
+          case "audio" =>
+            val (_, samples) = Codec.parseWav(a.bytes)
+            Iterator.single(DecodedFrame(a.assetId, a.modality, 0,
+              samples.length, 1, 1, samples.map(_.toInt)))
+          case _ =>
+            frameIndices(a.meta, stride).iterator.map { fi =>
+              val (w, h, rgb) = Codec.parsePpm(Codec.readGrfvFrame(a.bytes, fi))
+              DecodedFrame(a.assetId, a.modality, fi, w, h, 3,
+                rgb.map(_ & 0xff))
+            }
         }
       }
+    }
   }
 
-  /** Resize: deterministic feature recomputation at a target resolution —
-    * pure column-level transform over decoded frames (no re-decode). */
-  def resize(frames: Dataset[DecodedFrame], targetW: Int, targetH: Int): Dataset[DecodedFrame] = {
+  /** Resize by integer factor `k`: k×k box-average downsample of the real
+    * pixel grid (channel-aware), TRUNCATING integer division (JVM `/` ==
+    * DuckDB `//`, verified on negative sums) — every output value is an
+    * exact integer function of the decoded input, so the oracle reproduces
+    * it bit-for-bit. Audio "resizes" by pooling k² consecutive samples
+    * (the same value-count reduction as the spatial pool). */
+  def resize(frames: Dataset[DecodedFrame], k: Int): Dataset[DecodedFrame] = {
     import frames.sparkSession.implicits._
     frames.map { f =>
-      val scale = targetW.toFloat * targetH / (f.width.toFloat * f.height)
-      f.copy(width = targetW, height = targetH,
-        features = f.features.map(_ * scale))
+      if (f.height == 1) { // audio: 1-D pool by k²
+        val p = k * k
+        val outN = f.width / p
+        val out = Array.tabulate(outN) { m =>
+          var s = 0; var j = 0
+          while (j < p) { s += f.vals(m * p + j); j += 1 }
+          s / p
+        }
+        f.copy(width = outN, vals = out)
+      } else {
+        val ow = f.width / k
+        val oh = f.height / k
+        val out = new Array[Int](ow * oh * f.channels)
+        var yy = 0
+        while (yy < oh) {
+          var xx = 0
+          while (xx < ow) {
+            var ch = 0
+            while (ch < f.channels) {
+              var s = 0
+              var dy = 0
+              while (dy < k) {
+                var dx = 0
+                while (dx < k) {
+                  s += f.vals(((yy * k + dy) * f.width + (xx * k + dx)) * f.channels + ch)
+                  dx += 1
+                }
+                dy += 1
+              }
+              out((yy * ow + xx) * f.channels + ch) = s / (k * k)
+              ch += 1
+            }
+            xx += 1
+          }
+          yy += 1
+        }
+        f.copy(width = ow, height = oh, vals = out)
+      }
+    }
+  }
+
+  /** 16-dim bucket features over a frame's REAL decoded values: the value
+    * range is split into 16 equal index buckets and each feature is the
+    * bucket's normalized mean — computed as ONE float32 division of two
+    * exact integers ((Σ − center·L) / (scale·L)), so DuckDB's REAL
+    * arithmetic reproduces every bit. Bytes center at 128/128; PCM16
+    * samples at 0/32768. */
+  def bucketFeatures(f: DecodedFrame): Array[Float] = {
+    val n = f.vals.length
+    val len = n / 16
+    val (center, scale) = if (f.modality == "audio") (0, 32768) else (128, 128)
+    Array.tabulate(16) { i =>
+      var s = 0L; var j = i * len
+      val end = j + len
+      while (j < end) { s += f.vals(j); j += 1 }
+      (s - center.toLong * len).toFloat / (scale.toLong * len).toFloat
     }
   }
 
@@ -762,22 +818,29 @@ object MultimodalPipeline {
       }
   }
 
-  /** Demo/test asset source: wraps document texts as fake binary payloads
-    * (videos get an n_frames metadata entry derived from doc length). */
-  def syntheticAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+  /** The PNG twin of [[imageAsset]]: the SAME deterministic raster content
+    * (salt `#img`, 768 bytes) in a spec-conformant compressed container —
+    * zlib IDAT, CRC32 chunks — so the decode→content oracle chain is shared
+    * with mm3 while the engine pays a real compressed-codec decode. */
+  def pngImageAsset(id: Long): MediaAsset =
+    MediaAsset(id, "image",
+      RealFormats.writePng(16, 16, Codec.contentBytes(s"$id#img", 768)),
+      Map("format" -> "png"))
+
+  /** The REAL mixed-modality corpus behind mm1/mm2 (the former stub arm):
+    * PNG images, PCM16 WAVs, GRFV frame containers — every byte produced
+    * by a real encoder and consumed by a real parser ([[decode]]). */
+  def realMediaAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     keyed(graft.sources.Tables.documents(spark, dir)
-      .select($"doc_id", $"text", $"n_chars"))
-      .as[(Long, String, Long)]
-      .map { case (id, text, n) =>
-        val modality = (id % 3) match {
-          case 0 => "image"
-          case 1 => "audio"
-          case _ => "video"
+      .select($"doc_id", $"n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        (id % 3) match {
+          case 0 => pngImageAsset(id)
+          case 1 => audioAsset(id)
+          case _ => videoAsset(id, n)
         }
-        val meta = if (modality == "video") Map("n_frames" -> ((n % 10) + 2).toString)
-        else Map.empty[String, String]
-        MediaAsset(id, modality, text.getBytes(StandardCharsets.UTF_8), meta)
       }
   }
 }

@@ -49,6 +49,16 @@ private[operators] object Controls {
   val CandMassKey = "spark.graft.containment.maxCandMass"
   val CandMassDefault = 1000000000L
 
+  /** Average candidate fan-out per prefix row above which the containment
+    * family escalates from single-shingle to PAIR witnesses
+    * ([[DedupQueries.containmentPairs]]). A Heaps-law corpus measures
+    * ≈0.1 (prefix shingles have df ≈ 1), the saturated sf1 rung ≈71; the
+    * default sits an order of magnitude above healthy and well below
+    * saturated. 0 forces the pair route (equivalence specs); a huge value
+    * pins the single route. */
+  val EscalateFanoutKey = "spark.graft.containment.escalateFanout"
+  val EscalateFanoutDefault = 16.0
+
   /** Candidate-MASS pre-flight gate for the index-driven candidate families
     * (prefix containment dd7/dd10, banded LSH dd3/dd8/dd9, SimHash
     * pigeonhole dd4) — the seatbelt on top of the dd21/dd15 instruments.
@@ -65,9 +75,18 @@ private[operators] object Controls {
     * ~50× headroom; crossing it is a deliberate act, never an accident. */
   def massGate(s: SparkSession, what: String, corpus: String,
       instrument: String)(mass: => Long): Unit = {
+    val m = EpochMemo.scalar(s, s"mass:$what", corpus)(mass)
+    massCheck(s, what, instrument, m)
+  }
+
+  /** The gate's check on an ALREADY-computed (and separately memoized)
+    * mass — the containment family's routes memoize their own per-route
+    * pre-flights, so the shared `mass:` memo key would serve a stale
+    * route's value after an escalation flip. */
+  private[operators] def massCheck(s: SparkSession, what: String,
+      instrument: String, m: Long): Unit = {
     val max = s.conf.getOption(CandMassKey)
       .map(_.toLong).getOrElse(CandMassDefault)
-    val m = EpochMemo.scalar(s, s"mass:$what", corpus)(mass)
     require(m <= max,
       s"$what pre-flight: candidate mass $m exceeds $CandMassKey=$max — " +
         "this corpus is in the VOCABULARY-SATURATION regime for the index " +

@@ -81,6 +81,10 @@ object DedupQueries {
     // first timed rep doesn't carry the guard's count() job
     Controls.gate(shingles(s, d), "dd2_ngram_jaccard", d)
     windows(s, d)
+    // saturation-profile corpora additionally provision the pair index and
+    // memoize the route pre-flights, so the first timed containment rep
+    // reads at-rest state instead of paying the escalation build
+    providePairIndexIfSaturated(s, d)
     ()
   }
 
@@ -737,19 +741,30 @@ object DedupQueries {
     * so a 100-TB operator re-shingles at higher n, raises τ, or routes
     * to the semantic family instead (dd15 plays the same role for the
     * banded family). Since round 12 the instrument is also ENFORCED:
-    * [[containmentPairs]] computes that mass and refuses to launch past
-    * [[Controls.CandMassKey]] (default 1e9 — ~50× the sf1 rung), so the
-    * saturated-corpus quadratic join is a deliberate act, never an
-    * accident (CandMassGuardSpec). */
+    * [[containmentPairs]] computes that mass and gates the launch at
+    * [[Controls.CandMassKey]] (CandMassGuardSpec). Since round 13 the
+    * saturated regime has a SCALE PATH before the seatbelt: when fan-out
+    * per prefix row passes [[Controls.EscalateFanoutKey]], the route
+    * escalates to pair witnesses over the at-rest shingle-pair index
+    * (u+2-prefix ⇒ two shared shingles ⇒ probe pair postings, whose df
+    * is ~df²/N) — sf1 measured 20.6M → 259k pre-distinct candidates,
+    * identical results (PairRouteEquivalenceSpec). Only a corpus
+    * saturated at PAIR granularity still refuses. */
   /** (name, version) identities of the containment-prefix family — the
     * prefix rows, the FROZEN df-rank snapshot they were ranked under, and
     * the snapshot's corpus size (the re-rank trigger's reference point).
     * One constant per table, shared by build, append, and re-rank, per the
     * [[graft.build.DocTables]] discipline; threshold-named because the
     * prefix width is a function of the containment threshold. */
-  private[operators] val PrefixTable = (s"sh_prefix_c${ContainNum}_$ContainDen", 2)
+  private[operators] val PrefixTable = (s"sh_prefix_c${ContainNum}_$ContainDen", 3)
   private[operators] val PrefixDfTable = ("sh_df", 1)
   private[operators] val PrefixMetaTable = ("sh_df_meta", 1)
+
+  /** (name, version) of the shingle-PAIR posting index — the saturation
+    * escalation path's probe side ([[containmentPairs]]): one row per
+    * unordered shingle pair per document, keyed by a 64-bit pair hash.
+    * Threshold-independent (ALL C(n,2) pairs), so not threshold-named. */
+  private[operators] val PairTable = ("sh_pairs", 1)
 
   /** Corpus growth fraction past the df snapshot that triggers a full
     * re-rank on the next batch append ([[rerankPrefix]]). */
@@ -764,28 +779,62 @@ object DedupQueries {
     shingleRows.groupBy($"sg").agg(count(lit(1)).as("df"))
   }
 
-  /** PPJoin prefix rows (d1, sg) for a shingle frame under a GIVEN df
-    * ranking: each document's first ⌊(1−t)·n⌋+1 shingles in (df, sg)
-    * order, rarest first. CORRECTNESS IS RANK-INDEPENDENT: if
-    * C(d1→d2) ≥ t then d1 misses at most ⌊(1−t)·n1⌋ of its own shingles
-    * in d2, so ANY ⌊(1−t)·n1⌋+1 distinct shingles of d1 must hit S2 —
-    * the ranking only minimizes candidate fan-out. That is what makes the
-    * index append-maintainable under a FROZEN snapshot: stale ranks can
-    * cost join width, never a missed pair (IncrementalPrefixSpec pins
-    * result equality under stale ranks). Shingles unseen at snapshot time
-    * rank with df 0 — "no corpus document contains this" is exactly
-    * maximal rarity. */
+  /** PPJoin prefix rows (d1, sg, core) for a shingle frame under a GIVEN
+    * df ranking: each document's first ⌊(1−t)·n⌋+2 shingles in (df, sg)
+    * order, rarest first; `core` marks the first ⌊(1−t)·n⌋+1 — the
+    * single-witness prefix. CORRECTNESS IS RANK-INDEPENDENT: if
+    * C(d1→d2) ≥ t then d1 misses at most u = ⌊(1−t)·n1⌋ of its own
+    * shingles in d2, so ANY u+1 distinct shingles of d1 must hit S2 (the
+    * core rows), and ANY u+2 must hit it TWICE (the full width — the
+    * pair-witness escalation, [[containmentPairs]]). The ranking only
+    * minimizes candidate fan-out. That is what makes the index
+    * append-maintainable under a FROZEN snapshot: stale ranks can cost
+    * join width, never a missed pair (IncrementalPrefixSpec pins result
+    * equality under stale ranks). Shingles unseen at snapshot time rank
+    * with df 0 — "no corpus document contains this" is exactly maximal
+    * rarity. */
   private[graft] def prefixRowsOf(shingleRows: DataFrame, dfFrozen: DataFrame): DataFrame = {
     val s = shingleRows.sparkSession
     import s.implicits._
+    val coreBound = expr(s"(n * ${ContainDen - ContainNum}) div $ContainDen") + 1
     shingleRows.join(dfFrozen, Seq("sg"), "left")
       .withColumn("dfr", coalesce($"df", lit(0L)))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"dfr", $"sg")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-      .filter($"rn" <= expr(s"(n * ${ContainDen - ContainNum}) div $ContainDen") + 1)
-      .select($"doc_id".as("d1"), $"sg")
+      .filter($"rn" <= coreBound + 1)
+      .select($"doc_id".as("d1"), $"sg", ($"rn" <= coreBound).as("core"))
   }
+
+  /** Shingle-PAIR posting rows (doc_id, pk) for a shingle frame: every
+    * unordered pair of distinct shingles within a document, keyed by
+    * xxhash64(g1, g2) with g1 < g2. Hash collisions can only ADD candidate
+    * pairs (the exact verify removes them); equal pairs always collide, so
+    * no qualifying pair is ever lost. Per-document-local (C(n,2) rows from
+    * the doc's own shingles), hence trivially append-maintainable and
+    * purgeable by doc_id. The doc_id equi-join is co-partitioned; the
+    * explicit-width repartition keeps AQE from coalescing the small input
+    * shuffle ahead of the quadratic-per-doc expansion (the a03 trap). */
+  private[graft] def pairRowsOf(shingleRows: DataFrame): DataFrame = {
+    val s = shingleRows.sparkSession
+    import s.implicits._
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = shingleRows.select($"doc_id", $"sg".as("g1")).repartition(n, $"doc_id")
+    val b = shingleRows.select($"doc_id", $"sg".as("g2"))
+    a.join(b, Seq("doc_id"))
+      .filter($"g1" < $"g2")
+      .select($"doc_id", xxhash64($"g1", $"g2").as("pk"))
+  }
+
+  /** At-rest shingle-pair posting index — built lazily on the FIRST
+    * escalated containment query (or eagerly by
+    * [[providePairIndexIfSaturated]] at ingest when the corpus profile
+    * already shows saturation), then maintained like every other
+    * per-document index. */
+  private[graft] def docPairs(s: SparkSession, d: String): DataFrame =
+    DerivedCache.table(s, d, PairTable) {
+      pairRowsOf(shingles(s, d))
+    }
 
   /** At-rest containment-prefix index (d1, sg) — an INDEX structure like
     * shingles/minhashBands: the df ranking and per-doc windows run once at
@@ -826,6 +875,8 @@ object DedupQueries {
     * way (the pre-round-7 lazy build made them timing-dependent). */
   private def appendPrefix(s: SparkSession, d: String, batchShingles: DataFrame): Unit = {
     import s.implicits._
+    if (DerivedCache.isBuilt(s, d, PairTable))
+      DerivedCache.append(s, d, PairTable)(pairRowsOf(batchShingles))
     if (!DerivedCache.isBuilt(s, d, PrefixTable)) return
     val dfFrozen = DerivedCache.existing(s, d, PrefixDfTable)
     DerivedCache.append(s, d, PrefixTable)(prefixRowsOf(batchShingles, dfFrozen))
@@ -851,45 +902,138 @@ object DedupQueries {
   }
 
   /** The shared containment pipeline behind dd7 (whole corpus) and dd10
-    * (ingest batch vs corpus): prefix-index candidates under `d1Pred` (on
-    * the prefix table's d1) and `d2Pred` (on the probed shingle index's
-    * doc_id), PPJoin size filter, candidate-driven verify.
+    * (ingest batch vs corpus): index-driven candidates under `d1Pred` (on
+    * the prefix table's d1) and `d2Pred` (on the probed index's doc_id),
+    * PPJoin size filter, candidate-driven verify.
     *
-    * PRE-FLIGHT (round 12): before the candidate join launches, its EXACT
+    * PRE-FLIGHT (round 12): before any candidate join launches, its EXACT
     * pre-distinct row count — Σ over qualifying prefix rows of the probed
     * side's live df, self-probes excluded, i.e. dd21's `cand_mass` total
-    * restricted to the query's predicates — is read off the two at-rest
-    * index tables (one narrow agg, zero text reads) and checked against
-    * [[Controls.CandMassKey]]. In the vocabulary-saturation regime the
-    * instrument (dd21) showed the blow-up but nothing stopped it; now the
-    * join refuses to launch past the guard, with the scaladoc's own
-    * remediation in the error. */
-  private[operators] def containmentPairs(s: SparkSession, d: String,
-      what: String, d1Pred: Column, d2Pred: Column): DataFrame = {
+    * restricted to the query's predicates — is read off the at-rest index
+    * tables (narrow aggs, zero text reads) and checked against
+    * [[Controls.CandMassKey]].
+    *
+    * SATURATION ESCALATION (round 13): when the single-witness prefix has
+    * lost its selectivity — average candidate fan-out per prefix row
+    * exceeds [[Controls.EscalateFanoutKey]] (default 16; a Heaps-law
+    * corpus measures ≈0.1, the saturated sf1 rung ≈71) — the route
+    * switches to PAIR witnesses instead of refusing: if C(d1→d2) ≥ t then
+    * d1 misses at most u = ⌊(1−t)·n1⌋ shingles in d2, so among its u+2
+    * prefix rows at least TWO are shared, and the unordered pair of those
+    * two probes the at-rest shingle-pair index ([[docPairs]]) — the
+    * adaptive-prefix principle (Wang, Li, Feng, SIGMOD'12: l-prefix with
+    * l=2). Pair document frequency is ~df²/N, so the candidate mass that
+    * saturates at ~N² under single witnesses collapses (sf1: 20.6M → 259k
+    * pre-distinct, 79× — measured). Documents with a single shingle
+    * (n=1, no pair exists) keep the single-witness route; the union is
+    * exactly the theorem's candidate superset, and the exact verify makes
+    * the result identical either way (PairRouteEquivalenceSpec). The
+    * ESCALATED route's own exact mass is gated by the same
+    * [[Controls.CandMassKey]] seatbelt, so a corpus saturated even at
+    * pair granularity still refuses loudly with the remediation text. */
+  /** Single-witness pre-flight: the EXACT pre-distinct candidate mass and
+    * the qualifying prefix row count (the fan-out denominator) — narrow
+    * aggs over the at-rest indexes, memoized per corpus mutation epoch. */
+  private def singlePreflight(s: SparkSession, d: String, what: String,
+      d1Pred: Column, d2Pred: Column): (Long, Long) = {
     import s.implicits._
-    val sh = shingles(s, d)
-    val sizes = docSizes(s, d)
-    Controls.massGate(s, what, d, "dd21_prefix_profile") {
-      val live = sh.filter(d2Pred).groupBy($"sg").agg(count(lit(1)).as("dfm"))
+    val m1 = EpochMemo.scalar(s, s"mass1:$what", d) {
+      val live = shingles(s, d).filter(d2Pred)
+        .groupBy($"sg").agg(count(lit(1)).as("dfm"))
       // rename d1 → doc_id so d2Pred decides the self-probe correction:
       // a prefix row's own (d1, sg) sits on the probe side iff d1 passes
       // d2Pred (prefix rows are a subset of the shingle index)
-      containPrefix(s, d).filter(d1Pred)
+      containPrefix(s, d).filter($"core").filter(d1Pred)
         .select($"d1".as("doc_id"), $"sg")
         .join(live, Seq("sg"), "left")
         .agg(coalesce(sum(coalesce($"dfm", lit(0L)) -
           when(d2Pred, 1L).otherwise(0L)), lit(0L)))
         .head.getLong(0)
     }
+    val nPrefixRows = EpochMemo.scalar(s, s"prefrows:$what", d) {
+      containPrefix(s, d).filter($"core").filter(d1Pred).count()
+    }
+    (m1, nPrefixRows)
+  }
+
+  /** Ingest-time escalation provisioning: if the corpus profile already
+    * shows single-witness saturation for the whole-corpus containment
+    * query (dd7's fan-out past [[Controls.EscalateFanoutKey]]), build the
+    * pair index NOW — at the same pinned snapshot point as the prefix
+    * family — so the first escalated query reads an at-rest index instead
+    * of paying the build. Shares dd7's memoized pre-flight scalars. */
+  private[operators] def providePairIndexIfSaturated(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    val (m1, rows) =
+      singlePreflight(s, d, "dd7_prefix_containment", lit(true), lit(true))
+    val fanoutMax = s.conf.getOption(Controls.EscalateFanoutKey)
+      .map(_.toDouble).getOrElse(Controls.EscalateFanoutDefault)
+    if (m1 > fanoutMax * math.max(rows, 1L)) {
+      docPairs(s, d)
+      ()
+    }
+  }
+
+  private[operators] def containmentPairs(s: SparkSession, d: String,
+      what: String, d1Pred: Column, d2Pred: Column): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d)
+    val sizes = docSizes(s, d)
+    val (m1, nPrefixRows) = singlePreflight(s, d, what, d1Pred, d2Pred)
+    val fanoutMax = s.conf.getOption(Controls.EscalateFanoutKey)
+      .map(_.toDouble).getOrElse(Controls.EscalateFanoutDefault)
+    val escalate = m1 > fanoutMax * math.max(nPrefixRows, 1L)
+    val rawCandidates = if (!escalate) {
+      Controls.massCheck(s, what, "dd21_prefix_profile", m1)
+      containPrefix(s, d).filter($"core").filter(d1Pred)
+        .join(sh.filter(d2Pred).select($"doc_id".as("d2"), $"sg"), "sg")
+        .filter($"d1" =!= $"d2")
+        .select($"d1", $"d2")
+    } else {
+      // pair-witness route: u+2-prefix pairs probe the pair index; n=1
+      // docs (pairless) keep the single route. Exact pre-distinct mass of
+      // BOTH parts gates the launch.
+      val pref = containPrefix(s, d).filter(d1Pred)
+      val prefPairs = pref.select($"d1", $"sg".as("g1"))
+        .join(pref.select($"d1", $"sg".as("g2")), Seq("d1"))
+        .filter($"g1" < $"g2")
+        .select($"d1", xxhash64($"g1", $"g2").as("pk"))
+      val singletonPref = pref.filter($"core")
+        .join(sizes.filter($"n" === 1L).select($"doc_id".as("d1")), "d1")
+      val m2 = EpochMemo.scalar(s, s"mass2:$what", d) {
+        val livePairs = docPairs(s, d).filter(d2Pred)
+          .groupBy($"pk").agg(count(lit(1)).as("pdm"))
+        val pairMass = prefPairs
+          .select($"d1".as("doc_id"), $"pk")
+          .join(livePairs, Seq("pk"), "left")
+          .agg(coalesce(sum(coalesce($"pdm", lit(0L)) -
+            when(d2Pred, 1L).otherwise(0L)), lit(0L)))
+          .head.getLong(0)
+        val liveSg = sh.filter(d2Pred).groupBy($"sg").agg(count(lit(1)).as("dfm"))
+        val singletonMass = singletonPref
+          .select($"d1".as("doc_id"), $"sg")
+          .join(liveSg, Seq("sg"), "left")
+          .agg(coalesce(sum(coalesce($"dfm", lit(0L)) -
+            when(d2Pred, 1L).otherwise(0L)), lit(0L)))
+          .head.getLong(0)
+        pairMass + singletonMass
+      }
+      Controls.massCheck(s, what, "dd21_prefix_profile", m2)
+      val viaPairs = prefPairs
+        .join(docPairs(s, d).filter(d2Pred).select($"doc_id".as("d2"), $"pk"), "pk")
+        .filter($"d1" =!= $"d2")
+        .select($"d1", $"d2")
+      val viaSingleton = singletonPref
+        .join(sh.filter(d2Pred).select($"doc_id".as("d2"), $"sg"), "sg")
+        .filter($"d1" =!= $"d2")
+        .select($"d1", $"d2")
+      viaPairs.union(viaSingleton)
+    }
     // PPJoin size filter BEFORE the expensive expansion: shared ≤ |S2|, so
     // C(d1→d2) ≥ t already implies 10·n2 ≥ 9·n1 — applying it to candidates
     // prunes the verify's Σ|S(d1)| work ~2× (measured at sf0.1) without
     // changing semantics (the oracle needs no mirror: the bound is implied)
-    val candidates = containPrefix(s, d)
-      .filter(d1Pred)
-      .join(sh.filter(d2Pred).select($"doc_id".as("d2"), $"sg"), "sg")
-      .filter($"d1" =!= $"d2")
-      .select($"d1", $"d2").distinct()
+    val candidates = rawCandidates.distinct()
       .join(sizes.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
       .join(sizes.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
       .filter($"n2" * ContainDen >= $"n1" * ContainNum)
@@ -1155,6 +1299,7 @@ object DedupQueries {
     purge(DocTables.Fingerprints)
     purge(DocTables.Sizes)
     purge(DocTables.Windows)
+    if (DerivedCache.isBuilt(s, d, PairTable)) purge(PairTable)
     if (DerivedCache.isBuilt(s, d, PrefixTable)) {
       purge(PrefixTable, "d1")
       val atRank = DerivedCache.existing(s, d, PrefixMetaTable).head.getLong(0)
@@ -1511,7 +1656,7 @@ object DedupQueries {
   private def dd21(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val live = shingles(s, d).groupBy($"sg").agg(count(lit(1)).as("df_live"))
-    containPrefix(s, d)
+    containPrefix(s, d).filter($"core")
       .join(live, "sg")
       .groupBy($"df_live")
       .agg(count(lit(1)).as("n_prefix_rows"),

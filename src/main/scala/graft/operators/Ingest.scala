@@ -49,6 +49,9 @@ object Ingest {
     // tables): building it HERE pins its df snapshot to ingest time, so an
     // appended corpus can never see a timing-dependent prefix state
     DedupQueries.buildPrefixIndex(s, d)
+    // escalation provisioning: on a saturation-profile corpus, build the
+    // shingle-pair index at the same snapshot point (no-op otherwise)
+    DedupQueries.providePairIndexIfSaturated(s, d)
     PipelineQueries.buildOffsets(s, d, docs)
     ()
   }
@@ -106,7 +109,7 @@ object Ingest {
     DocTables.Postings, DocTables.Cms, DocTables.MediaFp,
     DocTables.DupPairs, DocTables.DupClusters,
     DedupQueries.PrefixTable, DedupQueries.PrefixDfTable,
-    DedupQueries.PrefixMetaTable,
+    DedupQueries.PrefixMetaTable, DedupQueries.PairTable,
     PipelineQueries.OffsetsTable, PipelineQueries.OffsetsMetaTable)
 
   /** Data-file ceiling per maintained table before the ingest path compacts

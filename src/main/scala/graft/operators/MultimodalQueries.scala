@@ -19,8 +19,8 @@ import graft.sources.Tables
 object MultimodalQueries {
 
   private val Stride = 2
-  private val TargetW = 64
-  private val TargetH = 64
+  /** Integer box-pool factor for mm2's resize (2×2 spatial / ×4 temporal). */
+  private val ResizeK = 2
 
   /** PCM window size (samples) for mm4; the 256-sample assets yield 4 full
     * windows each. */
@@ -153,13 +153,16 @@ object MultimodalQueries {
   }
 
   /** mm1: per-modality decode statistics — asset/frame counts and mean
-    * decoded dimensions after frame-sampling every 2nd frame. */
+    * decoded dimensions after frame-sampling every 2nd frame, over the
+    * REAL mixed corpus (PNG/WAV/GRFV) with every dimension measured by the
+    * real parsers; the oracle states the encoder-contract dims the decode
+    * must recover. `modality` rides the decoded frame, so no second pass
+    * over the asset source. */
   private def mm1(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = MultimodalPipeline.syntheticAssets(s, d)
+    val assets = MultimodalPipeline.realMediaAssets(s, d)
     val decoded = MultimodalPipeline.decode(assets, stride = Stride)
     decoded.toDF()
-      .join(assets.toDF().select($"assetId", $"modality"), "assetId")
       .groupBy($"modality")
       .agg(
         countDistinct($"assetId").as("n_assets"),
@@ -169,20 +172,24 @@ object MultimodalQueries {
       .orderBy($"modality")
   }
 
-  /** mm2: resize + feature-extraction statistics — decoded frames resized to
-    * a fixed target, per-modality decimal-exact sum and min/max over every
-    * scaled feature element. Exercises the full decode → resize path as a
-    * declared, oracle-checked query (round-2 verdict item 6): `resize`
-    * rescales each float32 feature by `targetW·targetH / (w·h)` in float32,
-    * and DuckDB's REAL arithmetic is true float32 (verified bit-identical),
-    * so the oracle reproduces the exact feature bits. */
+  /** mm2: resize + feature-extraction statistics over the REAL corpus —
+    * decoded frames box-pooled by [[MultimodalPipeline.resize]] (2×2
+    * spatial average on pixels, ×4 temporal pool on samples, truncating
+    * integer division) and summarized by [[MultimodalPipeline
+    * .bucketFeatures]] (16 bucket means, each ONE float32 division of two
+    * exact integers). Per modality: decimal-exact sum and min/max over
+    * every feature element — the oracle rebuilds pixels/samples from the
+    * md5 generation chain, pools with `//`, and reproduces the float32
+    * division in REAL, bit-identical. */
   private def mm2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val assets = MultimodalPipeline.syntheticAssets(s, d)
+    val assets = MultimodalPipeline.realMediaAssets(s, d)
     val resized = MultimodalPipeline.resize(
-      MultimodalPipeline.decode(assets, stride = Stride), TargetW, TargetH)
-    resized.toDF()
-      .join(assets.toDF().select($"assetId", $"modality"), "assetId")
+      MultimodalPipeline.decode(assets, stride = Stride), ResizeK)
+    resized
+      .map(f => (f.modality, f.assetId, f.frameIdx,
+        MultimodalPipeline.bucketFeatures(f)))
+      .toDF("modality", "assetId", "frameIdx", "features")
       .select($"modality", $"assetId", $"frameIdx", explode($"features").as("f"))
       .groupBy($"modality")
       .agg(
@@ -616,10 +623,10 @@ object MultimodalQueries {
        |  FROM bits GROUP BY asset_id
        |)""".stripMargin
 
-  /** DuckDB reconstruction of syntheticAssets + decodeStub + frame sampling:
-    * modality = doc_id mod 3; video samples frames 0..(n_chars mod 10)+1 by
-    * 2; dims from the first 4 hex chars of md5(text || "#" || frameIdx),
-    * exactly `MultimodalPipeline.decodeStub`. */
+  /** DuckDB reconstructions of the REAL generation chains: modality =
+    * doc_id mod 3; pixels/samples rebuilt from the md5 content formulas
+    * the encoders consumed, so every oracle states what the real decode
+    * must recover. */
   def oracleSql: Map[String, String] = Map(
     // mm11: byte j of the 768-byte raster = md5 chain block j//16 offset
     // j%16 with salt '#png' (mm5's reconstruction under a different salt);
@@ -724,91 +731,108 @@ object MultimodalQueries {
          |  CAST(CASE modality WHEN 'video' THEN 64 * (n_chars % 3 + 2) ELSE 256 END AS BIGINT) AS n_units,
          |  TRUE AS ok
          |FROM assets ORDER BY asset_id""".stripMargin,
+    // mm1: the REAL corpus's dims/frame counts are encoder contracts the
+    // real decode must recover — image 16×16 PNG, audio 256-sample WAV
+    // (w=n_samples, h=1), video (n_chars%3)+2 GRFV frames of 8×8 PPM,
+    // sampled by stride 2.
     "mm1_decode_stats" ->
       s"""WITH assets AS (
          |  SELECT doc_id AS asset_id,
          |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-         |         text, n_chars
+         |         n_chars
          |  FROM documents
          |),
          |fr AS (
-         |  SELECT asset_id, modality, text,
+         |  SELECT asset_id, modality,
          |         unnest(CASE WHEN modality = 'video'
-         |                THEN generate_series(0, CAST(n_chars % 10 AS INTEGER) + 1, $Stride)
+         |                THEN generate_series(0, CAST(n_chars % 3 AS INTEGER) + 1, $Stride)
          |                ELSE [CAST(0 AS BIGINT)] END) AS fi
          |  FROM assets
-         |),
-         |dec AS (
-         |  SELECT asset_id, modality,
-         |         md5(text || '#' || CAST(fi AS VARCHAR)) AS hx
-         |  FROM fr
-         |),
-         |dims AS (
-         |  SELECT asset_id, modality,
-         |         16 + ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
-         |             + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1)) % 128 AS w,
-         |         16 + ((strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
-         |             + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 128 AS h
-         |  FROM dec
          |)
          |SELECT modality,
          |       CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets,
          |       CAST(COUNT(*) AS BIGINT) AS n_frames,
-         |       CAST(SUM(w) AS DOUBLE) / COUNT(*) AS avg_width,
-         |       CAST(SUM(h) AS DOUBLE) / COUNT(*) AS avg_height
-         |FROM dims GROUP BY modality ORDER BY modality""".stripMargin,
-    // mm2: same decode reconstruction, plus the 16 feature bytes
-    // (feature[i] = (byte_i - 128)/128, exact binary fractions) scaled in
-    // REAL (true float32) by 64·64/(w·h) — bit-identical to
-    // MultimodalPipeline.resize's float math.
+         |       CAST(SUM(CASE modality WHEN 'image' THEN 16 WHEN 'audio' THEN 256 ELSE 8 END) AS DOUBLE)
+         |         / COUNT(*) AS avg_width,
+         |       CAST(SUM(CASE modality WHEN 'audio' THEN 1 WHEN 'image' THEN 16 ELSE 8 END) AS DOUBLE)
+         |         / COUNT(*) AS avg_height
+         |FROM fr GROUP BY modality ORDER BY modality""".stripMargin,
+    // mm2: rebuild the decoded values from the md5 generation chains
+    // (image '#img' 768 raster bytes, audio '#aud' 256 PCM16 samples,
+    // video '#vid#fi' 192-byte frames), pool with truncating `//` exactly
+    // like resize's JVM `/`, then each feature is ONE float32 division of
+    // exact integers — REAL arithmetic reproduces every bit.
     "mm2_resize_features" ->
       s"""WITH assets AS (
          |  SELECT doc_id AS asset_id,
          |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-         |         text, n_chars
+         |         n_chars
          |  FROM documents
          |),
-         |fr AS (
-         |  SELECT asset_id, modality, text,
-         |         unnest(CASE WHEN modality = 'video'
-         |                THEN generate_series(0, CAST(n_chars % 10 AS INTEGER) + 1, $Stride)
-         |                ELSE [CAST(0 AS BIGINT)] END) AS fi
-         |  FROM assets
+         |imgv AS (
+         |  SELECT asset_id, j,
+         |         ${hexByte("md5(CAST(asset_id AS VARCHAR) || '#img#' || CAST(j // 16 AS VARCHAR))", "j % 16")} AS v
+         |  FROM assets, (SELECT unnest(generate_series(0, 767)) AS j) jj
+         |  WHERE modality = 'image'
          |),
-         |dec AS (
-         |  SELECT asset_id, modality, fi,
-         |         md5(text || '#' || CAST(fi AS VARCHAR)) AS hx
-         |  FROM fr
+         |imgp AS (
+         |  SELECT asset_id,
+         |         (((j // 3) // 16) // 2 * 8 + ((j // 3) % 16) // 2) * 3 + j % 3 AS q,
+         |         SUM(v) // 4 AS pv
+         |  FROM imgv
+         |  GROUP BY asset_id, (((j // 3) // 16) // 2 * 8 + ((j // 3) % 16) // 2) * 3 + j % 3
          |),
-         |dims AS (
-         |  SELECT asset_id, modality, fi, hx,
-         |         16 + ((strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
-         |             + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1)) % 128 AS w,
-         |         16 + ((strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
-         |             + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)) % 128 AS h
-         |  FROM dec
+         |imgf AS (
+         |  SELECT asset_id, 0 AS fi,
+         |         CAST(CAST(SUM(pv) - 1536 AS REAL) / CAST(1536 AS REAL) AS REAL) AS f
+         |  FROM imgp GROUP BY asset_id, q // 12
          |),
-         |feats AS (
-         |  SELECT asset_id, modality, fi, w, h,
-         |         CAST(((strpos('0123456789abcdef', substring(hx, 2 * i + 1, 1)) - 1) * 16
-         |             + strpos('0123456789abcdef', substring(hx, 2 * i + 2, 1)) - 1 - 128)
-         |           AS DOUBLE) / 128 AS f0
-         |  FROM dims, (SELECT unnest(generate_series(0, 15)) AS i) ii
+         |audv AS (
+         |  SELECT asset_id, m,
+         |         ${hexByte("md5(CAST(asset_id AS VARCHAR) || '#aud#' || CAST(m // 8 AS VARCHAR))", "2 * (m % 8)")} * 256
+         |       + ${hexByte("md5(CAST(asset_id AS VARCHAR) || '#aud#' || CAST(m // 8 AS VARCHAR))", "2 * (m % 8) + 1")} - 32768 AS v
+         |  FROM assets, (SELECT unnest(generate_series(0, 255)) AS m) mm
+         |  WHERE modality = 'audio'
          |),
-         |scaled AS (
-         |  SELECT asset_id, modality, fi,
-         |         CAST(f0 AS REAL) *
-         |           ((CAST($TargetW AS REAL) * CAST($TargetH AS REAL)) /
-         |            (CAST(w AS REAL) * CAST(h AS REAL))) AS fs
-         |  FROM feats
+         |audp AS (
+         |  SELECT asset_id, m // 4 AS q, SUM(v) // 4 AS pv
+         |  FROM audv GROUP BY asset_id, m // 4
+         |),
+         |audf AS (
+         |  SELECT asset_id, 0 AS fi,
+         |         CAST(CAST(SUM(pv) AS REAL) / CAST(131072 AS REAL) AS REAL) AS f
+         |  FROM audp GROUP BY asset_id, q // 4
+         |),
+         |vidv AS (
+         |  SELECT asset_id, fi, j,
+         |         ${hexByte("md5(CAST(asset_id AS VARCHAR) || '#vid#' || CAST(fi AS VARCHAR) || '#' || CAST(j // 16 AS VARCHAR))", "j % 16")} AS v
+         |  FROM (SELECT asset_id, unnest(generate_series(0, CAST(n_chars % 3 AS INTEGER) + 1, $Stride)) AS fi
+         |        FROM assets WHERE modality = 'video') fz,
+         |       (SELECT unnest(generate_series(0, 191)) AS j) jj
+         |),
+         |vidp AS (
+         |  SELECT asset_id, fi,
+         |         (((j // 3) // 8) // 2 * 4 + ((j // 3) % 8) // 2) * 3 + j % 3 AS q,
+         |         SUM(v) // 4 AS pv
+         |  FROM vidv GROUP BY asset_id, fi, (((j // 3) // 8) // 2 * 4 + ((j // 3) % 8) // 2) * 3 + j % 3
+         |),
+         |vidf AS (
+         |  SELECT asset_id, fi,
+         |         CAST(CAST(SUM(pv) - 384 AS REAL) / CAST(384 AS REAL) AS REAL) AS f
+         |  FROM vidp GROUP BY asset_id, fi, q // 3
+         |),
+         |allf AS (
+         |  SELECT a.modality, u.asset_id, u.fi, u.f
+         |  FROM (SELECT * FROM imgf UNION ALL SELECT * FROM audf UNION ALL SELECT * FROM vidf) u
+         |  JOIN assets a ON u.asset_id = a.asset_id
          |)
          |SELECT modality,
          |       CAST(COUNT(DISTINCT asset_id * 100 + fi) AS BIGINT) AS n_frames,
          |       CAST(COUNT(*) AS BIGINT) AS n_vals,
-         |       ${sqlSum("CAST(fs AS DOUBLE)")} AS feat_sum,
-         |       CAST(MIN(fs) AS DOUBLE) AS feat_min,
-         |       CAST(MAX(fs) AS DOUBLE) AS feat_max
-         |FROM scaled GROUP BY modality ORDER BY modality""".stripMargin,
+         |       ${sqlSum("CAST(f AS DOUBLE)")} AS feat_sum,
+         |       CAST(MIN(f) AS DOUBLE) AS feat_min,
+         |       CAST(MAX(f) AS DOUBLE) AS feat_max
+         |FROM allf GROUP BY modality ORDER BY modality""".stripMargin,
     // mm4: audio = 32 md5 blocks of 8 samples each; window w (WinSize=64
     // samples) = blocks 8w..8w+7, i.e. win_idx = b // (WinSize/8)
     "mm4_audio_windows" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact.{davg, dec10, dsum, sqlAvg, sqlSum}
+import graft.functions.Exact.{davg, dec10, dsum, sqlAvg, sqlDec10, sqlSum}
 import graft.sources.Tables
 
 /** Relational query surface (SURVEY.md §2.G): scans, filters/projections,
@@ -468,11 +468,10 @@ object RelationalQueries {
         |                  AND o_orderstatus = 'F' AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
     "q06_window_top_orders" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rk, run_sum FROM (
+      s"""SELECT o_custkey, o_orderkey, o_totalprice, rk, run_sum FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER w AS BIGINT) AS rk,
-        |    CAST(CAST(SUM(CASE WHEN abs(o_totalprice) < 5e-11 THEN CAST(0 AS DECIMAL(28,10))
-        |      ELSE TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)) END) OVER
+        |    CAST(CAST(SUM(${sqlDec10("o_totalprice")}) OVER
         |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS run_sum
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
@@ -532,9 +531,8 @@ object RelationalQueries {
     // decimal-exact windowed sum: the VARCHAR cast-chain is Exact.sqlSum's
     // construction applied to a WINDOW aggregate
     "q19_range_window" ->
-      """SELECT o_orderkey, o_custkey, o_orderdate,
-        |       CAST(CAST(SUM(CASE WHEN abs(o_totalprice) < 5e-11 THEN CAST(0 AS DECIMAL(28,10))
-        |         ELSE TRY_CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)) END) OVER w AS VARCHAR) AS DOUBLE) AS rev30,
+      s"""SELECT o_orderkey, o_custkey, o_orderdate,
+        |       CAST(CAST(SUM(${sqlDec10("o_totalprice")}) OVER w AS VARCHAR) AS DOUBLE) AS rev30,
         |       CAST(COUNT(*) OVER w AS BIGINT) AS n30
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey

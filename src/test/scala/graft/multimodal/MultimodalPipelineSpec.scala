@@ -7,7 +7,7 @@ class MultimodalPipelineSpec extends SparkSpec {
   import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
-  private lazy val assets = syntheticAssets(spark, dir)
+  private lazy val assets = realMediaAssets(spark, dir)
 
   test("asset schema: binary payload + typed metadata") {
     val schema = assets.schema
@@ -16,7 +16,7 @@ class MultimodalPipelineSpec extends SparkSpec {
     assert(assets.count() == 500)
   }
 
-  test("decode emits one frame per image/audio asset, sampled frames per video") {
+  test("real decode emits one frame per image/audio asset, sampled frames per video") {
     val frames = decode(assets, stride = 2).cache()
     val perAsset = frames.groupByKey(_.assetId).count().collect().toMap
     val metas = assets.collect().map(a => a.assetId -> a).toMap
@@ -26,19 +26,52 @@ class MultimodalPipelineSpec extends SparkSpec {
       assert(perAsset(a.assetId) == expected,
         s"asset ${a.assetId} (${a.modality}): ${perAsset(a.assetId)} != $expected")
     }
-    assert(frames.filter(_.features.length == 16).count() == frames.count())
+    frames.collect().foreach { f =>
+      f.modality match {
+        case "image" => assert(f.width == 16 && f.height == 16 && f.vals.length == 768)
+        case "audio" => assert(f.width == 256 && f.height == 1 && f.vals.length == 256)
+        case _ => assert(f.width == 8 && f.height == 8 && f.vals.length == 192)
+      }
+    }
   }
 
-  test("decode is deterministic (stubbed codec)") {
+  test("decode recovers the exact generated content through the real containers") {
+    val byId = decode(assets).collect().map(f => (f.assetId, f.frameIdx) -> f).toMap
+    // PNG: zlib round-trip must reproduce the '#img' raster byte-for-byte
+    val img = byId((0L, 0))
+    assert(img.vals.toSeq == Codec.contentBytes("0#img", 768).map(_ & 0xff).toSeq)
+    // WAV: PCM16 samples == the '#aud' sample chain
+    val aud = byId((1L, 0))
+    assert(aud.vals.toSeq == Codec.contentSamples("1#aud", 256).map(_.toInt).toSeq)
+    // GRFV frame 2 of asset 2 == its '#vid#2' raster
+    if (byId.contains((2L, 2)))
+      assert(byId((2L, 2)).vals.toSeq ==
+        Codec.contentBytes("2#vid#2", 192).map(_ & 0xff).toSeq)
+  }
+
+  test("resize box-pools the real grid; bucketFeatures is one exact float division") {
+    // hand-built 4×2 RGB frame: channel ch pixel (x,y) value = base pattern
+    val vals = Array.tabulate(4 * 2 * 3)(identity) // 0..23
+    val f = DecodedFrame(9L, "image", 0, 4, 2, 3, vals)
+    val pooled = resize(Seq(f).toDS(), 2).collect().head
+    assert(pooled.width == 2 && pooled.height == 1)
+    // cell (X=0,Y=0,ch=0): pixels (0,0),(1,0),(0,1),(1,1) ch0 = 0,3,12,15 -> 30/4 = 7
+    assert(pooled.vals(0) == 7)
+    // audio pool: 8 samples -> 2 pooled by 4, truncating toward zero
+    val a = DecodedFrame(9L, "audio", 0, 8, 1, 1, Array(-1, -1, -1, -4, 1, 1, 1, 4))
+    val pa = resize(Seq(a).toDS(), 2).collect().head
+    assert(pa.vals.toSeq == Seq(-1, 1), s"got ${pa.vals.toSeq}") // -7/4 = -1 (truncating), 7/4 = 1
+    // bucketFeatures: 16 vals of 128 -> every feature exactly 0; audio scale
+    val z = DecodedFrame(9L, "image", 0, 16, 1, 1, Array.fill(16)(128))
+    assert(bucketFeatures(z).toSeq == Seq.fill(16)(0.0f))
+    val s1 = DecodedFrame(9L, "audio", 0, 16, 1, 1, Array.fill(16)(16384))
+    assert(bucketFeatures(s1).toSeq == Seq.fill(16)(0.5f))
+  }
+
+  test("decode is deterministic (real codecs)") {
     val a = decode(assets).collect().sortBy(f => (f.assetId, f.frameIdx))
     val b = decode(assets).collect().sortBy(f => (f.assetId, f.frameIdx))
-    assert(a.map(_.features.toSeq).toSeq == b.map(_.features.toSeq).toSeq)
-  }
-
-  test("resize rescales dimensions and features without re-decoding") {
-    val frames = decode(assets.limit(10))
-    val resized = resize(frames, 32, 32).collect()
-    assert(resized.forall(f => f.width == 32 && f.height == 32))
+    assert(a.map(_.vals.toSeq).toSeq == b.map(_.vals.toSeq).toSeq)
   }
 
   test("image tiles partition the raster and recompose whole-image sums") {

@@ -49,6 +49,11 @@ class DeletionSpec extends SparkSpec {
     // (frozen-until-drift); re-rank first so the family compares
     // bit-for-bit, the IncrementalPrefixSpec convention
     DedupQueries.rerankPrefix(spark, dDel)
+    // the pair index is profile-provisioned (saturation only), so its
+    // built-ness can legitimately differ between the two corpora; ensure
+    // both sides exist so the purge path is compared content-for-content
+    DedupQueries.docPairs(spark, dDel)
+    DedupQueries.docPairs(spark, dRef)
 
     for (t <- Ingest.maintainedDocTables) {
       val del0 = DerivedCache.existing(spark, dDel, t)

@@ -73,6 +73,26 @@ class IncrementalPrefixSpec extends SparkSpec {
       .head.getLong(0))
   }
 
+  test("shingle-pair index: append == fresh rebuild, and dd7 stays exact under forced escalation") {
+    val d = freshKey("pairs-appended")
+    val dFull = freshKey("pairs-rebuilt")
+    Ingest.buildDocumentIndexes(spark, d, base)
+    // provision the pair index on the base corpus (the saturation hook is
+    // profile-driven; the spec forces the build to pin the append path)
+    DedupQueries.docPairs(spark, d)
+    Ingest.appendDocumentBatch(spark, d, delta)
+    Ingest.buildDocumentIndexes(spark, dFull, docs)
+    DedupQueries.docPairs(spark, dFull)
+    assert(rows(DerivedCache.existing(spark, d, DedupQueries.PairTable))
+        == rows(DerivedCache.existing(spark, dFull, DedupQueries.PairTable)),
+      "appended pair index must equal the fresh rebuild")
+    // the appended index serves the escalated route exactly
+    spark.conf.set(Controls.EscalateFanoutKey, "0.0")
+    try assert(rows(dd7Pairs(d)) == rows(dd7Pairs(dFull)),
+      "escalated dd7 over the appended pair index must equal the rebuild")
+    finally spark.conf.unset(Controls.EscalateFanoutKey)
+  }
+
   test("corpus growth past the threshold auto-triggers the re-rank") {
     val d = freshKey("auto")
     val dFull = freshKey("auto-rebuilt")

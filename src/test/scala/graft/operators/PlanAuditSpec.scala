@@ -149,7 +149,9 @@ abstract class PlanAuditBase extends SparkSpec {
       s"dd10 must have exactly one sg-keyed join (the prefix probe):\n${p.take(2000)}")
     // the prefix index is the only at-rest table whose scan has a d1 column;
     // the batch restriction must be pushed INTO that scan, not filtered later
-    assert("""FileScan parquet \[d1#\d+L,sg#\d+\][^\n]*% 10\) = 0""".r.findFirstIn(p).isDefined,
+    // (the scan also reads the round-13 `core` flag — the single-witness
+    // row marker the non-escalated route filters on)
+    assert("""FileScan parquet \[d1#\d+L,sg#\d+,core#\d+\][^\n]*% 10\) = 0""".r.findFirstIn(p).isDefined,
       "dd10's candidates must read the at-rest prefix index with the batch filter pushed down")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }

@@ -20,13 +20,13 @@ class PrefixProfileSpec extends SparkSpec {
     // direct count: prefix rows joined against the live shingle index,
     // self-probes excluded — dd7's candidate join before distinct
     val sh = DedupQueries.shingles(spark, dir)
-    val direct = DedupQueries.containPrefix(spark, dir)
+    val direct = DedupQueries.containPrefix(spark, dir).filter($"core")
       .join(sh.select($"doc_id".as("d2"), $"sg"), "sg")
       .filter($"d1" =!= $"d2")
       .count()
     assert(mass == direct, s"profile mass $mass != direct candidate count $direct")
     // row conservation: every at-rest prefix row lands in exactly one bucket
-    val nPrefix = DedupQueries.containPrefix(spark, dir).count()
+    val nPrefix = DedupQueries.containPrefix(spark, dir).filter($"core").count()
     assert(nRows == nPrefix, s"histogram rows $nRows != prefix rows $nPrefix")
     // df buckets are positive and strictly increasing (ORDER BY df)
     val dfs = prof.map(_.getLong(0))

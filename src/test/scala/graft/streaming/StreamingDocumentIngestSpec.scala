@@ -46,10 +46,14 @@ class StreamingDocumentIngestSpec extends SparkSpec {
     assert(delta1.count() > 0 && delta2.count() > 0)
 
     Ingest.buildDocumentIndexes(spark, dBatch, base)
+    // provision the saturation-escalation pair index on BOTH corpora so the
+    // stream's appends maintain it and the table loop compares it
+    graft.operators.DedupQueries.docPairs(spark, dBatch)
     Ingest.appendDocumentBatch(spark, dBatch, delta1)
     Ingest.appendDocumentBatch(spark, dBatch, delta2)
 
     Ingest.buildDocumentIndexes(spark, dStream, base)
+    graft.operators.DedupQueries.docPairs(spark, dStream)
     val in = MemoryStream[(Long, String, String, String, Long)]
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-doc").toString
     val q = StreamingDocumentIngest.start(
@@ -65,10 +69,27 @@ class StreamingDocumentIngestSpec extends SparkSpec {
     } finally q.stop()
 
     for (t <- Ingest.maintainedDocTables) {
-      assert(rows(DerivedCache.existing(spark, dStream, t))
-          == rows(DerivedCache.existing(spark, dBatch, t)),
-        s"streamed ${t._1} must equal the batch-appended table")
+      assert(DerivedCache.isBuilt(spark, dStream, t) == DerivedCache.isBuilt(spark, dBatch, t),
+        s"${t._1}: built-ness must agree between streamed and batch corpora")
+      if (DerivedCache.isBuilt(spark, dBatch, t))
+        assert(rows(DerivedCache.existing(spark, dStream, t))
+            == rows(DerivedCache.existing(spark, dBatch, t)),
+          s"streamed ${t._1} must equal the batch-appended table")
     }
+
+    // dd10's VERDICT table under live arrival: the online-containment query
+    // over the stream-maintained indexes must equal the batch path — under
+    // the normal route AND under forced pair-witness escalation (the
+    // round-13 saturation scale path), closing the last online-dedup gap
+    def dd10(d: String): Seq[String] =
+      rows(graft.operators.DedupQueries.queries("dd10_online_containment")(spark, d))
+    assert(dd10(dStream) == dd10(dBatch),
+      "streamed dd10 verdicts must equal the batch path")
+    val fanoutKey = "spark.graft.containment.escalateFanout"
+    spark.conf.set(fanoutKey, "0.0")
+    try assert(dd10(dStream) == dd10(dBatch),
+      "streamed dd10 verdicts must equal the batch path under pair escalation")
+    finally spark.conf.unset(fanoutKey)
   }
 
   test("CDC stream (adds + deletes) == the batch append/delete sequence") {
@@ -101,7 +122,8 @@ class StreamingDocumentIngestSpec extends SparkSpec {
       feed(dels, "delete")
     } finally q.stop()
 
-    for (t <- Ingest.maintainedDocTables) {
+    for (t <- Ingest.maintainedDocTables
+         if DerivedCache.isBuilt(spark, dBatch, t)) {
       assert(rows(DerivedCache.existing(spark, dStream, t))
           == rows(DerivedCache.existing(spark, dBatch, t)),
         s"CDC-streamed ${t._1} must equal the batch sequence")

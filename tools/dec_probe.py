@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Cross-engine probe for Exact.sqlSum's double->DECIMAL(28,10) oracle route.
+
+Usage:
+  sbt -batch "runMain graft.tools.DecProbe /tmp/decprobe/jvm.csv 20000"
+  python3 tools/dec_probe.py /tmp/decprobe/jvm.csv
+
+Reads the JVM ground-truth dump (bitsHex,unscaledOrNULL — the value
+Exact.toDec10 produces on the RUNNING JVM, i.e. Double.toString shortest
+repr rounded HALF_UP at scale 10) and evaluates the DuckDB side of the
+oracle route on the identical doubles. Reports mismatches; exit 1 on any.
+
+Evaluates BOTH formulas so regressions/improvements are quantified:
+  old  — CAST(x AS VARCHAR) inner hop (DuckDB prints <= 15 sig digits; known
+         to lose the 16th/17th digit for full-mantissa |x| >= ~3e4);
+  new  — shortest round-trip printf cascade (%.15g -> %.16g -> %.17g, first
+         that parses back to the same double), the round-13 fix.
+"""
+import sys, struct
+import duckdb, pandas as pd
+from fractions import Fraction
+
+OLD = ("CASE WHEN abs(x) < 5e-11 THEN CAST(0 AS DECIMAL(28,10)) "
+       "ELSE TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL(28,10)) END")
+NEW = ("CASE WHEN abs(x) < 5e-11 THEN CAST(0 AS DECIMAL(28,10)) "
+       "WHEN TRY_CAST(printf('%.15g', x) AS DOUBLE) = x "
+       "THEN TRY_CAST(printf('%.15g', x) AS DECIMAL(28,10)) "
+       "WHEN TRY_CAST(printf('%.16g', x) AS DOUBLE) = x "
+       "THEN TRY_CAST(printf('%.16g', x) AS DECIMAL(28,10)) "
+       "ELSE TRY_CAST(printf('%.17g', x) AS DECIMAL(28,10)) END")
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/decprobe/jvm.csv"
+    bits, gt = [], []
+    for line in open(path):
+        h, v = line.strip().split(",")
+        bits.append(int(h, 16))
+        gt.append(None if v == "NULL" else int(v))
+    xs = [struct.unpack("<d", struct.pack("<Q", b))[0] for b in bits]
+    df = pd.DataFrame({"x": xs})
+    con = duckdb.connect()
+    con.register("probe", df)
+    for label, formula in (("old", OLD), ("new", NEW)):
+        got = con.execute(
+            f"SELECT CAST({formula} AS VARCHAR) FROM probe").fetchall()
+        mism = 0
+        for (s,), want, x in zip(got, gt, xs):
+            have = None if s is None else int(Fraction(s) * 10**10)
+            if have != want:
+                if mism < 8:
+                    print(f"  [{label}] MISMATCH x={x!r} duckdb={s} jvm={want}")
+                mism += 1
+        print(f"[{label}] {len(xs)} probes, {mism} mismatches")
+        if label == "new" and mism:
+            sys.exit(1)
+    print("OK: new formula bit-exact vs JVM over the full probe corpus")
+
+
+if __name__ == "__main__":
+    main()
