@@ -65,7 +65,8 @@ object DedupQueries {
     "dd18_boilerplate" -> dd18,
     "dd19_canonical_copy" -> dd19,
     "dd20_threshold_sweep" -> dd20,
-    "dd21_prefix_profile" -> dd21)
+    "dd21_prefix_profile" -> dd21,
+    "dd22_pair_profile" -> dd22)
 
   /** Force at-rest index materialization (ingest-time cost, untimed in Bench). */
   def warm(s: SparkSession, d: String): Unit = {
@@ -1665,6 +1666,46 @@ object DedupQueries {
       .orderBy($"df")
   }
 
+  /** dd22: the ESCALATED route's pre-flight instrument — dd21's analog
+    * over PAIR witnesses: per live pair document frequency `pdf`, how many
+    * u+2-prefix pairs carry a shingle pair with that pdf and the candidate
+    * probes they generate (`cand_mass = Σ (pdf − 1)` — each prefix pair
+    * joins the pair postings on its key and meets pdf occurrences, one of
+    * which is d1 itself). The histogram total IS the exact pre-distinct
+    * row count of the escalated candidate join's pair part, so a 100-TB
+    * operator facing dd21's saturation verdict reads THIS profile next:
+    * a collapsed total (sf1: 20.6M → 259k) says the pair route clears the
+    * corpus; a still-saturated one says route to dd13. Pair df is derived
+    * on the fly from the shingle index (the dd4
+    * discipline: the instrument must not depend on the index it decides
+    * whether to provision), one expansion pass + two keyed hash aggs,
+    * integers only, hash-exact. */
+  private def dd22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pref = containPrefix(s, d)
+    val prefPairs = pref.select($"d1", $"sg".as("g1"))
+      .join(pref.select($"d1", $"sg".as("g2")), Seq("d1"))
+      .filter($"g1" < $"g2")
+      .select($"d1", $"g1", $"g2")
+    // keyed by the TRUE pair identity (g1, g2), not the xxhash64 key the
+    // at-rest index uses, so the DuckDB oracle can reproduce the histogram
+    // exactly; a hash collision widens the engine's candidate join by the
+    // colliding pdf, which the exact verify then discards — the instrument
+    // reports the collision-free mass both engines can agree on
+    val sh = shingles(s, d)
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val live = sh.select($"doc_id", $"sg".as("g1")).repartition(n, $"doc_id")
+      .join(sh.select($"doc_id", $"sg".as("g2")), Seq("doc_id"))
+      .filter($"g1" < $"g2")
+      .groupBy($"g1", $"g2").agg(count(lit(1)).as("pdf_live"))
+    prefPairs.join(live, Seq("g1", "g2"))
+      .groupBy($"pdf_live")
+      .agg(count(lit(1)).as("n_prefix_pairs"),
+        sum($"pdf_live" - 1L).as("cand_mass"))
+      .select($"pdf_live".as("pdf"), $"n_prefix_pairs", $"cand_mass")
+      .orderBy($"pdf")
+  }
+
   /** The dd20 sweep over any (d1, d2, shared, n1, n2) pair-stats frame —
     * split out so the planted-pair spec can drive it directly. */
   private[operators] def sweepOf(pairs: DataFrame): DataFrame = {
@@ -1713,6 +1754,36 @@ object DedupQueries {
          |       CAST(SUM(d.df - 1) AS BIGINT) AS cand_mass
          |FROM pref p JOIN df d USING (sg)
          |GROUP BY d.df ORDER BY d.df""".stripMargin,
+    // dd22: dd21's pair-witness analog — the u+2 prefix, its unordered
+    // pairs, and the on-the-fly pair document frequency, keyed by the true
+    // pair identity so both engines agree exactly
+    "dd22_pair_profile" ->
+      s"""WITH $shSql,
+         |df AS (SELECT sg, COUNT(*) AS df FROM sh GROUP BY sg),
+         |ranked AS (
+         |  SELECT doc_id, sg,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, sg) AS rn,
+         |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM sh JOIN df USING (sg)
+         |),
+         |pref AS (
+         |  SELECT doc_id AS d1, sg FROM ranked
+         |  WHERE rn <= (n * ${ContainDen - ContainNum}) // $ContainDen + 2
+         |),
+         |prefpairs AS (
+         |  SELECT a.d1, a.sg AS g1, b.sg AS g2
+         |  FROM pref a JOIN pref b ON a.d1 = b.d1 AND a.sg < b.sg
+         |),
+         |pairdf AS (
+         |  SELECT a.sg AS g1, b.sg AS g2, COUNT(*) AS pdf
+         |  FROM sh a JOIN sh b ON a.doc_id = b.doc_id AND a.sg < b.sg
+         |  GROUP BY 1, 2
+         |)
+         |SELECT CAST(d.pdf AS BIGINT) AS pdf,
+         |       CAST(COUNT(*) AS BIGINT) AS n_prefix_pairs,
+         |       CAST(SUM(d.pdf - 1) AS BIGINT) AS cand_mass
+         |FROM prefpairs p JOIN pairdf d USING (g1, g2)
+         |GROUP BY d.pdf ORDER BY pdf""".stripMargin,
     // dd20: the dd3 candidate chain, pair stats kept as integers, the
     // grid stated as VALUES and every threshold preserved by left joins
     "dd20_threshold_sweep" ->

@@ -32,4 +32,27 @@ class PrefixProfileSpec extends SparkSpec {
     val dfs = prof.map(_.getLong(0))
     assert(dfs.forall(_ >= 1) && dfs.zip(dfs.tail).forall { case (a, b) => a < b })
   }
+
+  test("dd22 pair-histogram mass equals the directly-counted escalated join") {
+    import spark.implicits._
+    val prof = DedupQueries.queries("dd22_pair_profile")(spark, dir).collect()
+    val mass = prof.map(_.getLong(2)).sum
+    val nPairs = prof.map(_.getLong(1)).sum
+    // direct count: the escalated route's pair part — u+2-prefix pairs
+    // probing the pair posting index, self-probes excluded
+    val pref = DedupQueries.containPrefix(spark, dir)
+    val prefPairs = pref.select($"d1", $"sg".as("g1"))
+      .join(pref.select($"d1", $"sg".as("g2")), Seq("d1"))
+      .filter($"g1" < $"g2")
+    val direct = prefPairs
+      .join(DedupQueries.docPairs(spark, dir)
+          .select($"doc_id".as("d2"), $"pk"),
+        xxhash64($"g1", $"g2") === $"pk")
+      .filter($"d1" =!= $"d2")
+      .count()
+    assert(mass == direct, s"pair profile mass $mass != direct count $direct")
+    // row conservation: every prefix pair appears in exactly one bucket
+    assert(nPairs == prefPairs.count(),
+      s"histogram rows $nPairs != prefix pairs ${prefPairs.count()}")
+  }
 }
