@@ -59,6 +59,14 @@ private[operators] object Controls {
   val EscalateFanoutKey = "spark.graft.containment.escalateFanout"
   val EscalateFanoutDefault = 16.0
 
+  /** dd4's analog of [[EscalateFanoutKey]]: average pigeonhole fan-out per
+    * (band, chunk) row above which the SimHash family escalates from the
+    * 4×16-bit single-chunk bands to 2-of-5 block-pair witnesses
+    * ([[DedupQueries.simhashPairBands]]). Healthy sf0.1 measures ≈10, the
+    * saturated sf1 rung ≈87. Same forcing semantics: 0 forces the pair
+    * route, a huge value pins the single route. */
+  val SimhashEscalateKey = "spark.graft.simhash.escalateFanout"
+
   /** Candidate-MASS pre-flight gate for the index-driven candidate families
     * (prefix containment dd7/dd10, banded LSH dd3/dd8/dd9, SimHash
     * pigeonhole dd4) — the seatbelt on top of the dd21/dd15 instruments.

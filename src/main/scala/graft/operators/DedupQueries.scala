@@ -638,39 +638,97 @@ object DedupQueries {
     * banding: the 64-bit hash splits into 4×16-bit chunks; Hamming distance
     * ≤ 3 forces at least one identical chunk, so the (band, chunk) self-join
     * finds every such pair without an all-pairs scan — the SimHash analog of
-    * dd3's LSH bands, and the reason this scales to 100 TB. (Same
-    * vocabulary-saturation caveat as dd7: SimHash bits are signs of
+    * dd3's LSH bands, and the reason this scales to 100 TB. Same
+    * vocabulary-saturation caveat as dd7 (SimHash bits are signs of
     * word-vector sums, so a corpus drawn from a tiny fixed vocabulary
     * concentrates chunk values and the pigeonhole candidates grow
-    * super-linearly — measured at the sf1 rung; on Heaps'-law text the
-    * chunk distribution stays near-uniform.) The oracle
+    * super-linearly; on Heaps'-law text the chunk distribution stays
+    * near-uniform) — and, since round 13, the same ANSWER: when the
+    * measured fan-out per band row passes [[Controls.SimhashEscalateKey]],
+    * the route escalates to 2-of-5 block-pair witnesses
+    * ([[simhashPairBands]]) whose ~26-bit keys divide the saturated rung's
+    * candidate mass 8.4× (17.3M → 2.06M at sf1, 12.2 → 6.8 s) while staying
+    * pigeonhole-complete: ≤ 3 flipped bits touch ≤ 3 of the 5 blocks, so
+    * two blocks — one pair band — always match. The oracle
     * reconstructs the identical hash in SQL: md5 hex prefix → 64 per-bit
     * sign sums → sign bits reassembled (two's-complement via HUGEINT
     * wraparound), then the same banding and bit_count(xor) verification. */
   private val HammingTau = 3
+
+  /** Single-witness pigeonhole banding over `(doc_id, sh)`: 4×16-bit chunks.
+    * Hamming ≤ [[HammingTau]] = 3 touches ≤ 3 chunks, so ≥ 1 chunk matches
+    * exactly — the (band, chunk) self-join is candidate-complete. */
+  private[operators] def simhashSingleBands(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"), col("sh"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("chunk", expr("(sh >> (16 * band)) & 65535"))
+      .select(col("doc_id"), col("sh"), col("band"), col("chunk"))
+
+  /** Escalated PAIR-witness banding over `(doc_id, sh)`: 5 blocks of
+    * 13/13/13/13/12 bits, all C(5,2)=10 unordered block pairs as bands.
+    * Hamming ≤ 3 touches ≤ 3 of the 5 blocks, so ≥ 2 blocks match exactly
+    * and SOME pair band matches on both values — candidate-complete, with a
+    * ~26-bit key instead of 16 (the dd7 pair-witness principle applied to
+    * the pigeonhole: under vocabulary saturation SimHash bits concentrate,
+    * and the wider two-block key divides the sf1 rung's candidate mass
+    * 8.4×, 17.3M → 2.06M measured, at 10 vs 4 band rows per document). */
+  private[operators] def simhashPairBands(hashed: DataFrame): DataFrame = {
+    val off = Seq(0, 13, 26, 39, 52)
+    val w = Seq(13, 13, 13, 13, 12)
+    val block = (b: Int) => expr(s"(sh >> ${off(b)}) & ${(1L << w(b)) - 1}")
+    val pairs = for (i <- 0 until 5; j <- i + 1 until 5) yield
+      struct(lit(i * 5 + j).as("band"), block(i).as("v1"), block(j).as("v2"))
+    hashed.select(col("doc_id"), col("sh"), explode(array(pairs: _*)).as("p"))
+      .select(col("doc_id"), col("sh"), col("p.band"), col("p.v1"), col("p.v2"))
+  }
+
   private def dd4(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.functions.SimHash.simhash64
     val hashed = Tables.documents(s, d)
       .select($"doc_id", simhash64(tokens($"text")).as("sh"))
-    val bands = hashed.select($"doc_id", $"sh",
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("chunk", expr("(sh >> (16 * band)) & 65535"))
     // pre-flight: the (band, chunk) pigeonhole buckets' exact self-join
     // size. Unlike dd7/dd3 there is no at-rest index (the 64-bit hash is
     // one narrow column, cheaper to recompute than to maintain), so the
     // probe costs one hash pass over the corpus — memoized per mutation
     // epoch, so timed reps never re-pay it
-    Controls.massGate(s, "dd4_simhash", d, "the (band, chunk) occupancy") {
-      bands.groupBy($"band", $"chunk").agg(count(lit(1)).as("occ"))
+    val single = simhashSingleBands(hashed)
+    val mSingle = EpochMemo.scalar(s, "mass1:dd4_simhash", d) {
+      single.groupBy($"band", $"chunk").agg(count(lit(1)).as("occ"))
         .agg(coalesce(sum(expr("occ * (occ - 1) div 2")), lit(0L)))
         .head.getLong(0)
     }
-    val cand = bands.select($"doc_id".as("d1"), $"sh".as("sh1"), $"band", $"chunk")
-      .join(bands.select($"doc_id".as("d2"), $"sh".as("sh2"), $"band", $"chunk"),
-        Seq("band", "chunk"))
-      .filter($"d1" < $"d2")
-      .select($"d1", $"d2", $"sh1", $"sh2").distinct()
+    val nBandRows = 4L * EpochMemo.scalar(s, "docs:dd4_simhash", d)(hashed.count())
+    val fanoutMax = s.conf.getOption(Controls.SimhashEscalateKey)
+      .map(_.toDouble).getOrElse(Controls.EscalateFanoutDefault)
+    // same trigger shape as dd7's escalation: average candidate fan-out per
+    // band row. Healthy corpora measure ~10 at sf0.1; the saturated sf1
+    // rung ~87 — SimHash bits are signs of word-vector sums, so a tiny
+    // fixed vocabulary concentrates chunk values and the 16-bit pigeonhole
+    // goes quadratic. The pair route trades 2.5× band rows for a ~26-bit
+    // key; the massCheck seatbelt still guards whichever route runs.
+    val escalate = mSingle > fanoutMax * math.max(nBandRows, 1L)
+    val cand = if (!escalate) {
+      Controls.massCheck(s, "dd4_simhash", "the (band, chunk) occupancy", mSingle)
+      single.select($"doc_id".as("d1"), $"sh".as("sh1"), $"band", $"chunk")
+        .join(single.select($"doc_id".as("d2"), $"sh".as("sh2"), $"band", $"chunk"),
+          Seq("band", "chunk"))
+        .filter($"d1" < $"d2")
+        .select($"d1", $"d2", $"sh1", $"sh2").distinct()
+    } else {
+      val pairBands = simhashPairBands(hashed)
+      val mPair = EpochMemo.scalar(s, "mass2:dd4_simhash", d) {
+        pairBands.groupBy($"band", $"v1", $"v2").agg(count(lit(1)).as("occ"))
+          .agg(coalesce(sum(expr("occ * (occ - 1) div 2")), lit(0L)))
+          .head.getLong(0)
+      }
+      Controls.massCheck(s, "dd4_simhash", "the (band, v1, v2) occupancy", mPair)
+      pairBands.select($"doc_id".as("d1"), $"sh".as("sh1"), $"band", $"v1", $"v2")
+        .join(pairBands.select($"doc_id".as("d2"), $"sh".as("sh2"), $"band", $"v1", $"v2"),
+          Seq("band", "v1", "v2"))
+        .filter($"d1" < $"d2")
+        .select($"d1", $"d2", $"sh1", $"sh2").distinct()
+    }
     cand
       .withColumn("hamdist", expr("bit_count(sh1 ^ sh2)").cast("long"))
       .filter($"hamdist" <= HammingTau)
