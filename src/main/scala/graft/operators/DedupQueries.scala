@@ -1737,7 +1737,12 @@ object DedupQueries {
     * on the fly from the shingle index (the dd4
     * discipline: the instrument must not depend on the index it decides
     * whether to provision), one expansion pass + two keyed hash aggs,
-    * integers only, hash-exact. */
+    * integers only, hash-exact. Cost shape: the on-the-fly pdf derivation
+    * expands Σ_doc C(n_d, 2) pair rows — BY CONSTRUCTION the same work as
+    * one [[docPairs]] index build (sf1 ladder: 24 s, vs 5 s for the
+    * escalated dd7 it prices) — so reading dd22 costs one un-materialized
+    * build pass, runs once per mutation epoch, and is strictly cheaper
+    * than provisioning the index and finding out it doesn't help. */
   private def dd22(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pref = containPrefix(s, d)

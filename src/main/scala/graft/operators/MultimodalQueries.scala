@@ -411,7 +411,20 @@ object MultimodalQueries {
     * ImagePhashSpec plants brightness-shifted and noise-edited copies and
     * pins that banding finds them at hamming ≤ threshold. At 100 TB the
     * hash table is a 26-byte-per-image at-rest scan and the band join is
-    * AQE-skew-splittable; nothing ever rescans a raster. */
+    * AQE-skew-splittable; nothing ever rescans a raster.
+    *
+    * Scale bound (measured, round-13 ladder): the OUTPUT is the banded
+    * candidate-pair set itself, so its size is the birthday bound
+    * Σ C(occ,2) over the 8×256 buckets — ~n²/2⁹ on uniform dHashes (md5
+    * rasters; real-image bytes concentrate and are worse). sf1 measures
+    * 4.3M pairs / 14.6 s, one more decade is ~430M. No witness escalation
+    * can help: the candidate set IS the declared result (the oracle
+    * mirrors the banding), and at the ≤12-of-64 operating point the
+    * pigeonhole guarantees nothing over 8 byte-bands anyway. The scale
+    * path is the dd2/dd21 discipline — the pre-flight [[Controls]]
+    * massCheck below refuses a saturated corpus with remediation
+    * (re-band wider / filter to `is_dup` verdicts downstream), and the
+    * occupancy probe costs one narrow agg over the at-rest table. */
   private def mm7(s: SparkSession, d: String): DataFrame = phash(s, d, "image")
 
   /** mm13: mm7's near-dup machinery over the REAL-FORMAT arm — fingerprints
@@ -512,6 +525,14 @@ object MultimodalQueries {
     val hashes = mediaFp(s, d).filter($"modality" === modality)
       .select($"doc_id".as("assetId"), $"sig_lo", $"sig_hi", $"bands")
     val bands = hashes.select($"assetId", posexplode($"bands").as(Seq("band_idx", "band_val")))
+    // pre-flight seatbelt (see mm7 scaladoc): the output is the candidate
+    // set, whose exact size is the bucket-occupancy birthday sum — one
+    // narrow agg over the at-rest fingerprints, memoized per mutation epoch
+    Controls.massGate(s, s"phash:$modality", d, "the (band, value) occupancy") {
+      bands.groupBy($"band_idx", $"band_val").agg(count(lit(1)).as("occ"))
+        .agg(coalesce(sum(expr("occ * (occ - 1) div 2")), lit(0L)))
+        .head.getLong(0)
+    }
     val cand = bands.select($"assetId".as("asset_a"), $"band_idx", $"band_val")
       .join(bands.select($"assetId".as("asset_b"), $"band_idx", $"band_val"),
         Seq("band_idx", "band_val"))
@@ -553,6 +574,13 @@ object MultimodalQueries {
     val fps = mediaFp(s, d).filter($"modality" === "audio")
       .select($"doc_id".as("assetId"), $"sig_lo".as("fp"), $"bands")
     val bands = fps.select($"assetId", posexplode($"bands").as(Seq("band_idx", "band_val")))
+    // same candidate-set output bound as mm7 (see its scaladoc): gate on
+    // the exact bucket-occupancy birthday sum before the join launches
+    Controls.massGate(s, "phash:audio", d, "the (band, value) occupancy") {
+      bands.groupBy($"band_idx", $"band_val").agg(count(lit(1)).as("occ"))
+        .agg(coalesce(sum(expr("occ * (occ - 1) div 2")), lit(0L)))
+        .head.getLong(0)
+    }
     val cand = bands.select($"assetId".as("asset_a"), $"band_idx", $"band_val")
       .join(bands.select($"assetId".as("asset_b"), $"band_idx", $"band_val"),
         Seq("band_idx", "band_val"))
