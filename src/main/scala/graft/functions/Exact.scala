@@ -96,10 +96,24 @@ object Exact {
   def sqlDec10(expr: String): String = {
     val e = s"($expr)"
     def p(fmt: String) = s"printf('%.${fmt}g', $e)"
+    // VARCHAR→DECIMAL(28,10) hits DuckDB 1.0's int128 string parser at
+    // ~2.5 µs/value — 33× the int64-backed DECIMAL(18,10) parse, and the
+    // difference is the whole oracle wall on multi-million-term sf1 cells
+    // (dd13: 105 s → 40+ min). Parse through (18,10) whenever the value
+    // fits (|x| < 9e7 keeps the half-up-rounded integer part ≤ 8 digits,
+    // so the widened 18-digit decimal can never overflow) and widen with
+    // an exact integer cast; the rare big-magnitude terms (price sums)
+    // take the int128 parse. Digit semantics are identical — same parser,
+    // narrower storage — probe-proven by tools/dec_probe.py alongside the
+    // cascade itself (plus a 2M-value randomized straddle check across the
+    // 9e7 cut). 12× measured on the 5M-term microbench.
+    def parse(s: String) =
+      s"CASE WHEN abs($e) < 9.0e7 THEN CAST(TRY_CAST($s AS DECIMAL(18,10)) AS DECIMAL(28,10)) " +
+        s"ELSE TRY_CAST($s AS DECIMAL(28,10)) END"
     s"CASE WHEN abs($e) < 5e-11 THEN CAST(0 AS DECIMAL(28,10)) " +
-      s"WHEN TRY_CAST(${p("15")} AS DOUBLE) = $e THEN TRY_CAST(${p("15")} AS DECIMAL(28,10)) " +
-      s"WHEN TRY_CAST(${p("16")} AS DOUBLE) = $e THEN TRY_CAST(${p("16")} AS DECIMAL(28,10)) " +
-      s"ELSE TRY_CAST(${p("17")} AS DECIMAL(28,10)) END"
+      s"WHEN TRY_CAST(${p("15")} AS DOUBLE) = $e THEN ${parse(p("15"))} " +
+      s"WHEN TRY_CAST(${p("16")} AS DOUBLE) = $e THEN ${parse(p("16"))} " +
+      s"ELSE ${parse(p("17"))} END"
   }
   def sqlSum(expr: String): String =
     s"CAST(CAST(SUM(${sqlDec10(expr)}) AS VARCHAR) AS DOUBLE)"

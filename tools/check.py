@@ -40,6 +40,11 @@ def main():
     mem = os.environ.get("GRAFT_CHECK_DUCKDB_MEM")
     if mem:  # e.g. "100GB" — avoids temp-disk spill on the big oracle cells
         con.execute(f"SET memory_limit='{mem}'")
+    # Spill files default to ./.tmp/duckdb_temp_storage-N.tmp — NOT unique
+    # per process, so two concurrent check.py runs in the same cwd corrupt
+    # each other's spills (observed: IO errors and garbage values at the
+    # sf1 rung). Give every run its own temp dir.
+    con.execute(f"SET temp_directory='.tmp_check_{os.getpid()}'")
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
         if os.path.exists(p):

