@@ -4,7 +4,7 @@
 Usage: python3 tools/bench_gate.py [candidate_detail.json] [pinned_detail.json]
 
 Compares a BENCH_detail-shaped JSON (default: target/bench_detail.json)
-against the pinned baseline (default: BENCH_detail_r12.json, per
+against the pinned baseline (default: BENCH_detail_r13.json, per
 BASELINE.md "Pinned absolute bench baseline"). A pinned query FLAGS when
 its median exceeds 2.0x the pin AND the absolute delta exceeds 0.2 s —
 the ratio is the regression signal, the floor keeps sub-100 ms queries
@@ -20,7 +20,7 @@ FLOOR_SEC = 0.2
 
 def main():
     cand_path = sys.argv[1] if len(sys.argv) > 1 else "target/bench_detail.json"
-    pin_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_detail_r12.json"
+    pin_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_detail_r13.json"
     cand = json.load(open(cand_path))
     pin = json.load(open(pin_path))
     cq = cand["queries"]

@@ -45,6 +45,13 @@ def main():
     # each other's spills (observed: IO errors and garbage values at the
     # sf1 rung). Give every run its own temp dir.
     con.execute(f"SET temp_directory='.tmp_check_{os.getpid()}'")
+    # Row order is irrelevant (canon() re-sorts by all columns), so let
+    # DuckDB drop insertion-order buffering — the difference between ss9's
+    # sf1 cell finishing in memory and exhausting 100GB RAM + 78GB disk.
+    con.execute("SET preserve_insertion_order=false")
+    thr = os.environ.get("GRAFT_CHECK_DUCKDB_THREADS")
+    if thr:  # fewer threads = smaller pipeline footprint on the big cells
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
         if os.path.exists(p):
