@@ -16,10 +16,16 @@ Env knobs (all optional; default = full surface, stdout only):
   GRAFT_CHECK_JSON=path       also write a driver-format artifact
                               {name: {rows_match, schema_match, hash_match,
                                spark_rows, oracle_rows, err, oracle_s}}
-Also used for the sf1 hash-check rungs. At sf1 no oracle cells are cut: the
-quadratic-control SQL is slow but tractable (dd7 ~30 min, g01 ~38 min), and
-the one capacity incident (ss9 exhausting DuckDB's temp disk) is handled by
-re-running in-memory via GRAFT_CHECK_DUCKDB_MEM — not by skipping.
+Also used for the sf1 hash-check rungs. At sf1 one oracle cell is beyond
+this box: ss9's brute-force knn SQL pushes a 131M-row hyperplane-projection
+intermediate through DuckDB and exhausts 100GB memory_limit plus the 78GB
+of free temp disk even with preserve_insertion_order=false and a reduced
+thread count (measured round 13, three isolated attempts) — the cell is
+recorded as a capacity failure with the error preserved, not skipped
+silently. ss9 is the DECLARED brute-force control (ss2+ are the indexed
+scale paths); its oracle outgrowing a single node at sf1 is the point the
+control exists to demonstrate. Every other sf1 cell verifies (dd7 ~5 min,
+heavy ss cells 5–13 min each under the int64 dec10 parse).
 """
 import duckdb, json, math, os, sys, time
 
