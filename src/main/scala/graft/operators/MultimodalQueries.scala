@@ -59,7 +59,9 @@ object MultimodalQueries {
     "mm14_jpeg_fidelity" -> mm14,
     "mm15_mp3_audit" -> mm15,
     "mm16_mp4_audit" -> mm16,
-    "mm17_adpcm_fidelity" -> mm17)
+    "mm17_adpcm_fidelity" -> mm17,
+    "mm18_image_dup_verdict" -> mm18,
+    "mm19_audio_dup_verdict" -> mm19)
 
   /** mm11: REAL-WORLD format decode — every image-modality document as a
     * spec-conformant truecolor PNG (zlib IDAT, CRC32-validated chunks),
@@ -596,6 +598,76 @@ object MultimodalQueries {
       .orderBy($"asset_a", $"asset_b")
   }
 
+  /** Per-asset near-dup VERDICT core, shared by mm18/mm19 and their spec:
+    * over a fingerprint frame (asset_id, sig_lo, sig_hi, bands), aggregate
+    * each asset's banded candidate neighborhood down to one row —
+    * (n_band_hits, best_match, best_hamming, is_dup) — instead of
+    * materializing the candidate-pair set. The aggregation is arg-min by
+    * (hamming, candidate id) via `min(struct(ham, cand))`, which Spark
+    * partial-aggregates MAP-SIDE inside the band join's output stage: the
+    * only shuffles are the linear band rows (keyed on the bucket) and the
+    * linear per-asset partials. The quadratic-in-bucket candidate mass
+    * still flows through the join ITERATOR (that is the declared banded
+    * semantics), but it is compute inside one stage, never a shuffled or
+    * materialized row set — which is exactly why this query stays usable
+    * where mm7/mm8/mm13's pair queries refuse: their OUTPUT is the
+    * birthday-bound pair set (~n²/2⁹), this one's is one row per asset. */
+  private[operators] def dupVerdictRowsOf(hashes: DataFrame, maxHam: Long): DataFrame = {
+    val s = hashes.sparkSession
+    import s.implicits._
+    val bandRows = hashes.select($"asset_id", $"sig_lo", $"sig_hi",
+      posexplode($"bands").as(Seq("band_idx", "band_val")))
+    val a = bandRows.select($"asset_id", $"sig_lo".as("lo_a"), $"sig_hi".as("hi_a"),
+      $"band_idx", $"band_val")
+    val b = bandRows.select($"asset_id".as("cand"), $"sig_lo".as("lo_b"),
+      $"sig_hi".as("hi_b"), $"band_idx", $"band_val")
+    // audio packs its 32 bits into sig_lo with sig_hi = 0, so the two-half
+    // Hamming is exact for every modality
+    val ham = (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)")).cast("long")
+    val hits = a.join(b, Seq("band_idx", "band_val"))
+      .filter($"asset_id" =!= $"cand")
+      .select($"asset_id", ham.as("ham"), $"cand")
+      .groupBy($"asset_id")
+      .agg(count(lit(1)).as("n_band_hits"), min(struct($"ham", $"cand")).as("best"))
+    hashes.join(hits, Seq("asset_id"), "left")
+      .select($"asset_id",
+        coalesce($"n_band_hits", lit(0L)).as("n_band_hits"),
+        $"best.cand".as("best_match"),
+        $"best.ham".as("best_hamming"),
+        coalesce($"best.ham" <= maxHam, lit(false)).as("is_dup"))
+      .orderBy($"asset_id")
+  }
+
+  /** mm18: per-asset image near-dup VERDICT — the round-14 scale path for
+    * the media-dedup family (round-13 verdict item 1). mm7/mm13's declared
+    * output IS the banded candidate-pair set, whose size is the birthday
+    * bound ~n²/2⁹ — on a saturated corpus the [[Controls]] massCheck
+    * rightly refuses, and a 100 TB deployment had zero usable media
+    * near-dup signal past the gate. This query is the dd12/dd19 discipline
+    * applied to `media_fp`: one row per asset — how many band collisions
+    * it has, its single best match (min Hamming, ties → lowest id), and
+    * the ≤ [[DupMaxHamming]] dup verdict — so output and every shuffle are
+    * LINEAR in assets regardless of how saturated the band buckets get,
+    * and downstream curation (drop/keep decisions, dup-rate audits) reads
+    * verdicts instead of pairs. Runs UNGATED by design; the oracle
+    * recomputes the same arg-min from the generation-formula dHashes. */
+  private def mm18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = mediaFp(s, d).filter($"modality" === "image")
+      .select($"doc_id".as("asset_id"), $"sig_lo", $"sig_hi", $"bands")
+    dupVerdictRowsOf(hashes, DupMaxHamming.toLong)
+  }
+
+  /** mm19: per-asset audio near-dup VERDICT — mm18's discipline on the
+    * acoustic fingerprints (32 bits in sig_lo, 4 byte-bands, the mm8 arm),
+    * verdict at ≤ [[AudioMaxHamming]]. Same linear-output scale shape. */
+  private def mm19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = mediaFp(s, d).filter($"modality" === "audio")
+      .select($"doc_id".as("asset_id"), $"sig_lo", $"sig_hi", $"bands")
+    dupVerdictRowsOf(hashes, AudioMaxHamming.toLong)
+  }
+
   /** mm9: container integrity audit — parse every asset's REAL container
     * structure ([[MultimodalPipeline.integrity]]: PPM header vs raster,
     * RIFF chunk walk, GRFV frame index) and emit measured byte / frame /
@@ -1036,6 +1108,48 @@ object MultimodalQueries {
       s"""WITH $audioFpSql
          |SELECT asset_id AS doc_id, fp AS pcm_fp, TRUE AS ok
          |FROM fps ORDER BY doc_id""".stripMargin,
+    // mm18: the mm7 dHash reconstruction (formula raster → packed halves →
+    // byte bands), then the per-asset arg-min aggregation instead of the
+    // pair set — n_band_hits counts directed band collisions, best_match is
+    // MIN(cand) among the min-Hamming candidates (the engine's
+    // min(struct(ham, cand)) tie-break), assets with no collisions keep
+    // NULL best columns and a FALSE verdict
+    "mm18_image_dup_verdict" ->
+      s"""WITH ${dhashHashesSql("img")},
+         |bands AS (
+         |  SELECT asset_id, bj,
+         |         CASE WHEN bj < 4 THEN (h_lo >> (8 * bj)) & 255
+         |              ELSE (h_hi >> (8 * (bj - 4))) & 255 END AS bv
+         |  FROM hashes, (SELECT unnest(generate_series(0, 7)) AS bj) bb
+         |),
+         |hits AS (
+         |  SELECT a.asset_id,
+         |         CAST(bit_count(xor(ha.h_lo, hb.h_lo))
+         |            + bit_count(xor(ha.h_hi, hb.h_hi)) AS BIGINT) AS ham,
+         |         b.asset_id AS cand
+         |  FROM bands a JOIN bands b
+         |    ON b.bj = a.bj AND b.bv = a.bv AND b.asset_id <> a.asset_id
+         |  JOIN hashes ha ON ha.asset_id = a.asset_id
+         |  JOIN hashes hb ON hb.asset_id = b.asset_id
+         |),
+         |${dupVerdictTailSql("hashes", DupMaxHamming)}""".stripMargin,
+    // mm19: the mm8 fingerprint reconstruction, then the same per-asset
+    // arg-min tail at the audio threshold
+    "mm19_audio_dup_verdict" ->
+      s"""WITH $audioFpSql,
+         |bands AS (
+         |  SELECT asset_id, bj, (fp >> (8 * bj)) & 255 AS bv
+         |  FROM fps, (SELECT unnest(generate_series(0, 3)) AS bj) bb
+         |),
+         |hits AS (
+         |  SELECT a.asset_id, CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS ham,
+         |         b.asset_id AS cand
+         |  FROM bands a JOIN bands b
+         |    ON b.bj = a.bj AND b.bv = a.bv AND b.asset_id <> a.asset_id
+         |  JOIN fps fa ON fa.asset_id = a.asset_id
+         |  JOIN fps fb ON fb.asset_id = b.asset_id
+         |),
+         |${dupVerdictTailSql("fps", AudioMaxHamming)}""".stripMargin,
     // mm6: rebuild every video frame's 192 bytes from the md5 chain
     // (12 blocks × 16 hex-decoded bytes), pair consecutive frames on the
     // byte position, and aggregate |delta| — no stride: cuts need every
@@ -1113,6 +1227,29 @@ object MultimodalQueries {
        |              THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS h_hi
        |  FROM bits GROUP BY asset_id
        |)""".stripMargin
+
+  /** The mm18/mm19 oracle tail: a `hits(asset_id, ham, cand)` CTE rolled
+    * into the per-asset arg-min — COUNT of directed collisions, MIN
+    * Hamming, MIN candidate id among the min-Hamming ties (exactly the
+    * engine's min(struct(ham, cand)) ordering), left-joined back onto the
+    * full asset frame `src` so collision-free assets keep NULL best
+    * columns and a FALSE verdict. */
+  private def dupVerdictTailSql(src: String, maxHam: Int): String =
+    s"""agg AS (
+       |  SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_band_hits,
+       |         CAST(MIN(ham) AS BIGINT) AS best_hamming
+       |  FROM hits GROUP BY asset_id
+       |),
+       |best AS (
+       |  SELECT h.asset_id, CAST(MIN(h.cand) AS BIGINT) AS best_match
+       |  FROM hits h JOIN agg g ON g.asset_id = h.asset_id AND h.ham = g.best_hamming
+       |  GROUP BY h.asset_id
+       |)
+       |SELECT s.asset_id, CAST(COALESCE(g.n_band_hits, 0) AS BIGINT) AS n_band_hits,
+       |       b.best_match, g.best_hamming,
+       |       COALESCE(g.best_hamming <= $maxHam, FALSE) AS is_dup
+       |FROM $src s LEFT JOIN agg g USING (asset_id) LEFT JOIN best b USING (asset_id)
+       |ORDER BY s.asset_id""".stripMargin
 
   private def phashSql(salt: String): String =
     s"""WITH ${dhashHashesSql(salt)},
