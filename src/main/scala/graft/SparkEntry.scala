@@ -32,6 +32,14 @@ object SparkEntry {
       MultimodalQueries.oracleSql ++ AsOfQueries.oracleSql ++ SessionQueries.oracleSql ++
       ReachabilityQueries.oracleSql ++ GraphMetricsQueries.oracleSql ++ PipelineQueries.oracleSql
 
+  /** SAMPLED oracle variants (spark-side filter SQL, sampled oracle SQL)
+    * for cells whose full brute-force oracle outgrows a single node at the
+    * sf1 rung — see [[graft.operators.SimilarityQueries.oracleSqlSampled]].
+    * Keys are a subset of `queries`; consumed by the sf1 check harness
+    * only, never by the driver's sf0.01 gate. */
+  def oracleSqlSampled: Map[String, (String, String)] =
+    SimilarityQueries.oracleSqlSampled
+
   /** Materialize every at-rest structure (graph tables + probes, shingle /
     * minhash-band / LSH / IVF indexes) for `dir` — ingest-time work a query
     * should never pay. Bench calls this before its timed loop, the analog of

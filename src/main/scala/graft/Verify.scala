@@ -56,6 +56,14 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sampled sf1 oracle variants (see SparkEntry.oracleSqlSampled): the
+    // sf1 check harness opts in via GRAFT_CHECK_SAMPLED; the driver's
+    // sf0.01 gate reads only oracle_sql.json and is unaffected
+    val sampledJson = SparkEntry.oracleSqlSampled.filter(kv => selected(kv._1))
+      .map { case (k, (f, sql)) =>
+        s"${q(k)}: {${q("filter")}: ${q(f)}, ${q("sql")}: ${q(sql)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_sampled.json"), sampledJson)
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)

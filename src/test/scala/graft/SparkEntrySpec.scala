@@ -25,4 +25,13 @@ class SparkEntrySpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"oracles with environment paths: ${bad.keys.toSeq.sorted}")
   }
+
+  test("sampled oracle variants target declared queries and stay path-clean") {
+    val extra = SparkEntry.oracleSqlSampled.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"sampled oracles without a query: ${extra.toSeq.sorted}")
+    val bad = SparkEntry.oracleSqlSampled.filter { case (_, (f, sql)) =>
+      (f + sql).contains("graft-cache") || (f + sql).contains("/root/")
+    }
+    assert(bad.isEmpty, s"sampled oracles with environment paths: ${bad.keys.toSeq.sorted}")
+  }
 }

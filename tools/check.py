@@ -16,18 +16,28 @@ Env knobs (all optional; default = full surface, stdout only):
   GRAFT_CHECK_JSON=path       also write a driver-format artifact
                               {name: {rows_match, schema_match, hash_match,
                                spark_rows, oracle_rows, err, oracle_s}}
-Also used for the sf1 hash-check rungs. At sf1 one oracle cell is beyond
-this box: ss9's brute-force knn SQL pushes a 131M-row hyperplane-projection
-intermediate through DuckDB and exhausts 100GB memory_limit plus the 78GB
-of free temp disk even with preserve_insertion_order=false and a reduced
-thread count (measured round 13, three isolated attempts) — the cell is
-recorded as a capacity failure with the error preserved, not skipped
-silently. ss9 is the DECLARED brute-force control (ss2+ are the indexed
-scale paths); its oracle outgrowing a single node at sf1 is the point the
-control exists to demonstrate. Every other sf1 cell verifies (dd7 ~5 min,
-heavy ss cells 5–13 min each under the int64 dec10 parse).
+  GRAFT_CHECK_SAMPLED=1       for queries listed in oracle_sql_sampled.json
+                              (SparkEntry.oracleSqlSampled), restrict the
+                              engine dump with the entry's filter SQL and
+                              compare against its sampled oracle instead of
+                              the full one — the sf1 route for cells whose
+                              full brute-force oracle outgrows this box
+                              (ss9: 131M-row intermediate, round 13). Cells
+                              checked this way carry "sampled": true.
+Also used for the sf1 hash-check rungs. At sf1 one FULL oracle cell is
+beyond this box: ss9's brute-force knn SQL pushes a 131M-row
+hyperplane-projection intermediate through DuckDB and exhausts 100GB
+memory_limit plus the 78GB of free temp disk (measured round 13, three
+isolated attempts). ss9 is the DECLARED brute-force control (ss2+ are the
+indexed scale paths); its full oracle outgrowing a single node at sf1 is
+the point the control exists to demonstrate. Since round 14 the sf1 run
+sets GRAFT_CHECK_SAMPLED=1, which verifies such cells on a fixed
+md5-sampled probe subset instead (see below) — per-probe output is
+identical to the full query's, so the cell is green AND meaningful. Every
+other sf1 cell verifies in full (dd7 ~5 min, heavy ss cells 5–13 min each
+under the int64 dec10 parse).
 """
-import duckdb, json, math, os, sys, time
+import atexit, duckdb, json, math, os, shutil, sys, tempfile, time
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -49,8 +59,11 @@ def main():
     # Spill files default to ./.tmp/duckdb_temp_storage-N.tmp — NOT unique
     # per process, so two concurrent check.py runs in the same cwd corrupt
     # each other's spills (observed: IO errors and garbage values at the
-    # sf1 rung). Give every run its own temp dir.
-    con.execute(f"SET temp_directory='.tmp_check_{os.getpid()}'")
+    # sf1 rung). Give every run its own temp dir — under tempfile so it is
+    # removed on exit instead of accumulating in the cwd (round-13 advice).
+    tmp_dir = tempfile.mkdtemp(prefix="graft_check_")
+    atexit.register(shutil.rmtree, tmp_dir, ignore_errors=True)
+    con.execute(f"SET temp_directory='{tmp_dir}'")
     # Row order is irrelevant (canon() re-sorts by all columns), so let
     # DuckDB drop insertion-order buffering — the difference between ss9's
     # sf1 cell finishing in memory and exhausting 100GB RAM + 78GB disk.
@@ -63,6 +76,10 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    sampled = {}
+    sp = f"{out}/oracle_sql_sampled.json"
+    if os.environ.get("GRAFT_CHECK_SAMPLED") and os.path.exists(sp):
+        sampled = json.load(open(sp))
     only = [s for s in os.environ.get("GRAFT_CHECK_ONLY", "").split(",") if s]
     skip = [s for s in os.environ.get("GRAFT_CHECK_SKIP", "").split(",") if s]
     report = {}
@@ -78,13 +95,20 @@ def main():
                             "oracle_rows": None, "err": "skipped (GRAFT_CHECK_SKIP)"}
             continue
         sql = oracle[name]
+        spark_sql = f"SELECT * FROM '{out}/{name}/*.parquet'"
         rec = {"rows_match": False, "schema_match": False, "hash_match": False,
                "spark_rows": None, "oracle_rows": None, "err": None}
+        if name in sampled:
+            # sampled cell: restrict the engine dump to the fixed probe
+            # subset and run the sampled oracle — per-probe rows are
+            # identical to the full query's by construction
+            spark_sql += f" WHERE {sampled[name]['filter']}"
+            sql = sampled[name]["sql"]
+            rec["sampled"] = True
         report[name] = rec
         t0 = time.monotonic()
         try:
-            spark_df = con.execute(
-                f"SELECT * FROM '{out}/{name}/*.parquet'").fetchdf()
+            spark_df = con.execute(spark_sql).fetchdf()
             oracle_df = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
