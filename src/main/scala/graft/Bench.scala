@@ -49,6 +49,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the hygiene sweep below unpersists each query's one-shot
+    // localCheckpoint snapshots after its timed window; Spark logs one WARN
+    // per unpersisted checkpoint ("lineage has been truncated and cannot be
+    // recomputed") which is definitionally noise here — the snapshots are
+    // superseded and never recomputed. Silence exactly that logger so REAL
+    // warnings stay visible in the driver-captured bench tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
 
     val errors = mutable.LinkedHashMap.empty[String, String]
     // warm failures must not break the output contract: queries then pay

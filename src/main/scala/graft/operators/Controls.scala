@@ -67,6 +67,14 @@ private[operators] object Controls {
     * route, a huge value pins the single route. */
   val SimhashEscalateKey = "spark.graft.simhash.escalateFanout"
 
+  /** [[SimhashEscalateKey]]'s default — sized for dd4's OWN measured band
+    * (round-13 advice: reusing containment's 16 left only 1.6× headroom
+    * over dd4's healthy ≈10, so a slightly-concentrated but healthy corpus
+    * could spuriously flip to the pair route — answer-preserving, but 2.5×
+    * band rows and a second mass probe for nothing). 30 is the geometric
+    * mean of healthy ≈10 and saturated ≈87: 3× headroom each way. */
+  val SimhashEscalateDefault = 30.0
+
   /** Candidate-MASS pre-flight gate for the index-driven candidate families
     * (prefix containment dd7/dd10, banded LSH dd3/dd8/dd9, SimHash
     * pigeonhole dd4) — the seatbelt on top of the dd21/dd15 instruments.

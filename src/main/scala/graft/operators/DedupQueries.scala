@@ -700,7 +700,7 @@ object DedupQueries {
     }
     val nBandRows = 4L * EpochMemo.scalar(s, "docs:dd4_simhash", d)(hashed.count())
     val fanoutMax = s.conf.getOption(Controls.SimhashEscalateKey)
-      .map(_.toDouble).getOrElse(Controls.EscalateFanoutDefault)
+      .map(_.toDouble).getOrElse(Controls.SimhashEscalateDefault)
     // same trigger shape as dd7's escalation: average candidate fan-out per
     // band row. Healthy corpora measure ~10 at sf0.1; the saturated sf1
     // rung ~87 — SimHash bits are signs of word-vector sums, so a tiny

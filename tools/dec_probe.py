@@ -16,7 +16,7 @@ Evaluates BOTH formulas so regressions/improvements are quantified:
   new  — shortest round-trip printf cascade (%.15g -> %.16g -> %.17g, first
          that parses back to the same double), the round-13 fix.
 """
-import sys, struct
+import os, sys, struct
 import duckdb, pandas as pd
 from fractions import Fraction
 
@@ -76,6 +76,17 @@ def main():
         print(f"[{label}] {len(xs)} probes, {mism} mismatches below 2^53"
               f" ({hi_mism} in the JVM-defined band above)")
         if label == "new" and mism:
+            sys.exit(1)
+        # The >= 2^53 band is JVM-version-defined, but a probe corpus that
+        # EXERCISES it and diverges must not pass silently (round-13
+        # advice): a future oracle call site producing such terms would
+        # inherit the divergence. Acknowledging the band is explicit.
+        if (label == "new" and hi_mism
+                and not os.environ.get("GRAFT_DEC_PROBE_ALLOW_HI")):
+            print(f"FAIL: {hi_mism} mismatches at |x| >= 2^53 — every library "
+                  "call site must keep dec10 terms below 2^53 (documented "
+                  "bound ~1e9); set GRAFT_DEC_PROBE_ALLOW_HI=1 to acknowledge "
+                  "the JVM-defined band deliberately")
             sys.exit(1)
     print("OK: new formula bit-exact vs JVM over the full probe corpus below 2^53")
 

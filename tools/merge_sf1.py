@@ -19,6 +19,13 @@ def main():
     rerun = json.load(open(rerun_path))
     meta = base.pop("__sf1_meta__", {"merges": []})
     replaced = []
+    # a typo'd or stale cell name must not silently ADD a bogus cell
+    # (round-13 advice): every rerun cell must replace an existing one
+    unknown = sorted(n for n in rerun
+                     if not n.startswith("__") and n not in base)
+    if unknown:
+        sys.exit(f"rerun cells not present in CORRECTNESS_sf1.json "
+                 f"(typo or stale name?): {unknown}")
     for name, cell in rerun.items():
         if name.startswith("__"):
             continue
