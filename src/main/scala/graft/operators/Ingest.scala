@@ -45,10 +45,15 @@ object Ingest {
     DerivedCache.table(s, d, DocTables.DupClusters)(
       DedupQueries.clusterRowsOf(docs.select($"doc_id"), pairs)
         .withColumnRenamed("label", "cluster_id"))
+    // the at-rest SimHash index + its stats meta (dd4's route constants)
+    DerivedCache.table(s, d, DedupQueries.SimTable)(
+      DedupQueries.simHashRowsOf(docs))
     // the containment-prefix family last (it reads the shingle + size
     // tables): building it HERE pins its df snapshot to ingest time, so an
-    // appended corpus can never see a timing-dependent prefix state
+    // appended corpus can never see a timing-dependent prefix state —
+    // buildPrefixIndex also materializes the containment stats meta
     DedupQueries.buildPrefixIndex(s, d)
+    DedupQueries.buildSimStats(s, d)
     // escalation provisioning: on a saturation-profile corpus, build the
     // shingle-pair index at the same snapshot point (no-op otherwise)
     DedupQueries.providePairIndexIfSaturated(s, d)
@@ -110,6 +115,8 @@ object Ingest {
     DocTables.DupPairs, DocTables.DupClusters,
     DedupQueries.PrefixTable, DedupQueries.PrefixDfTable,
     DedupQueries.PrefixMetaTable, DedupQueries.PairTable,
+    DedupQueries.SimTable, DedupQueries.SimStatsTable,
+    DedupQueries.PrefixStatsTable,
     PipelineQueries.OffsetsTable, PipelineQueries.OffsetsMetaTable)
 
   /** Data-file ceiling per maintained table before the ingest path compacts

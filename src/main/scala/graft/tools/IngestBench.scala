@@ -27,11 +27,18 @@ import graft.sources.Tables
   * FROZEN centroids (the retrain fires only past the growth trigger, a
   * deliberate amortized cost, not a daily one).
   *
+  * Since round 14 a second document ladder runs with the containment
+  * escalation FORCED (`spark.graft.containment.escalateFanout=0`), so
+  * day-0 provisions the `sh_pairs` shingle-pair posting index and every
+  * append maintains it — the pair-index append cost the round-13 verdict
+  * flagged as never measured (the driver corpora sit below the real
+  * saturation trigger, so the normal ladder cannot exercise it).
+  *
   * Per (sf, path): median of 3 runs, fresh throwaway cache keys per run
   * (cleaned up after), one warm-up full build first so JIT warms against
   * the baseline, not the append path. Prints one JSON line:
-  * `{"metric":"ingest","ladder":{…},"emb_ladder":{…}}` with
-  * `{"full_s":…,"append_s":…}` per sf.
+  * `{"metric":"ingest","ladder":{…},"pair_ladder":{…},"emb_ladder":{…}}`
+  * with `{"full_s":…,"append_s":…}` per sf.
   */
 object IngestBench {
 
@@ -98,23 +105,33 @@ object IngestBench {
       }
     }
 
-    val (ladder, embLadder) =
+    def docLadderOf(): Seq[(String, Double, Double)] = sfDirs.map { dir =>
+      val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+      val batch = batchOf(docs)
+      val base = docs.exceptAll(batch)
+      val fullS = median(Seq.fill(reps)(time(build(spark, key(), docs))))
+      val appendS = median(Seq.fill(reps) {
+        val k = key()
+        build(spark, k, base) // day-0 base, untimed
+        time(Ingest.appendDocumentBatch(spark, k, batch))
+      })
+      val sf = dir.split('/').last
+      (sf, fullS, appendS)
+    }
+
+    val (ladder, pairLadder, embLadder) =
       try {
         // JIT/stage warm-up, discarded
         build(spark, key(), Tables.documents(spark, sfDirs.head).select($"doc_id", $"text"))
-        val docLadder = sfDirs.map { dir =>
-          val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
-          val batch = batchOf(docs)
-          val base = docs.exceptAll(batch)
-          val fullS = median(Seq.fill(reps)(time(build(spark, key(), docs))))
-          val appendS = median(Seq.fill(reps) {
-            val k = key()
-            build(spark, k, base) // day-0 base, untimed
-            time(Ingest.appendDocumentBatch(spark, k, batch))
-          })
-          val sf = dir.split('/').last
-          (sf, fullS, appendS)
-        }
+        val docLadder = docLadderOf()
+        // pair-index-inclusive ladder (round-13 verdict: the new sh_pairs
+        // posting index adds append work IngestBench never measured, and
+        // the driver corpora are below the saturation trigger so the
+        // normal ladder cannot exercise it): force the escalation profile
+        // so day-0 provisions the pair index and every append maintains it
+        spark.conf.set("spark.graft.containment.escalateFanout", "0")
+        val pairL = try docLadderOf()
+        finally spark.conf.unset("spark.graft.containment.escalateFanout")
         // embedding-family ladder: same fixed batch discipline (the 50
         // vectors with vec_id % 10 = 0 below 500 exist at every sf)
         SimilarityQueries.buildEmbeddingIndexes(spark, key(),
@@ -133,13 +150,13 @@ object IngestBench {
           val sf = dir.split('/').last
           (sf, fullS, appendS)
         }
-        (docLadder, embL)
+        (docLadder, pairL, embL)
       } finally cleanup()
 
     def fmt(l: Seq[(String, Double, Double)]): String = l.map { case (sf, f, a) =>
       f""""$sf":{"full_s":$f%.3f,"append_s":$a%.3f}"""
     }.mkString(",")
-    println(s"""{"metric":"ingest","n_batch":50,"reps":$reps,"ladder":{${fmt(ladder)}},"emb_ladder":{${fmt(embLadder)}}}""")
+    println(s"""{"metric":"ingest","n_batch":50,"reps":$reps,"ladder":{${fmt(ladder)}},"pair_ladder":{${fmt(pairLadder)}},"emb_ladder":{${fmt(embLadder)}}}""")
     spark.stop()
   }
 }
