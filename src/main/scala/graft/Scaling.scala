@@ -57,6 +57,11 @@ object Scaling {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same noise class as Bench: the per-rep hygiene sweep unpersists
+    // superseded localCheckpoint snapshots, and Spark WARNs once per RDD
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
 
     val errors = mutable.LinkedHashMap.empty[String, String]
     // medians(q)(sf) — insertion-ordered for a stable artifact
