@@ -617,8 +617,15 @@ object MultimodalQueries {
     import s.implicits._
     val bandRows = hashes.select($"asset_id", $"sig_lo", $"sig_hi",
       posexplode($"bands").as(Seq("band_idx", "band_val")))
+    // explicit-width repartition on the probe side: the fingerprint scan is
+    // a handful of files, the dimension side broadcasts, and without it the
+    // whole quadratic-in-bucket pair compute + partial aggregation runs in
+    // ONE task (the documented a03/dd7 AQE trap — measured 7.9 s → 1.9 s at
+    // the sf1 rung). asset_id is uniform and pre-groups the arg-min's key.
+    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
     val a = bandRows.select($"asset_id", $"sig_lo".as("lo_a"), $"sig_hi".as("hi_a"),
       $"band_idx", $"band_val")
+      .repartition(shuffleN, $"asset_id")
     val b = bandRows.select($"asset_id".as("cand"), $"sig_lo".as("lo_b"),
       $"sig_hi".as("hi_b"), $"band_idx", $"band_val")
     // audio packs its 32 bits into sig_lo with sig_hi = 0, so the two-half
