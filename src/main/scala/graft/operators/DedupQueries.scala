@@ -347,13 +347,37 @@ object DedupQueries {
     * lets AQE split (the BandSkewSpec-proven property of this join shape).
     * The island merge partitions by doc_id — bounded by document length,
     * skew-free. */
-  private[graft] def spanRowsOf(win: DataFrame): DataFrame = {
+  private[graft] def spanRowsOf(win: DataFrame,
+      guard: Option[(SparkSession, String)] = None): DataFrame = {
     val s = win.sparkSession
     import s.implicits._
     val dupH = win.groupBy($"h").agg(count(lit(1)).as("c"))
       .filter($"c" > 1).select($"h")
-    islandSpansOf(win.join(dupH, "h").select($"doc_id", $"pos"))
+    // round 14 (guide §3.1): with a corpus guard, the duplicated-hash set
+    // joins in guarded-broadcast mode — the occurrence rows then flow
+    // scan → join → doc_id island merge with ONE exchange instead of
+    // also being re-keyed on h (the probe is a memoized per-epoch scalar
+    // off the at-rest index, the dayVertices discipline; above the
+    // ceiling the join degrades to the v1 keyed shuffle, never fails)
+    val dupOp = guard match {
+      case Some((gs, gd)) =>
+        val max = gs.conf.getOption(DupHashBroadcastMaxKey)
+          .map(_.toLong).getOrElse(DupHashBroadcastMaxDefault)
+        val n = EpochMemo.scalar(gs, "dedup.dupWindowHashes", gd) {
+          windows(gs, gd).groupBy($"h").agg(count(lit(1)).as("c"))
+            .filter($"c" > 1).count()
+        }
+        if (n <= max) broadcast(dupH) else dupH.hint("shuffle_hash")
+      case None => dupH
+    }
+    islandSpansOf(win.join(dupOp, "h").select($"doc_id", $"pos"))
   }
+
+  /** Broadcast ceiling for the duplicated/boilerplate window-hash sets
+    * (dd11/dd12/dd18) — 32-char hash rows, ~5 M ≈ 300 MB built; above it
+    * the hash-set join degrades to a keyed shuffle, never fails. */
+  val DupHashBroadcastMaxKey = "spark.graft.dedup.broadcastMaxHashes"
+  private val DupHashBroadcastMaxDefault = 5000000L
 
   /** The island merge alone, over an explicit (doc_id, pos) start set —
     * shared by [[spanRowsOf]] (corpus-duplicated windows) and dd18
@@ -411,7 +435,7 @@ object DedupQueries {
     * positions 1-based inclusive. */
   private def dd11(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    spanRowsOf(windows(s, d)).orderBy($"doc_id", $"span_start")
+    spanRowsOf(windows(s, d), Some((s, d))).orderBy($"doc_id", $"span_start")
   }
 
   /** dd12: duplication-aware document filter — the decision real curation
@@ -421,7 +445,7 @@ object DedupQueries {
     * keep by construction. */
   private def dd12(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    dupStatsOf(Tables.documents(s, d), spanRowsOf(windows(s, d)))
+    dupStatsOf(Tables.documents(s, d), spanRowsOf(windows(s, d), Some((s, d))))
       .orderBy($"doc_id")
   }
 
@@ -452,18 +476,35 @@ object DedupQueries {
     * MAINTAINED at-rest table — no text re-scan beyond the token counts. */
   private def dd18(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    boilerplateStatsOf(Tables.documents(s, d), windows(s, d)).orderBy($"doc_id")
+    boilerplateStatsOf(Tables.documents(s, d), windows(s, d), Some((s, d)))
+      .orderBy($"doc_id")
   }
 
   /** dd18's engine over explicit (docs, positional-window) frames —
-    * factored so the planted spec can drive it with known corpora. */
-  private[graft] def boilerplateStatsOf(docs: DataFrame, win: DataFrame): DataFrame = {
+    * factored so the planted spec can drive it with known corpora. With a
+    * corpus guard, the boilerplate-hash set joins in guarded-broadcast
+    * mode (the spanRowsOf round-14 discipline); the ceiling probe reuses
+    * the memoized duplicated-hash count — a valid over-bound, since ≥
+    * [[BoilerMinSources]] distinct sources implies ≥ 2 occurrences. */
+  private[graft] def boilerplateStatsOf(docs: DataFrame, win: DataFrame,
+      guard: Option[(SparkSession, String)] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val boilerH = win.join(docs.select($"doc_id", $"source"), "doc_id")
       .groupBy($"h").agg(countDistinct($"source").as("ns"))
       .filter($"ns" >= BoilerMinSources).select($"h")
-    val spans = islandSpansOf(win.join(boilerH, "h").select($"doc_id", $"pos"))
+    val boilerOp = guard match {
+      case Some((gs, gd)) =>
+        val max = gs.conf.getOption(DupHashBroadcastMaxKey)
+          .map(_.toLong).getOrElse(DupHashBroadcastMaxDefault)
+        val n = EpochMemo.scalar(gs, "dedup.dupWindowHashes", gd) {
+          windows(gs, gd).groupBy($"h").agg(count(lit(1)).as("c"))
+            .filter($"c" > 1).count()
+        }
+        if (n <= max) broadcast(boilerH) else boilerH.hint("shuffle_hash")
+      case None => boilerH
+    }
+    val spans = islandSpansOf(win.join(boilerOp, "h").select($"doc_id", $"pos"))
     val cover = spans.groupBy($"doc_id").agg(sum($"span_len").as("boiler_tokens"))
     docs
       .select($"doc_id", size(tokens($"text")).cast("long").as("tok_count"))
@@ -1320,16 +1361,27 @@ object DedupQueries {
     val und = pairs.select($"d1".as("a"), $"d2".as("b"))
       .unionAll(pairs.select($"d2".as("a"), $"d1".as("b")))
       .localCheckpoint(eager = false)
-    val init = nodes.select($"doc_id", $"doc_id".as("label"))
+    // round 14: frontier propagation + signature-proven stop (the g01/g10
+    // discipline) — only improved labels re-probe the pair graph, and an
+    // empty frontier IS the fixpoint, saving the confirmation round the
+    // plain sig-compare needed (~0.4 s fixed cost per round at bench
+    // scale; at 100 TB the frontier join's probe side shrinks from the
+    // full corpus-sized state to the improving tail)
+    val init = nodes.select($"doc_id", $"doc_id".as("label"), lit(true).as("imp"))
     Fixpoint.iterate(init, MaxClusterRounds, what) { df =>
-      val r = df.agg(count(lit(1)), sum($"label")).collect()(0)
-      Seq(r.getLong(0), r.getLong(1))
-    } { (state, _) =>
-      val cand = state.join(broadcast(und), state("doc_id") === und("a"))
+      val r = df.agg(count(lit(1)), sum($"label"), sum($"imp".cast("long"))).collect()(0)
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    } ({ (state, _) =>
+      val fr = state.filter($"imp").select($"doc_id".as("f_doc"), $"label")
+      val cand = fr.join(broadcast(und), $"f_doc" === und("a"))
         .select($"b".as("doc_id"), $"label")
-      state.unionAll(cand)
-        .groupBy($"doc_id").agg(min($"label").as("label"))
-    }
+      state.select($"doc_id", $"label", lit(false).as("isnew"))
+        .unionAll(cand.select($"doc_id", $"label", lit(true).as("isnew")))
+        .groupBy($"doc_id")
+        .agg(min($"label").as("label"), min(when(!$"isnew", $"label")).as("oldl"))
+        .select($"doc_id", $"label", ($"label" < $"oldl").as("imp"))
+    }, fixedAt = _(2) == 0L)
+      .select($"doc_id", $"label")
   }
 
   private def dd6(s: SparkSession, d: String): DataFrame = {
@@ -1867,11 +1919,13 @@ object DedupQueries {
     * discipline: the instrument must not depend on the index it decides
     * whether to provision), one expansion pass + two keyed hash aggs,
     * integers only, hash-exact. Cost shape: the on-the-fly pdf derivation
-    * expands Σ_doc C(n_d, 2) pair rows — BY CONSTRUCTION the same work as
-    * one [[docPairs]] index build (sf1 ladder: 24 s, vs 5 s for the
-    * escalated dd7 it prices) — so reading dd22 costs one un-materialized
-    * build pass, runs once per mutation epoch, and is strictly cheaper
-    * than provisioning the index and finding out it doesn't help. */
+    * expands per-document pairs — since round 14 restricted to each
+    * document's PREFIX-UNIVERSE shingles (the semi-join below), a strict
+    * subset of the Σ_doc C(n_d, 2) full [[docPairs]] build it prices
+    * (pre-round-14 it paid the full expansion; sf1 ladder: 24 s, vs 5 s
+    * for the escalated dd7) — so reading dd22 runs once per mutation
+    * epoch and is strictly cheaper than provisioning the index and
+    * finding out it doesn't help. */
   private def dd22(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pref = containPrefix(s, d)
@@ -1883,11 +1937,22 @@ object DedupQueries {
     // at-rest index uses, so the DuckDB oracle can reproduce the histogram
     // exactly; a hash collision widens the engine's candidate join by the
     // colliding pdf, which the exact verify then discards — the instrument
-    // reports the collision-free mass both engines can agree on
+    // reports the collision-free mass both engines can agree on.
+    //
+    // Round 14 (guide §3.2 — pre-filter the big side): only pairs whose
+    // BOTH shingles occur in some document's prefix can match prefPairs,
+    // so the Σ_doc C(n_d, 2) expansion runs over each document's
+    // PREFIX-UNIVERSE shingles only (one semi-join against the distinct
+    // prefix-shingle set before the self-join) — dropping a shingle with
+    // no prefix occurrence cannot change any surviving pair's pdf; the
+    // identical repartitions canonicalize to one reused exchange (the
+    // g05 shape).
     val sh = shingles(s, d)
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val live = sh.select($"doc_id", $"sg".as("g1")).repartition(n, $"doc_id")
-      .join(sh.select($"doc_id", $"sg".as("g2")), Seq("doc_id"))
+    val shF = sh.join(pref.select($"sg").distinct(), Seq("sg"), "left_semi")
+    val live = shF.select($"doc_id", $"sg".as("g1")).repartition(n, $"doc_id")
+      .join(shF.select($"doc_id", $"sg".as("g2")).repartition(n, $"doc_id"),
+        Seq("doc_id"))
       .filter($"g1" < $"g2")
       .groupBy($"g1", $"g2").agg(count(lit(1)).as("pdf_live"))
     prefPairs.join(live, Seq("g1", "g2"))

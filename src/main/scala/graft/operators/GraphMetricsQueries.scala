@@ -356,8 +356,9 @@ object GraphMetricsQueries {
     * propagation to fixpoint (label = smallest reachable actor id, GraphX's
     * `connectedComponents` convention, differentially tested against it).
     * Same loop discipline as g01/g02: lazy localCheckpoint snapshots, one
-    * signature action per round, loud failure at the round cap. Labels only
-    * decrease, so (count, Σ label) is strictly monotone until convergence.
+    * signature action per round, loud failure at the round cap, and (round
+    * 14) FRONTIER propagation — only improved labels re-propagate, so late
+    * rounds probe the improving tail instead of the full edge list.
     * Rounds are bounded by the component diameter; at 100 TB the edge list
     * stays partitioned by `src` and the label table shuffles on actor —
     * the Pregel CC superstep expressed relationally. */
@@ -370,18 +371,24 @@ object GraphMetricsQueries {
       .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
       .localCheckpoint(eager = false)
     val init = und.select($"src".as("actor_id")).distinct()
-      .select($"actor_id", $"actor_id".as("label"))
-    // labels only decrease, so (count, Σ label) is strictly monotone
+      .select($"actor_id", $"actor_id".as("label"), lit(true).as("imp"))
+    // Round 14: frontier (delta) propagation — the g01/g10 discipline;
+    // labels only decrease and the frontier empties exactly at the
+    // fixpoint, so (count, Σ label, |frontier|) is monotone-then-stable
     val state = Fixpoint.iterate(init, MaxRounds, "component labeling") { df =>
-      val r = df.agg(count(lit(1)), sum($"label")).collect()(0)
-      Seq(r.getLong(0), r.getLong(1))
-    } { (state, _) =>
+      val r = df.agg(count(lit(1)), sum($"label"), sum($"imp".cast("long"))).collect()(0)
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    } ({ (state, _) =>
       // label table is vertex-bounded — same guarded join mode as g02
-      val cand = und.join(guarded(s, d, state), und("src") === state("actor_id"))
+      val frontier = state.filter($"imp").select($"actor_id", $"label")
+      val cand = und.join(guarded(s, d, frontier), und("src") === frontier("actor_id"))
         .select($"dst".as("actor_id"), $"label")
-      state.unionAll(cand)
-        .groupBy($"actor_id").agg(min($"label").as("label"))
-    }
+      state.select($"actor_id", $"label", lit(false).as("isnew"))
+        .unionAll(cand.select($"actor_id", $"label", lit(true).as("isnew")))
+        .groupBy($"actor_id")
+        .agg(min($"label").as("label"), min(when(!$"isnew", $"label")).as("oldl"))
+        .select($"actor_id", $"label", ($"label" < $"oldl").as("imp"))
+    }, fixedAt = _(2) == 0L)
     state.select($"actor_id", $"label".as("component"))
       .orderBy($"actor_id")
   }
@@ -452,7 +459,10 @@ object GraphMetricsQueries {
     val deg = adj.select($"z".as("src"), $"deg").distinct()
     // explicit-width repartition: the |E|-row shuffle feeding the 2-path
     // join is tiny, so AQE would coalesce it to ~1 partition and run the
-    // Σ deg² expansion single-task (the documented a03/round-3 trap)
+    // Σ deg² expansion single-task (the documented a03/round-3 trap).
+    // (Round-14 audit: the two sides' repartitions already canonicalize
+    // to ONE exchange — AQE plans a ReusedExchange for the second side,
+    // plans/r14/g05_link_prediction_before.txt — so no rewrite needed.)
     val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
     val paths = adj.select($"z", $"o".as("a"), $"wz")
       .repartition(shuffleN, $"z")
@@ -486,19 +496,29 @@ object GraphMetricsQueries {
     * row per edge — joining raw frame-activations would square the
     * per-actor activation count instead of the degree. Strict `>` means
     * simultaneous first contacts create no wedge (no tie-break needed).
-    * Same Σ deg² / explicit-width discipline as g05. */
+    *
+    * Round 14 (guide §2.4 — remove the shuffle outright): the Σ deg²
+    * wedge self-join is unnecessary when only per-z COUNTS are declared.
+    * For a fixed z, the ordered-wedge count is Σ_b |{a : f_min(a) <
+    * f_min(b)}| and the target count is |{b : ∃a, f_min(a) < f_min(b)}|;
+    * both read off ONE rank window per z over its neighbor rows:
+    * `rank() − 1` is exactly the strictly-smaller-f_min neighbor count
+    * (ties share the first tied position, so equal first-contacts create
+    * no wedge — the declared strict `>`), so n_wedges = Σ (rank − 1) and
+    * n_targets = #(rank > 1). Integer sums — bit-identical to the join
+    * formulation (GraphMetricsSpec's naive first-contact differential
+    * pins it) — and the per-task bound drops from deg(z)² join rows to a
+    * deg(z)-row sorted window. */
   private def g06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val adj = dayAdj(s, d)
-    val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val in = adj.select($"z", $"o".as("a"), $"f_min".as("f1"))
-      .repartition(shuffleN, $"z")
-    val out = adj.select($"z", $"o".as("b"), $"f_min".as("f2"))
-      .repartition(shuffleN, $"z")
-    in.join(out, "z")
-      .filter($"a" =!= $"b" && $"f2" > $"f1")
+    val w = Window.partitionBy($"z").orderBy($"f_min")
+    adj.select($"z", $"f_min")
+      .withColumn("rk", rank().over(w).cast("long"))
       .groupBy($"z")
-      .agg(count(lit(1)).as("n_wedges"), countDistinct($"b").as("n_targets"))
+      .agg(sum($"rk" - 1L).as("n_wedges"),
+        sum(when($"rk" > 1L, 1L).otherwise(0L)).as("n_targets"))
+      .filter($"n_wedges" > 0)
       .select($"z".as("actor_id"), $"n_wedges", $"n_targets")
       .orderBy($"actor_id")
   }
@@ -575,8 +595,14 @@ object GraphMetricsQueries {
     * whole-run axis forces: a REGULAR day graph (all degrees equal, e.g.
     * a single-edge day) has zero variance, where r is undefined; both
     * engines report 0.0 under the same CASE guard. One day-keyed degree
-    * agg + two (day, actor)-keyed joins + one day-keyed moment agg;
-    * output bounded by |days|. */
+    * agg + ONE (day, actor)-keyed edge join + one VERTEX-sized join
+    * (round 14, guide §2.3/§3): the second endpoint join used to re-key
+    * all |directed edges| rows on (dkey, o) just to attach y = deg(o);
+    * since Σ_{(z,o)} x·y = Σ_o y·(Σ_{z∈N(o)} x), grouping the x-annotated
+    * edges by (dkey, o) FIRST collapses the join's probe side to
+    * |day-vertices| rows — the moments are unchanged (integer sums are
+    * association-free) and the plan sheds one edge-sized exchange.
+    * Output bounded by |days|. */
   private def g16(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = edgesByDay(s, d)
@@ -589,11 +615,15 @@ object GraphMetricsQueries {
       .localCheckpoint(eager = false)
     val num = $"n_dir_edges".cast("double") * $"sxy" - $"sx".cast("double") * $"sx"
     val den = $"n_dir_edges".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"
-    und.join(deg.select($"dkey", $"z", $"deg".as("x")), Seq("dkey", "z"))
-      .join(deg.select($"dkey", $"z".as("o"), $"deg".as("y")), Seq("dkey", "o"))
+    // per-target partial moments: c = in-degree contribution count,
+    // sxo = Σ x over o's neighbors, sxxo = Σ x² — all exact longs
+    val byO = und.join(deg.select($"dkey", $"z", $"deg".as("x")), Seq("dkey", "z"))
+      .groupBy($"dkey", $"o")
+      .agg(count(lit(1)).as("c"), sum($"x").as("sxo"), sum($"x" * $"x").as("sxxo"))
+    byO.join(deg.select($"dkey", $"z".as("o"), $"deg".as("y")), Seq("dkey", "o"))
       .groupBy($"dkey")
-      .agg(count(lit(1)).as("n_dir_edges"), sum($"x").as("sx"),
-        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .agg(sum($"c").as("n_dir_edges"), sum($"sxo").as("sx"),
+        sum($"y" * $"sxo").as("sxy"), sum($"sxxo").as("sxx"))
       .select($"dkey", $"n_dir_edges",
         when(den =!= 0.0, num / den).otherwise(lit(0.0)).as("assortativity"))
       .orderBy($"dkey")
@@ -631,25 +661,40 @@ object GraphMetricsQueries {
       .unionAll(e.select($"dkey", $"actor2".as("src"), $"actor1".as("dst")))
       .localCheckpoint(eager = false)
     val init = und.select($"dkey", $"src".as("actor_id")).distinct()
-      .select($"dkey", $"actor_id", $"actor_id".as("label"))
+      .select($"dkey", $"actor_id", $"actor_id".as("label"), lit(true).as("imp"))
     val ceiling = s.conf.getOption(StateBroadcastMaxKey)
       .map(_.toLong).getOrElse(StateBroadcastMaxDefault)
     val broadcastState = allDayVertices(s, d) <= ceiling
-    // labels only decrease, so (count, Σ label) is strictly monotone
+    // Round 14 (guide §2 — don't re-shuffle/probe what didn't change):
+    // FRONTIER (delta) propagation, the g01 discipline applied to the
+    // min-label loop. Only actors whose label IMPROVED last round
+    // re-propagate — re-propagating an unimproved label reproduces
+    // candidates an earlier round already merged, so the fixpoint is
+    // unchanged — which shrinks the per-round candidate mass from
+    // |directed day-edges| (measured 2.67 M rows probed and merged EVERY
+    // round at sf0.1) to the improving tail after round 1. Signature:
+    // labels only decrease and the frontier empties exactly once at the
+    // fixpoint, so (count, Σ label, |frontier|) is monotone-then-stable.
     val state = Fixpoint.iterate(init, G10Rounds,
       "per-day component labeling (deeper than the oracle unroll — raise G10Rounds in code AND oracle)") { df =>
-      val r = df.agg(count(lit(1)), sum($"label")).collect()(0)
-      Seq(r.getLong(0), r.getLong(1))
-    } { (st, _) =>
+      val r = df.agg(count(lit(1)), sum($"label"), sum($"imp".cast("long"))).collect()(0)
+      Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+    } ({ (st, _) =>
       // explicit state-side aliases: state descends from `und`, so unaliased
       // column refs would lean on self-join disambiguation
-      val stA = st.select($"dkey".as("s_dkey"), $"actor_id".as("s_actor"), $"label")
+      val stA = st.filter($"imp")
+        .select($"dkey".as("s_dkey"), $"actor_id".as("s_actor"), $"label")
       val hinted = if (broadcastState) broadcast(stA) else stA.hint("shuffle_hash")
       val cand = und.join(hinted, $"dkey" === $"s_dkey" && $"src" === $"s_actor")
         .select($"dkey", $"dst".as("actor_id"), $"label")
-      st.unionAll(cand)
-        .groupBy($"dkey", $"actor_id").agg(min($"label").as("label"))
-    }
+      // merge = ONE hash aggregate; every vertex is in state from round 0,
+      // so the old label is never null and `imp` is a strict improvement
+      st.select($"dkey", $"actor_id", $"label", lit(false).as("isnew"))
+        .unionAll(cand.select($"dkey", $"actor_id", $"label", lit(true).as("isnew")))
+        .groupBy($"dkey", $"actor_id")
+        .agg(min($"label").as("label"), min(when(!$"isnew", $"label")).as("oldl"))
+        .select($"dkey", $"actor_id", $"label", ($"label" < $"oldl").as("imp"))
+    }, fixedAt = _(2) == 0L)
     val sizes = state.groupBy($"dkey", $"label").agg(count(lit(1)).as("sz"))
     val comps = sizes.groupBy($"dkey").agg(
       sum($"sz").as("n_actors"),
@@ -748,18 +793,27 @@ object GraphMetricsQueries {
     val und = e.select($"actor1".as("src"), $"actor2".as("dst"))
       .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
       .localCheckpoint(eager = false)
-    val init = Seq((pa1, 0L)).toDF("actor_id", "dist")
+    // round 14: frontier BFS + signature-proven stop (the g01/g10
+    // discipline) — only the newly-reached layer re-probes the edge list
+    // (synchronous BFS reaches every vertex at its minimal hop, so an
+    // already-reached vertex can never improve), and an empty layer IS
+    // the fixpoint, saving the plain sig-compare's confirmation round
+    val init = Seq((pa1, 0L, true)).toDF("actor_id", "dist", "imp")
     val state = Fixpoint.iterate(init, BfsCap,
       "BFS hop propagation (deeper than the oracle bound — raise BfsCap in code AND oracle)") { df =>
-      val r = df.agg(count(lit(1)), sum($"dist")).collect()(0)
-      Seq(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    } { (st, _) =>
+      val r = df.agg(count(lit(1)), sum($"dist"), sum($"imp".cast("long"))).collect()(0)
+      Seq(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))
+    } ({ (st, _) =>
+      val frontier = st.filter($"imp").select($"actor_id".as("src"), $"dist")
       val cand = und
-        .join(guarded(s, d, st.withColumnRenamed("actor_id", "src")), "src")
+        .join(guarded(s, d, frontier), "src")
         .select($"dst".as("actor_id"), ($"dist" + 1L).as("dist"))
-      st.unionAll(cand)
-        .groupBy($"actor_id").agg(min($"dist").as("dist"))
-    }
+      st.select($"actor_id", $"dist", lit(false).as("isnew"))
+        .unionAll(cand.select($"actor_id", $"dist", lit(true).as("isnew")))
+        .groupBy($"actor_id")
+        .agg(min($"dist").as("dist"), min(when(!$"isnew", $"dist")).as("oldd"))
+        .select($"actor_id", $"dist", $"oldd".isNull.as("imp"))
+    }, fixedAt = _(2) == 0L)
     state.select($"actor_id", $"dist".as("hops")).orderBy($"actor_id")
   }
 
@@ -822,20 +876,26 @@ object GraphMetricsQueries {
     * Frames with no interactions (the loader creates every Δ-slot,
     * `load_gexf_to_neo4j.py:170`) appear with zero counts.
     *
-    * Scale shape: ONE shuffle of the (frame, edge) incidence list keyed on
-    * the canonical edge — within each edge's partition a `lead` window
-    * finds consecutive-frame persistence (per-edge groups are tiny; no
-    * corpus-sized window partition exists) — then two frame-keyed
-    * aggregations whose keyspace is the frame count. The dense frame axis
-    * comes from the at-rest frames table via a self semi-join (frame_id+1
-    * exists), never a driver-side max. */
+    * Scale shape (round 14, guide §2.4 — remove the shuffle outright):
+    * consecutive-frame persistence is a PER-ROW array expression over the
+    * at-rest temporal adjacency index (each pair row carries its sorted
+    * active-frame array, so "active at f AND f+1" is
+    * `filter(fs, f -> array_contains(fs, f+1))` — codegen'd, no shuffle,
+    * and the index is the one g01 already pins in executor memory),
+    * replacing v1's full shuffle + `lead` window over the |frame-edge|
+    * incidence list (measured 1.36 M rows re-keyed on the pair every run).
+    * Then two frame-keyed aggregations whose keyspace is the frame count.
+    * The dense frame axis comes from the at-rest frames table via a self
+    * semi-join (frame_id+1 exists), never a driver-side max. */
   private def g09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val g = GraphCache(s, d)
     val ef = g.frameInteractions.select($"frame_id", $"actor1", $"actor2")
-    val w = Window.partitionBy($"actor1", $"actor2").orderBy($"frame_id")
-    val common = ef.withColumn("nxt", lead($"frame_id", 1).over(w))
-      .filter($"nxt" === $"frame_id" + 1)
+    // canonical half of the directed index = one row per pair, its frame
+    // set identical to the pair's frameInteractions rows by construction
+    val common = ReachabilityQueries.adjacency(s, d)
+      .filter($"src" < $"dst")
+      .select(explode(expr("filter(fs, f -> array_contains(fs, f + 1))")).as("frame_id"))
       .groupBy($"frame_id").agg(count(lit(1)).as("n_common"))
     val sizes = ef.groupBy($"frame_id").agg(count(lit(1)).as("n_edges"))
     val base = g.frames.select($"frame_id")

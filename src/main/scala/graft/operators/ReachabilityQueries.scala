@@ -87,8 +87,10 @@ object ReachabilityQueries {
 
   /** At-rest directed temporal adjacency (src, dst, fs = sorted distinct
     * active frame ids) — an ingest-time index table like the LSH/shingle
-    * indexes: built once per corpus, read by every reachability run. */
-  private def adjacency(s: SparkSession, d: String): DataFrame =
+    * indexes: built once per corpus, read by every reachability run.
+    * `private[operators]` since round 14: g09's edge-persistence count
+    * reads consecutive-frame runs straight off the pinned frame arrays. */
+  private[operators] def adjacency(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, DocTables.TemporalAdj) {
       csrLayout(adjacencyRowsOf(GraphCache(s, d).frameInteractions))
     }
@@ -164,7 +166,7 @@ object ReachabilityQueries {
       "temporal reachability (corpus temporal diameter exceeds the cap)") { df =>
       val r = df.agg(count(lit(1)), sum($"f"), sum($"imp".cast("long"))).collect()(0)
       Seq(r.getLong(0), r.getLong(1), r.getLong(2))
-    } { (state, sig) =>
+    } (fixedAt = _(2) == 0L, step = { (state, sig) =>
       // earliest usable hop per neighbor pair: first active frame >= the
       // frontier arrival, via the alloc-free binary-search expression
       // (sorted_first_geq) straight off the sorted frame array.
@@ -207,7 +209,7 @@ object ReachabilityQueries {
         .groupBy($"actor_id")
         .agg(min($"f").as("f"), min(when(!$"isnew", $"f")).as("oldf"))
         .select($"actor_id", $"f", ($"oldf".isNull || $"f" < $"oldf").as("imp"))
-    }
+    })
     state.filter($"actor_id" =!= pa1)
       .select($"actor_id", $"f".as("first_frame"))
       .orderBy($"actor_id")

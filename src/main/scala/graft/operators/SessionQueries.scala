@@ -192,26 +192,41 @@ object SessionQueries {
       .withColumn("f1", expr(s"(unix_timestamp(ts_end) - $t0) div $delta"))
     // explicit-width repartition on the bucket key: the exploded session
     // shuffle is small, so AQE would coalesce the row-expanding join to ~1
-    // task (the documented a03 trap)
+    // task (the documented a03 trap).
+    //
+    // Round 14 (guide §3.3 — don't explode BOTH join sides): v1 exploded
+    // both sides to their full bucket ranges, so every overlapping pair
+    // re-met once per SHARED bucket (duplicates absorbed by the agg, but
+    // paid in the join). Any truly overlapping pair shares the bucket of
+    // max(a1, a2) — the LATER-starting session's start bucket lies inside
+    // the earlier one's range — so exploding only the probe side and
+    // keying the other side by its START bucket finds each unordered pair
+    // EXACTLY once (twice when the start buckets tie, still
+    // duplicate-safe), with the exact interval predicate unchanged. Both
+    // orientations of each candidate then fan out via one 2-element
+    // explode (cheaper than re-running the join mirrored), and the
+    // aggregation is unchanged — countDistinct on the partner key + MAX
+    // are duplicate-insensitive, so the result is bit-identical.
     val shuffleN = s.conf.get("spark.sql.shuffle.partitions").toInt
     val lhs = sess.select($"user_id".as("u1"), $"session_id".as("s1"),
       $"ts_start".as("a1"), $"ts_end".as("e1"),
       explode(sequence($"f0", $"f1")).as("f"))
       .repartition(shuffleN, $"f")
     val rhs = sess.select($"user_id".as("u2"), $"session_id".as("s2"),
-      $"ts_start".as("a2"), $"ts_end".as("e2"),
-      explode(sequence($"f0", $"f1")).as("f"))
+      $"ts_start".as("a2"), $"ts_end".as("e2"), $"f0".as("f"))
       .repartition(shuffleN, $"f")
-    // bucket-induced duplicate pairs need no standalone distinct: MAX is
-    // duplicate-insensitive and the overlap count is a countDistinct on the
-    // partner key — one partial+final aggregation replaces the wide
-    // 8-column distinct + regroup
+    val ov = unix_timestamp(least($"e1", $"e2")) -
+      unix_timestamp(greatest($"a1", $"a2"))
     lhs.join(rhs, "f")
       .filter($"u1" =!= $"u2" && $"a1" <= $"e2" && $"a2" <= $"e1")
+      .select(explode(array(
+        struct($"u1", $"s1", $"u2".as("pu"), $"s2".as("ps"), ov.as("ov")),
+        struct($"u2".as("u1"), $"s2".as("s1"), $"u1".as("pu"), $"s1".as("ps"),
+          ov.as("ov")))).as("r"))
+      .select($"r.*")
       .groupBy($"u1", $"s1")
-      .agg(countDistinct($"u2", $"s2").as("n_overlap"),
-        max(unix_timestamp(least($"e1", $"e2")) -
-          unix_timestamp(greatest($"a1", $"a2"))).as("max_overlap_sec"))
+      .agg(countDistinct($"pu", $"ps").as("n_overlap"),
+        max($"ov").as("max_overlap_sec"))
       .select($"u1".as("user_id"), $"s1".as("session_id"),
         $"n_overlap", $"max_overlap_sec")
       .orderBy($"user_id", $"session_id")

@@ -191,11 +191,38 @@ object TextQueries {
     * dropped by SURVEY §1.3 because nothing queried it; tx6 gives the
     * capability a real, tested analog). Built once at ingest like every
     * other [[DerivedCache]] table; at 100 TB the posting list is the
-    * standard token-bucketed layout search engines shard on. */
+    * standard token-bucketed layout search engines shard on.
+    *
+    * INVARIANT (load-bearing since round 14): rows are UNIQUE per
+    * (t, doc_id) — [[postingRowsOf]] groups by exactly that key, appends
+    * are per-NEW-document batches and deletes are whole-document filters,
+    * so the key stays unique under every maintenance path
+    * (PostingUniqueSpec pins it). tx6/tx9/tx10 lean on it to compute df
+    * as a plain COUNT with map-side partials instead of countDistinct's
+    * two-phase distinct shuffle of the whole index (guide §2.3). */
   private[operators] def postings(s: SparkSession, d: String): DataFrame =
     DerivedCache.table(s, d, DocTables.Postings) {
       postingRowsOf(Tables.documents(s, d))
     }
+
+  /** Term-stat join operand for posting-index joins (the
+    * GraphMetricsQueries.guarded analog, round 14): term-keyed stats
+    * frames are VOCABULARY-bounded, so they broadcast under a ceiling —
+    * keeping the corpus-sized posting scan un-shuffled — and degrade to a
+    * keyed shuffle-hash join above it, never fail. The vocabulary probe
+    * is one memoized narrow count off the at-rest index (the
+    * dayVertices discipline: one scalar job per corpus mutation epoch,
+    * cost ≪ the join it plans). */
+  private[operators] val TermBroadcastMaxKey = "spark.graft.text.broadcastMaxTerms"
+  private val TermBroadcastMaxDefault = 5000000L
+  private def guardedTerms(s: SparkSession, d: String, stats: DataFrame): DataFrame = {
+    val max = s.conf.getOption(TermBroadcastMaxKey)
+      .map(_.toLong).getOrElse(TermBroadcastMaxDefault)
+    val vocab = EpochMemo.scalar(s, "text.vocab", d) {
+      postings(s, d).select(col("t")).distinct().count()
+    }
+    if (vocab <= max) broadcast(stats) else stats.hint("shuffle_hash")
+  }
 
   /** Incremental maintenance for the inverted index — `DedupQueries.
     * appendDocuments`'s fulltext sibling: derive posting rows for a NEW
@@ -238,13 +265,16 @@ object TextQueries {
   private def tx6(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val p = postings(s, d)
+    // df/nt as plain COUNTs: the posting index is unique per (t, doc_id)
+    // (the [[postings]] invariant), so countDistinct's distinct shuffle of
+    // the whole index is pure overhead — count(1) aggregates map-side
     val terms = p.filter(!$"t".isInCollection(stop))
-      .groupBy($"t").agg(countDistinct($"doc_id").as("df"))
+      .groupBy($"t").agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), $"t").limit(2)
       .collect().toIndexedSeq.map(_.getString(0))
     p.filter($"t".isin(terms: _*))
       .groupBy($"doc_id")
-      .agg(countDistinct($"t").as("nt"), sum($"tf").as("score"))
+      .agg(count(lit(1)).as("nt"), sum($"tf").as("score"))
       .filter($"nt" === terms.length)
       .select($"doc_id", $"score")
       .orderBy(desc("score"), $"doc_id").limit(20)
@@ -302,10 +332,14 @@ object TextQueries {
     import s.implicits._
     val p = postings(s, d)
     val n = Tables.documents(s, d).count()
-    val byDf = p.groupBy($"t").agg(countDistinct($"doc_id").as("df"))
+    // round 14: df via count(1) (the [[postings]] uniqueness invariant —
+    // no distinct shuffle of the index), and the vocabulary-bounded df
+    // table joins in guarded-broadcast mode so the posting scan itself is
+    // never re-keyed on t (guide §2.3/§3.1)
+    val byDf = p.groupBy($"t").agg(count(lit(1)).as("df"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy(desc("score"), $"term")
-    p.join(byDf, "t")
+    p.join(guardedTerms(s, d, byDf), "t")
       .select($"doc_id", $"t".as("term"),
         (($"tf" * lit(n)).cast("double") / $"df").as("score"))
       .withColumn("rn", row_number().over(win))
@@ -331,8 +365,9 @@ object TextQueries {
   private def tx10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val p = postings(s, d)
-    val byDf = p.groupBy($"t").agg(countDistinct($"doc_id").as("df"))
-    val prof = p.join(byDf, "t")
+    // round 14: same count(1)-df + guarded-broadcast join as tx9
+    val byDf = p.groupBy($"t").agg(count(lit(1)).as("df"))
+    val prof = p.join(guardedTerms(s, d, byDf), "t")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_terms"),
@@ -681,7 +716,12 @@ object TextQueries {
     val words = withLen.groupBy($"t")
       .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
       .select($"t", ($"deg".cast("double") / $"freq".cast("double")).as("wscore"))
-    val phrases = withLen.join(words, "t")
+    // round 14: the word-score table is vocabulary-bounded — joining it in
+    // guarded-broadcast mode keeps the occurrence rows on their doc_id
+    // layout (the checkpoint preserves the window exchange's partitioning),
+    // so the phrase rollup right below needs NO exchange of its own where
+    // v1 re-keyed every occurrence row on t and back on (doc_id, grp)
+    val phrases = withLen.join(guardedTerms(s, d, words), "t")
       .groupBy($"doc_id", $"grp")
       .agg(
         expr("array_join(transform(array_sort(collect_list(struct(pos, t))), x -> x.t), ' ')")
@@ -737,7 +777,18 @@ object TextQueries {
       .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
       .localCheckpoint(eager = false)
     val corpus = dpc.groupBy($"w1", $"w2").agg(sum($"k").as("c_ab"))
-    val per = dpc.join(corpus, Seq("w1", "w2"))
+    // round 14: the corpus-count table is bounded by the DISTINCT bigram
+    // vocabulary; broadcast under the term ceiling (total-token scalar as
+    // the cheap over-bound — distinct bigrams ≤ corpus tokens) keeps the
+    // (doc, bigram) rows un-shuffled ahead of their doc-keyed rollup
+    val maxTerms = s.conf.getOption(TermBroadcastMaxKey)
+      .map(_.toLong).getOrElse(TermBroadcastMaxDefault)
+    val bigramBound = EpochMemo.scalar(s, "text.bigramBound", d) {
+      postings(s, d).agg(coalesce(sum($"tf"), lit(0L)).as("n")).head.getLong(0)
+    }
+    val corpusOp = if (bigramBound <= maxTerms) broadcast(corpus)
+      else corpus.hint("shuffle_hash")
+    val per = dpc.join(corpusOp, Seq("w1", "w2"))
       .groupBy($"doc_id").agg(
         sum($"k").as("n_bigrams"),
         sum(when($"c_ab" < LmMinCount, $"k").otherwise(0L)).as("n_oov"),
