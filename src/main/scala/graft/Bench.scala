@@ -47,6 +47,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing posture, A/B-measured in round 14: size-targeted
+      // coalescing (parallelismFirst=false, the guide-§2.2 big-cluster
+      // posture) collapses this workload's byte-tiny but row-heavy
+      // shuffles to single tasks — a 24-query probe ran 32.9 s (default)
+      // vs 69.5 s (false) at sf0.1/cpus=32 — so the parallelism-first
+      // DEFAULT is kept deliberately; the env knob preserves the
+      // experiment (driver never sets it)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the hygiene sweep below unpersists each query's one-shot

@@ -857,8 +857,19 @@ object DedupQueries {
     val isEval =
       expr("conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10)").cast("long") < 64
     val trainSg = sh.filter(!isEval).select($"sg").distinct()
+    // round 14: the train-shingle set is distinct-shingle bounded —
+    // broadcast it under the hash-set ceiling (memoized per-epoch probe,
+    // the dd11/dd18 discipline) so the eval rows stream straight into
+    // their doc-keyed rollup; keyed shuffle-hash above the ceiling
+    val max = s.conf.getOption(DupHashBroadcastMaxKey)
+      .map(_.toLong).getOrElse(DupHashBroadcastMaxDefault)
+    val nSg = EpochMemo.scalar(s, "dedup.distinctShingles", d) {
+      sh.select($"sg").distinct().count()
+    }
+    val trainOp = if (nSg <= max) broadcast(trainSg.withColumn("hit", lit(1L)))
+      else trainSg.withColumn("hit", lit(1L)).hint("shuffle_hash")
     sh.filter(isEval)
-      .join(trainSg.withColumn("hit", lit(1L)), Seq("sg"), "left")
+      .join(trainOp, Seq("sg"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce($"hit", lit(0L))).as("n_contaminated"))

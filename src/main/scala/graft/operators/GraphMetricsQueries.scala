@@ -418,7 +418,11 @@ object GraphMetricsQueries {
       .localCheckpoint(eager = false)
     val deg = und.groupBy($"src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false)
-    val n = deg.count() // scalar vertex count (A3 probe-lookup analog)
+    // scalar vertex count (A3 probe-lookup analog) — round 14: every
+    // endpoint of the day-edge list has degree ≥ 1, so this IS the
+    // memoized dayVertices probe; reading it retires the per-execution
+    // deg-materialization count job
+    val n = dayVertices(s, d)
     var rank = deg.select($"src".as("actor_id"), (lit(1.0) / n).as("pr"))
     for (_ <- 1 to PrIters) {
       val contrib = und

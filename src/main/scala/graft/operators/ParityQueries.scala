@@ -312,7 +312,14 @@ object ParityQueries {
     val hourFrames = g.frames
       .filter($"day" === g.probes.pdhDay && $"hour" === g.probes.pdhHour)
       .select($"frame_id")
+    // round 14: the anchor's day is known at plan time, so the semi-join
+    // formulation still PRUNES the day partition (every resolved frame id
+    // lives in the anchor day's directory — deriving the implied partition
+    // predicate is a no-op on the result and retires the full-table scan
+    // this variant paid; the hour restriction stays with the semi-join,
+    // which is the formulation c11b exists to exercise)
     val active = g.frameInteractions
+      .filter($"day" === g.probes.pdhDay)
       .join(broadcast(hourFrames), Seq("frame_id"), "left_semi")
       .select($"actor1", $"actor2").distinct()
     triangles(active, windowEgo(active))

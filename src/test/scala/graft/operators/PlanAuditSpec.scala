@@ -382,16 +382,19 @@ abstract class PlanAuditBase extends SparkSpec {
       "tx13 must never read the corpus text")
   }
 
-  test("g09 persistence window is edge-partitioned; frame aggs broadcast") {
+  test("g09 persistence reads the adjacency index per-row; frame aggs broadcast") {
     val df = GraphMetricsQueries.queries("g09_frame_turnover")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // the lead window must be partitioned by the canonical edge — an
-    // unpartitioned window here would move the whole incidence list to
-    // one task
-    assert("""Window \[lead\(frame_id""".r.findFirstIn(p).isDefined, "lead window present")
-    assert(p.linesIterator.filter(_.contains("Window [lead"))
-        .forall(l => l.contains("actor1") && l.contains("actor2")),
-      s"the persistence window must partition by (actor1, actor2):\n${p.take(1200)}")
+    // round 14: consecutive-frame persistence is a per-row array filter
+    // over the at-rest temporal adjacency (each pair's sorted frame set),
+    // NOT a shuffle of the frame-edge incidence list through a pair-keyed
+    // lead window — the v1 shape this audit used to pin
+    assert(!p.contains("Window [lead"),
+      s"g09 must not re-shuffle the incidence list through a lead window:\n${p.take(1200)}")
+    assert(p.contains("array_contains"),
+      s"persistence must be the codegen'd sorted-array filter:\n${p.take(1200)}")
+    assert(p.contains("temporal_adj") || p.contains("InMemoryTableScan"),
+      s"the filter must read the at-rest/pinned adjacency index:\n${p.take(1200)}")
     // per-frame aggregate tables are frame-count-bounded: they broadcast
     // into the dense frame spine rather than shuffling it
     assert(p.contains("BroadcastHashJoin"), "frame-keyed aggs should broadcast")
