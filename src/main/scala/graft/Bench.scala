@@ -165,6 +165,13 @@ object Bench {
     Files.write(detailPath, detail.getBytes(StandardCharsets.UTF_8))
 
     spark.stop()
+    // per-query medians as their OWN stdout line (round 15, additions-only):
+    // the driver's tail capture is 2000 chars, so the contract line below
+    // must stay compact and LAST — but a full-stdout reader can pick this
+    // line up and compute per-query speedups without filesystem access.
+    // Keyed "bench_queries" (not "metric") so a tail-truncated fragment of
+    // it can never be mistaken for, or shadow, the contract line.
+    println(s"""{"bench_queries":$medians,"unit":"sec","sf":"$sfDir","reps":$reps}""")
     // compact, driver-parseable summary — MUST be the last stdout line and
     // small enough to survive a bounded tail capture
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +

@@ -18,6 +18,16 @@ object DerivedCache {
 
   private val memo = TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // Round 15 (guide §2.6 — overlap independent jobs): the ingest paths now
+  // maintain independent tables from a small thread pool, so the cache's
+  // mutual exclusion is PER TABLE PATH instead of one global lock — two
+  // appends to different tables overlap, two writers of the SAME path still
+  // serialize exactly as before. The lock object for a path is created once
+  // and lives for the JVM (bounded by the table count).
+  private val pathLocks = TrieMap.empty[String, Object]
+  private def lockFor(path: String): Object =
+    pathLocks.getOrElseUpdate(path, new Object)
+
   /** Monotone per-corpus mutation counter, bumped by every [[append]] /
     * [[replace]]: lets consumers key their own memoized data properties
     * (e.g. the control-gate row counts) so a table mutation invalidates
@@ -83,16 +93,18 @@ object DerivedCache {
   /** Memoized at-rest materialization of `build`, keyed by (session, source
     * dir, table name, layout version). */
   def table(spark: SparkSession, dir: String, name: String, version: Int)
-      (build: => DataFrame): DataFrame = synchronized {
+      (build: => DataFrame): DataFrame = {
     evictStopped(memo)
     val path = s"${baseDir(spark)}/${dirKey(dir)}/${name}_v$version"
-    memo.getOrElseUpdate((spark, path), {
-      val marker = Paths.get(s"$path/_GRAFT_DONE")
-      if (!Files.exists(marker)) {
-        build.write.mode("overwrite").parquet(path)
-        Files.createFile(marker)
-      }
-      spark.read.parquet(path)
+    memo.get((spark, path)).getOrElse(lockFor(path).synchronized {
+      memo.getOrElseUpdate((spark, path), {
+        val marker = Paths.get(s"$path/_GRAFT_DONE")
+        if (!Files.exists(marker)) {
+          build.write.mode("overwrite").parquet(path)
+          Files.createFile(marker)
+        }
+        spark.read.parquet(path)
+      })
     })
   }
 
@@ -112,13 +124,15 @@ object DerivedCache {
     * re-lists the files; the base must already be built (an append is a
     * delta against something). */
   def append(spark: SparkSession, dir: String, name: String, version: Int)
-      (rows: DataFrame): Unit = synchronized {
+      (rows: DataFrame): Unit = {
     val path = s"${baseDir(spark)}/${dirKey(dir)}/${name}_v$version"
-    require(Files.exists(Paths.get(s"$path/_GRAFT_DONE")),
-      s"append target $name (v$version) is not built for $dir — build the base index first")
-    rows.write.mode("append").parquet(path)
-    memo.keys.filter(_._2 == path).foreach(memo.remove)
-    bumpEpoch(dir)
+    lockFor(path).synchronized {
+      require(Files.exists(Paths.get(s"$path/_GRAFT_DONE")),
+        s"append target $name (v$version) is not built for $dir — build the base index first")
+      rows.write.mode("append").parquet(path)
+      memo.keys.filter(_._2 == path).foreach(memo.remove)
+      bumpEpoch(dir)
+    }
   }
 
   /** REPLACE an existing at-rest table's contents with `rows` — the
@@ -133,8 +147,13 @@ object DerivedCache {
     * complete old table under `__retired`, recoverable by hand — never a
     * half-written mixture). */
   def replace(spark: SparkSession, dir: String, name: String, version: Int)
-      (rows: DataFrame): Unit = synchronized {
+      (rows: DataFrame): Unit = {
     val path = s"${baseDir(spark)}/${dirKey(dir)}/${name}_v$version"
+    lockFor(path).synchronized { replaceLocked(spark, dir, path, name, version)(rows) }
+  }
+
+  private def replaceLocked(spark: SparkSession, dir: String, path: String,
+      name: String, version: Int)(rows: DataFrame): Unit = {
     require(Files.exists(Paths.get(s"$path/_GRAFT_DONE")),
       s"replace target $name (v$version) is not built for $dir — build the base index first")
     val staging = s"${path}__staging"

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.build.{DerivedCache, DocTables}
+import graft.build.{DerivedCache, DocTables, Par}
 import graft.functions.Fingerprint.fingerprintMd5
 import graft.sources.Tables
 
@@ -217,17 +217,25 @@ object DedupQueries {
     val sh = shingleRowsOf(newDocs).persist()
     val mh = minhashRowsOf(sh).persist()
     try {
+      // the first two appends ALSO materialize the persisted sh/mh frames,
+      // so the parallel section below (§2.6) reads cached blocks instead of
+      // racing to re-derive them
       DerivedCache.append(s, d, DocTables.Shingles)(sh)
       DerivedCache.append(s, d, DocTables.Minhash)(mh)
-      DerivedCache.append(s, d, DocTables.Bands)(bandRowsOf(mh))
-      DerivedCache.append(s, d, DocTables.Fingerprints)(fpRowsOf(newDocs))
-      DerivedCache.append(s, d, DocTables.Sizes)(sizeRowsOf(sh))
-      DerivedCache.append(s, d, DocTables.Windows)(windowRowsOf(newDocs))
-      if (DerivedCache.isBuilt(s, d, SimTable)) {
-        DerivedCache.append(s, d, SimTable)(simHashRowsOf(newDocs))
-        refreshSimStats(s, d)
-      }
-      appendPrefix(s, d, sh)
+      Par.run(Seq(
+        () => DerivedCache.append(s, d, DocTables.Bands)(bandRowsOf(mh)),
+        () => DerivedCache.append(s, d, DocTables.Fingerprints)(fpRowsOf(newDocs)),
+        () => {
+          // chained, not parallel: appendPrefix's re-rank growth trigger
+          // counts the size table, so it must observe the completed append
+          DerivedCache.append(s, d, DocTables.Sizes)(sizeRowsOf(sh))
+          appendPrefix(s, d, sh)
+        },
+        () => DerivedCache.append(s, d, DocTables.Windows)(windowRowsOf(newDocs)),
+        () => if (DerivedCache.isBuilt(s, d, SimTable)) {
+          DerivedCache.append(s, d, SimTable)(simHashRowsOf(newDocs))
+          refreshSimStats(s, d)
+        }))
     } finally {
       mh.unpersist()
       sh.unpersist()
@@ -1364,7 +1372,15 @@ object DedupQueries {
     * broadcast side INVERTED — the edge list is the tiny table here, the
     * label state is corpus-sized and never shuffles except its own merge
     * groupBy); labels only decrease, so (count, Σ label) is monotone until
-    * the fixpoint. */
+    * the fixpoint.
+    *
+    * PRECONDITION: `nodes` must cover every pair endpoint (every call site
+    * passes the full corpus or the contracted component set). The round-15
+    * folded init derives each node's round-1 label directly, so an endpoint
+    * MISSING from `nodes` would join the state only when a frontier
+    * neighbor reaches it — same labels when it does (the null-safe `imp`
+    * below keeps it propagating), but an endpoint whose every neighbor is
+    * already settled would never enter at all. */
   private[graft] def clusterRowsOf(nodes: DataFrame, pairs: DataFrame,
       what: String = "dup-cluster labeling"): DataFrame = {
     val s = nodes.sparkSession
@@ -1378,7 +1394,20 @@ object DedupQueries {
     // plain sig-compare needed (~0.4 s fixed cost per round at bench
     // scale; at 100 TB the frontier join's probe side shrinks from the
     // full corpus-sized state to the improving tail)
-    val init = nodes.select($"doc_id", $"doc_id".as("label"), lit(true).as("imp"))
+    //
+    // round 15: round 1 folded into init (the g10 fold, guide §2.3) — from
+    // self-labels, round 1 is label = min(self, min over pair neighbors):
+    // one broadcast left-join of the corpus-sized node set against the
+    // tiny per-endpoint neighbor-min aggregate, replacing the full-corpus
+    // probe + corpus-sized merge groupBy the old round 1 paid. Most nodes
+    // have NO pairs, so the folded init also starts the loop with the
+    // frontier already collapsed to the paired tail.
+    val bmin = und.groupBy($"b").agg(min($"a").as("nmin"))
+    val init = nodes.select($"doc_id")
+      .join(broadcast(bmin), $"doc_id" === $"b", "left")
+      .select($"doc_id",
+        least($"doc_id", coalesce($"nmin", $"doc_id")).as("label"),
+        ($"nmin".isNotNull && $"nmin" < $"doc_id").as("imp"))
     Fixpoint.iterate(init, MaxClusterRounds, what) { df =>
       val r = df.agg(count(lit(1)), sum($"label"), sum($"imp".cast("long"))).collect()(0)
       Seq(r.getLong(0), r.getLong(1), r.getLong(2))
@@ -1390,8 +1419,14 @@ object DedupQueries {
         .unionAll(cand.select($"doc_id", $"label", lit(true).as("isnew")))
         .groupBy($"doc_id")
         .agg(min($"label").as("label"), min(when(!$"isnew", $"label")).as("oldl"))
-        .select($"doc_id", $"label", ($"label" < $"oldl").as("imp"))
-    }, fixedAt = _(2) == 0L)
+        // null-safe frontier test (the g01/g13 pattern): a vertex first
+        // introduced via `cand` has oldl = NULL, and a NULL comparison
+        // would silently drop it from the frontier — every call site today
+        // passes a `nodes` covering all pair endpoints, but this shared
+        // helper must fail safe rather than assume it
+        .select($"doc_id", $"label",
+          ($"oldl".isNull || $"label" < $"oldl").as("imp"))
+    }, fixedAt = _(2) == 0L, oneAction = true)
       .select($"doc_id", $"label")
   }
 
@@ -1539,26 +1574,32 @@ object DedupQueries {
         cur.join(idSet.withColumnRenamed("doc_id", key), Seq(key), "left_anti")
           .select(cur.columns.map(col): _*))
     }
-    purge(DocTables.Shingles)
-    purge(DocTables.Minhash)
-    purge(DocTables.Bands)
-    purge(DocTables.Fingerprints)
-    purge(DocTables.Sizes)
-    purge(DocTables.Windows)
-    if (DerivedCache.isBuilt(s, d, PairTable)) purge(PairTable)
-    if (DerivedCache.isBuilt(s, d, PrefixTable)) {
-      purge(PrefixTable, "d1")
-      val atRank = DerivedCache.existing(s, d, PrefixMetaTable).head.getLong(0)
-      val now = docSizes(s, d).count()
-      val growth = s.conf.getOption(PrefixRerankGrowthKey).map(_.toDouble)
-        .getOrElse(PrefixRerankGrowthDefault)
-      if (now < atRank * (1.0 - growth)) rerankPrefix(s, d)
-      else refreshStats(s, d) // rerankPrefix refreshed already
-    }
-    if (DerivedCache.isBuilt(s, d, SimTable)) {
-      purge(SimTable)
-      refreshSimStats(s, d)
-    }
+    // §2.6: each purge is a staged replace of its own table's scan —
+    // disjoint tables overlap; the prefix family chains behind the shingle
+    // and size purges it reads (shrink trigger + possible re-rank)
+    Par.run(Seq(
+      () => purge(DocTables.Minhash),
+      () => purge(DocTables.Bands),
+      () => purge(DocTables.Fingerprints),
+      () => purge(DocTables.Windows),
+      () => if (DerivedCache.isBuilt(s, d, PairTable)) purge(PairTable),
+      () => {
+        purge(DocTables.Shingles)
+        purge(DocTables.Sizes)
+        if (DerivedCache.isBuilt(s, d, PrefixTable)) {
+          purge(PrefixTable, "d1")
+          val atRank = DerivedCache.existing(s, d, PrefixMetaTable).head.getLong(0)
+          val now = docSizes(s, d).count()
+          val growth = s.conf.getOption(PrefixRerankGrowthKey).map(_.toDouble)
+            .getOrElse(PrefixRerankGrowthDefault)
+          if (now < atRank * (1.0 - growth)) rerankPrefix(s, d)
+          else refreshStats(s, d) // rerankPrefix refreshed already
+        }
+      },
+      () => if (DerivedCache.isBuilt(s, d, SimTable)) {
+        purge(SimTable)
+        refreshSimStats(s, d)
+      }))
   }
 
   /** Pair/cluster maintenance under deletion — [[appendDupClusters]]'s

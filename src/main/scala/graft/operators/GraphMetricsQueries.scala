@@ -245,11 +245,12 @@ object GraphMetricsQueries {
     val members = Fixpoint.iterate(init, MaxPeel,
       "k-core peeling (deeper than the oracle unroll — raise MaxPeel in code AND oracle)") {
       df => Seq(df.count())
-    } { (members, _) =>
+    } ({ (members, _) =>
       coreDegrees(members)
         .filter($"core_degree" >= CoreK)
         .select($"actor_id")
-    }
+    // oneAction: every join in coreDegrees is explicitly hinted (guarded)
+    }, oneAction = true)
     coreDegrees(members)
       .select($"actor_id", $"core_degree")
       .orderBy($"actor_id")
@@ -370,8 +371,14 @@ object GraphMetricsQueries {
     val und = e.select($"actor1".as("src"), $"actor2".as("dst"))
       .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
       .localCheckpoint(eager = false)
-    val init = und.select($"src".as("actor_id")).distinct()
-      .select($"actor_id", $"actor_id".as("label"), lit(true).as("imp"))
+    // Round 15: round 1 folded into init (the g10 fold, guide §2.3) — the
+    // full-frontier first round is min(self, min over neighbors), a direct
+    // aggregation over the edge list that subsumes the init distinct
+    val init = und.select($"dst".as("actor_id"), $"src")
+      .groupBy($"actor_id").agg(min($"src").as("nmin"))
+      .select($"actor_id",
+        least($"actor_id", $"nmin").as("label"),
+        ($"nmin" < $"actor_id").as("imp"))
     // Round 14: frontier (delta) propagation — the g01/g10 discipline;
     // labels only decrease and the frontier empties exactly at the
     // fixpoint, so (count, Σ label, |frontier|) is monotone-then-stable
@@ -388,7 +395,7 @@ object GraphMetricsQueries {
         .groupBy($"actor_id")
         .agg(min($"label").as("label"), min(when(!$"isnew", $"label")).as("oldl"))
         .select($"actor_id", $"label", ($"label" < $"oldl").as("imp"))
-    }, fixedAt = _(2) == 0L)
+    }, fixedAt = _(2) == 0L, oneAction = true)
     state.select($"actor_id", $"label".as("component"))
       .orderBy($"actor_id")
   }
@@ -664,8 +671,23 @@ object GraphMetricsQueries {
     val und = e.select($"dkey", $"actor1".as("src"), $"actor2".as("dst"))
       .unionAll(e.select($"dkey", $"actor2".as("src"), $"actor1".as("dst")))
       .localCheckpoint(eager = false)
-    val init = und.select($"dkey", $"src".as("actor_id")).distinct()
-      .select($"dkey", $"actor_id", $"actor_id".as("label"), lit(true).as("imp"))
+    // Round 15 (guide §2.3 — aggregate instead of join when the frontier is
+    // everyone): round 1 of min-label propagation from self-labels computes,
+    // per (dkey, vertex), min(self, min over neighbors) — a DIRECT
+    // aggregation over the day-edge table. Folding it into init retires both
+    // the per-execution init `distinct` (the same shuffle re-keyed) and the
+    // full-frontier round-1 probe join that merged |directed day-edges|
+    // (2.67 M at sf0.1) candidate rows against the complete state: the loop
+    // now starts at the post-round-1 state with the frontier already
+    // collapsed to the improving tail. Exactness: every vertex of und
+    // appears as `dst` (the union is symmetric), min is the same merge the
+    // loop applies, and `imp` = (neighbor-min < self) is round 1's
+    // improvement test verbatim.
+    val init = und.select($"dkey", $"dst".as("actor_id"), $"src")
+      .groupBy($"dkey", $"actor_id").agg(min($"src").as("nmin"))
+      .select($"dkey", $"actor_id",
+        least($"actor_id", $"nmin").as("label"),
+        ($"nmin" < $"actor_id").as("imp"))
     val ceiling = s.conf.getOption(StateBroadcastMaxKey)
       .map(_.toLong).getOrElse(StateBroadcastMaxDefault)
     val broadcastState = allDayVertices(s, d) <= ceiling
@@ -698,7 +720,7 @@ object GraphMetricsQueries {
         .groupBy($"dkey", $"actor_id")
         .agg(min($"label").as("label"), min(when(!$"isnew", $"label")).as("oldl"))
         .select($"dkey", $"actor_id", $"label", ($"label" < $"oldl").as("imp"))
-    }, fixedAt = _(2) == 0L)
+    }, fixedAt = _(2) == 0L, oneAction = true)
     val sizes = state.groupBy($"dkey", $"label").agg(count(lit(1)).as("sz"))
     val comps = sizes.groupBy($"dkey").agg(
       sum($"sz").as("n_actors"),
@@ -817,7 +839,7 @@ object GraphMetricsQueries {
         .groupBy($"actor_id")
         .agg(min($"dist").as("dist"), min(when(!$"isnew", $"dist")).as("oldd"))
         .select($"actor_id", $"dist", $"oldd".isNull.as("imp"))
-    }, fixedAt = _(2) == 0L)
+    }, fixedAt = _(2) == 0L, oneAction = true)
     state.select($"actor_id", $"dist".as("hops")).orderBy($"actor_id")
   }
 
@@ -848,9 +870,14 @@ object GraphMetricsQueries {
     val und = e.select($"actor1".as("src"), $"actor2".as("dst"))
       .unionAll(e.select($"actor2".as("src"), $"actor1".as("dst")))
       .localCheckpoint(eager = false)
-    var labels = und.select($"src".as("actor_id")).distinct()
-      .select($"actor_id", $"actor_id".as("label"))
-    for (_ <- 1 to LpaRounds) {
+    // round 15 (the g10 fold, guide §2.3): from self-labels, round 1's
+    // per-(dst, label) counts are ALL 1 — und rows are unique per
+    // (src, dst) since dayEdges is distinct — so the (max count, min label)
+    // argmax degenerates to min neighbor label: one direct aggregation
+    // replaces both the init distinct and the first join round
+    var labels = und.groupBy($"dst").agg(min($"src").as("label"))
+      .select($"dst".as("actor_id"), $"label")
+    for (_ <- 2 to LpaRounds) {
       val counts = und
         .join(guarded(s, d, labels.withColumnRenamed("actor_id", "src")), "src")
         .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))

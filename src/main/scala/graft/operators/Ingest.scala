@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.build.{DerivedCache, DocTables}
+import graft.build.{DerivedCache, DocTables, Par}
 
 /** The document-ingest entry points — ONE list of the at-rest document
   * index tables, so the bench, the specs, and a library user can't drift
@@ -22,42 +22,61 @@ object Ingest {
     * Idempotent per table ([[DerivedCache.table]] markers). */
   def buildDocumentIndexes(s: SparkSession, d: String, docs: DataFrame): Unit = {
     import s.implicits._
+    // Round 15 (guide §2.6 — overlap independent jobs): the table builds
+    // below are independent Spark jobs once their inputs exist; phased
+    // parallel submission preserves every original happens-before edge
+    // (sh → {mh → bd, sizes, prefix}; {bd, fp, sizes} → pairs → clusters;
+    // SimTable → sim stats) while letting the rest back-fill the scheduler.
     val sh = DerivedCache.table(s, d, DocTables.Shingles)(
       DedupQueries.shingleRowsOf(docs))
-    val mh = DerivedCache.table(s, d, DocTables.Minhash)(
-      DedupQueries.minhashRowsOf(sh))
-    val bd = DerivedCache.table(s, d, DocTables.Bands)(
-      DedupQueries.bandRowsOf(mh))
-    val fp = DerivedCache.table(s, d, DocTables.Fingerprints)(
-      DedupQueries.fpRowsOf(docs))
-    val sizes = DerivedCache.table(s, d, DocTables.Sizes)(
-      DedupQueries.sizeRowsOf(sh))
-    DerivedCache.table(s, d, DocTables.Windows)(
-      DedupQueries.windowRowsOf(docs))
-    DerivedCache.table(s, d, DocTables.Postings)(
-      TextQueries.postingRowsOf(docs))
-    DerivedCache.table(s, d, DocTables.Cms)(
-      TextQueries.cmsRowsOf(docs))
-    DerivedCache.table(s, d, DocTables.MediaFp)(
-      MultimodalQueries.mediaFpRowsOf(docs))
-    val pairs = DerivedCache.table(s, d, DocTables.DupPairs)(
-      DedupQueries.dupPairRowsOf(sh, bd, fp, Some(sizes)))
-    DerivedCache.table(s, d, DocTables.DupClusters)(
-      DedupQueries.clusterRowsOf(docs.select($"doc_id"), pairs)
-        .withColumnRenamed("label", "cluster_id"))
-    // the at-rest SimHash index + its stats meta (dd4's route constants)
-    DerivedCache.table(s, d, DedupQueries.SimTable)(
-      DedupQueries.simHashRowsOf(docs))
-    // the containment-prefix family last (it reads the shingle + size
-    // tables): building it HERE pins its df snapshot to ingest time, so an
-    // appended corpus can never see a timing-dependent prefix state —
-    // buildPrefixIndex also materializes the containment stats meta
-    DedupQueries.buildPrefixIndex(s, d)
-    DedupQueries.buildSimStats(s, d)
-    // escalation provisioning: on a saturation-profile corpus, build the
-    // shingle-pair index at the same snapshot point (no-op otherwise)
-    DedupQueries.providePairIndexIfSaturated(s, d)
-    PipelineQueries.buildOffsets(s, d, docs)
+    Par.run(Seq(
+      () => {
+        val mh = DerivedCache.table(s, d, DocTables.Minhash)(
+          DedupQueries.minhashRowsOf(sh))
+        DerivedCache.table(s, d, DocTables.Bands)(
+          DedupQueries.bandRowsOf(mh))
+        ()
+      },
+      () => { DerivedCache.table(s, d, DocTables.Fingerprints)(
+        DedupQueries.fpRowsOf(docs)); () },
+      () => { DerivedCache.table(s, d, DocTables.Sizes)(
+        DedupQueries.sizeRowsOf(sh)); () },
+      () => { DerivedCache.table(s, d, DocTables.Windows)(
+        DedupQueries.windowRowsOf(docs)); () },
+      () => { DerivedCache.table(s, d, DocTables.Postings)(
+        TextQueries.postingRowsOf(docs)); () },
+      () => { DerivedCache.table(s, d, DocTables.Cms)(
+        TextQueries.cmsRowsOf(docs)); () },
+      () => { DerivedCache.table(s, d, DocTables.MediaFp)(
+        MultimodalQueries.mediaFpRowsOf(docs)); () },
+      // the at-rest SimHash index + its stats meta (dd4's route constants)
+      () => { DerivedCache.table(s, d, DedupQueries.SimTable)(
+        DedupQueries.simHashRowsOf(docs)); () }))
+    val bd = DerivedCache.existing(s, d, DocTables.Bands)
+    val fp = DerivedCache.existing(s, d, DocTables.Fingerprints)
+    val sizes = DerivedCache.existing(s, d, DocTables.Sizes)
+    Par.run(Seq(
+      () => {
+        val pairs = DerivedCache.table(s, d, DocTables.DupPairs)(
+          DedupQueries.dupPairRowsOf(sh, bd, fp, Some(sizes)))
+        DerivedCache.table(s, d, DocTables.DupClusters)(
+          DedupQueries.clusterRowsOf(docs.select($"doc_id"), pairs)
+            .withColumnRenamed("label", "cluster_id"))
+        ()
+      },
+      () => {
+        // the containment-prefix family (it reads the shingle + size
+        // tables): building it HERE pins its df snapshot to ingest time, so
+        // an appended corpus can never see a timing-dependent prefix state —
+        // buildPrefixIndex also materializes the containment stats meta
+        DedupQueries.buildPrefixIndex(s, d)
+        DedupQueries.buildSimStats(s, d)
+        // escalation provisioning: on a saturation-profile corpus, build
+        // the shingle-pair index at the same snapshot point (no-op
+        // otherwise)
+        DedupQueries.providePairIndexIfSaturated(s, d)
+      },
+      () => PipelineQueries.buildOffsets(s, d, docs)))
     ()
   }
 
@@ -66,11 +85,17 @@ object Ingest {
     * the compaction sweep ([[compactIfNeeded]]) so file counts are bounded
     * by policy, not by how long the append cadence has been running. */
   def appendDocumentBatch(s: SparkSession, d: String, batch: DataFrame): Unit = {
-    DedupQueries.appendDocuments(s, d, batch)
-    TextQueries.appendDocuments(s, d, batch)
-    MultimodalQueries.appendDocuments(s, d, batch)
+    // §2.6: the four per-document append families touch disjoint tables and
+    // derive only from `batch` — overlap them. The pair-graph/cluster fold
+    // stays a second phase: it reads the batch rows back OUT of the band /
+    // shingle / fingerprint indexes, so it must observe the completed
+    // appends (the original sequential ordering, kept as a barrier).
+    Par.run(Seq(
+      () => DedupQueries.appendDocuments(s, d, batch),
+      () => TextQueries.appendDocuments(s, d, batch),
+      () => MultimodalQueries.appendDocuments(s, d, batch),
+      () => PipelineQueries.appendOffsets(s, d, batch)))
     DedupQueries.appendDupClusters(s, d, batch)
-    PipelineQueries.appendOffsets(s, d, batch)
     compactIfNeeded(s, d)
     ()
   }
@@ -95,11 +120,15 @@ object Ingest {
     * (prefix ranks, k-means centroids, BPE merges). */
   def deleteDocumentBatch(s: SparkSession, d: String, batch: DataFrame): Unit = {
     val ids = batch.select("doc_id")
-    DedupQueries.deleteDocuments(s, d, ids)
-    TextQueries.deleteDocuments(s, d, batch)
-    MultimodalQueries.deleteDocuments(s, d, ids)
+    // §2.6 like the append path: disjoint-table filter-rewrites overlap;
+    // cluster repair stays a second phase (its scaladoc contract: it must
+    // read the post-delete indexes)
+    Par.run(Seq(
+      () => DedupQueries.deleteDocuments(s, d, ids),
+      () => TextQueries.deleteDocuments(s, d, batch),
+      () => MultimodalQueries.deleteDocuments(s, d, ids),
+      () => PipelineQueries.deleteOffsets(s, d, ids)))
     DedupQueries.deleteDupClusters(s, d, ids)
-    PipelineQueries.deleteOffsets(s, d, ids)
     compactIfNeeded(s, d)
     ()
   }
@@ -145,9 +174,11 @@ object Ingest {
       tables: Seq[(String, Int)]): Seq[String] = {
     val max = s.conf.getOption(CompactMaxFilesKey).map(_.toInt)
       .getOrElse(CompactMaxFilesDefault)
-    tables
-      .filter(t => DerivedCache.isBuilt(s, d, t) &&
-        DerivedCache.parquetFileCount(s, d, t._1, t._2) > max)
-      .map { t => DerivedCache.compact(s, d, t); t._1 }
+    val due = tables.filter(t => DerivedCache.isBuilt(s, d, t) &&
+      DerivedCache.parquetFileCount(s, d, t._1, t._2) > max)
+    // §2.6: each compaction is an independent staged replace of its own
+    // table's scan — overlap the rewrites
+    Par.run(due.map(t => () => DerivedCache.compact(s, d, t)))
+    due.map(_._1)
   }
 }

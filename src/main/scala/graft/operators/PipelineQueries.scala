@@ -100,18 +100,36 @@ object PipelineQueries {
       nTok,
       when(nTok > 0, nStop / nTok).otherwise(lit(0.0)),
       when(nChars > 0, nPunct / nChars).otherwise(lit(0.0)))
-    val gated = Tables.documents(s, d)
-      .select($"doc_id", $"source", $"text", quality.as("quality"),
-        size(toks).cast("long").as("n_tokens"))
-      .filter($"quality" >= MinQuality && $"n_tokens" <= MaxTokens)
-    gated
-      .withColumn("fp", fingerprintMd5($"text"))
-      .withColumn("kept", $"doc_id" === min($"doc_id").over(Window.partitionBy($"fp")))
-      .groupBy($"source")
-      .agg(
-        count(lit(1)).as("n_gated"),
-        sum($"kept".cast("long")).as("n_kept"),
-        Exact.davg(when($"kept", $"quality")).as("avg_quality"))
+    // Round 15 (guide §4.4 duplicated-expression + §2.3 aggregate-early).
+    // The v1 plan evaluated the FULL quality expression twice per row —
+    // once in the filter Catalyst pushed below the projection, once in the
+    // projection itself (codegen CSE is per-operator, so the tokenizing
+    // `split` ran ~2× per document) — and then shuffled every gated row
+    // through an fp-keyed min WINDOW (no partial aggregation, plus a
+    // per-partition sort). Now: ONE narrow projection of the per-document
+    // signals, snapshotted (localCheckpoint — the tx19 shared-subtree
+    // discipline) so the gate filter reads computed columns instead of
+    // re-deriving them and both consumers share the single tokenize pass;
+    // the per-fp canonical winner is min(struct(doc_id, source, quality))
+    // — a HASH aggregate with map-side partials (doc_id is unique, so the
+    // struct min IS the window's min-doc_id row) — and the per-source
+    // rollups read the collapsed winners. A source whose every gated doc
+    // loses its fp group keeps its row via the left join (n_kept = 0,
+    // avg_quality null — exactly v1's sum/avg over an empty kept set).
+    val sig = Tables.documents(s, d)
+      .select($"doc_id", $"source", quality.as("quality"),
+        size(toks).cast("long").as("n_tokens"), fingerprintMd5($"text").as("fp"))
+      .localCheckpoint(eager = false)
+    val gated = sig.filter($"quality" >= MinQuality && $"n_tokens" <= MaxTokens)
+    val nGated = gated.groupBy($"source").agg(count(lit(1)).as("n_gated"))
+    val winners = gated
+      .groupBy($"fp").agg(min(struct($"doc_id", $"source", $"quality")).as("w"))
+      .select($"w.source".as("source"), $"w.quality".as("quality"))
+    val keptAgg = winners.groupBy($"source").agg(
+      count(lit(1)).as("n_kept"), Exact.davg($"quality").as("avg_quality"))
+    nGated.join(keptAgg, Seq("source"), "left")
+      .select($"source", $"n_gated",
+        coalesce($"n_kept", lit(0L)).as("n_kept"), $"avg_quality")
       .orderBy($"source")
   }
 

@@ -166,7 +166,7 @@ object ReachabilityQueries {
       "temporal reachability (corpus temporal diameter exceeds the cap)") { df =>
       val r = df.agg(count(lit(1)), sum($"f"), sum($"imp".cast("long"))).collect()(0)
       Seq(r.getLong(0), r.getLong(1), r.getLong(2))
-    } (fixedAt = _(2) == 0L, step = { (state, sig) =>
+    } (fixedAt = _(2) == 0L, oneAction = true, step = { (state, sig) =>
       // earliest usable hop per neighbor pair: first active frame >= the
       // frontier arrival, via the alloc-free binary-search expression
       // (sorted_first_geq) straight off the sorted frame array.

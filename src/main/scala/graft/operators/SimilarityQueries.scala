@@ -535,14 +535,20 @@ object SimilarityQueries {
       val rows = DerivedCache.existing(s, d, pqCbTable)
       s.createDataFrame(java.util.Arrays.asList(rows.collect(): _*), rows.schema)
     }
-    DerivedCache.append(s, d, DocTables.EmbIndex)(indexRowsOf(newVecs))
-    DerivedCache.append(s, d, DocTables.EmbSq)(sqRowsOf(newVecs))
-    DerivedCache.append(s, d, ivfTable(nc))(ivfAssignRowsOf(newVecs, cents))
-    if (pqBuilt)
-      DerivedCache.append(s, d, pqTable)(pqCodeRowsOf(newVecs, pqCb))
+    // §2.6 (round 15): with every quantizer frozen to the driver above,
+    // the five index appends touch disjoint tables and derive only from
+    // newVecs — overlap them; the drift checks below stay sequential (they
+    // read the post-append EmbIndex count and may REPLACE the tables these
+    // appends write)
+    graft.build.Par.run(Seq(
+      () => DerivedCache.append(s, d, DocTables.EmbIndex)(indexRowsOf(newVecs)),
+      () => DerivedCache.append(s, d, DocTables.EmbSq)(sqRowsOf(newVecs)),
+      () => DerivedCache.append(s, d, ivfTable(nc))(ivfAssignRowsOf(newVecs, cents)),
+      () => if (pqBuilt)
+        DerivedCache.append(s, d, pqTable)(pqCodeRowsOf(newVecs, pqCb)),
+      () => if (kmBuilt) DerivedCache.append(s, d, kmAssignTable(nc))(
+        assignTo(evRowsOf(newVecs), kmCents))))
     if (kmBuilt) {
-      DerivedCache.append(s, d, kmAssignTable(nc))(
-        assignTo(evRowsOf(newVecs), kmCents))
       // drift policy: stale trained centroids cost recall, never
       // correctness (assignments stay exact vs the frozen quantizer) —
       // bounded like the dd7 prefix ranks, by a growth-triggered retrain
@@ -638,9 +644,13 @@ object SimilarityQueries {
         cur.join(idSet, Seq("vec_id"), "left_anti")
           .select(cur.columns.map(col): _*))
     }
-    purge(DocTables.EmbIndex)
-    purge(DocTables.EmbSq)
-    purge(kmAssignTable(nc))
+    // §2.6: each purge is a staged replace of its own table's scan —
+    // disjoint tables, overlap them; the anchor branch below reads the
+    // post-purge EmbIndex, so it stays behind the barrier
+    graft.build.Par.run(Seq(
+      () => purge(DocTables.EmbIndex),
+      () => purge(DocTables.EmbSq),
+      () => purge(kmAssignTable(nc))))
     if (anchorHit) {
       val remaining = DerivedCache.existing(s, d, DocTables.EmbIndex)
         .select($"vec_id", $"embedding")
@@ -659,8 +669,9 @@ object SimilarityQueries {
         retrainPqCodebook(s, d)
       }
     } else {
-      purge(ivfTable(nc))
-      purge(pqTable)
+      graft.build.Par.run(Seq(
+        () => purge(ivfTable(nc)),
+        () => purge(pqTable)))
     }
     if (DerivedCache.isBuilt(s, d, kmMetaTable(nc))) {
       val trainedN = DerivedCache.existing(s, d, kmMetaTable(nc)).head.getLong(0)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.build.{DerivedCache, DocTables}
+import graft.build.{DerivedCache, DocTables, Par}
 import graft.functions.Fingerprint.fingerprintMd5
 import graft.sources.Tables
 
@@ -230,11 +230,13 @@ object TextQueries {
     * doc_ids must not already be indexed). The daily ingest never
     * re-tokenizes the corpus. */
   def appendDocuments(s: SparkSession, d: String, newDocs: DataFrame): Unit = {
-    DerivedCache.append(s, d, DocTables.Postings)(postingRowsOf(newDocs))
-    // the CMS is a MERGEABLE sketch: the batch's partial cells simply
-    // file-append, and reads fold by summation ([[cmsCells]]) — no
-    // read-modify-write, the cheapest maintained table in the set
-    DerivedCache.append(s, d, DocTables.Cms)(cmsRowsOf(newDocs))
+    // §2.6: two independent single-table appends — overlap them
+    Par.run(Seq(
+      () => DerivedCache.append(s, d, DocTables.Postings)(postingRowsOf(newDocs)),
+      // the CMS is a MERGEABLE sketch: the batch's partial cells simply
+      // file-append, and reads fold by summation ([[cmsCells]]) — no
+      // read-modify-write, the cheapest maintained table in the set
+      () => DerivedCache.append(s, d, DocTables.Cms)(cmsRowsOf(newDocs))))
   }
 
   /** Delete previously-ingested documents from the text indexes —
@@ -249,12 +251,15 @@ object TextQueries {
   def deleteDocuments(s: SparkSession, d: String, batch: DataFrame): Unit = {
     import s.implicits._
     val ids = batch.select($"doc_id").distinct()
-    DerivedCache.replace(s, d, DocTables.Postings)(
-      DerivedCache.existing(s, d, DocTables.Postings)
-        .join(ids, Seq("doc_id"), "left_anti")
-        .select($"t", $"doc_id", $"tf"))
-    DerivedCache.append(s, d, DocTables.Cms)(
-      cmsRowsOf(batch).withColumn("cnt", -$"cnt"))
+    // §2.6: the posting rewrite and the CMS negative partial are
+    // independent — overlap them
+    Par.run(Seq(
+      () => DerivedCache.replace(s, d, DocTables.Postings)(
+        DerivedCache.existing(s, d, DocTables.Postings)
+          .join(ids, Seq("doc_id"), "left_anti")
+          .select($"t", $"doc_id", $"tf")),
+      () => DerivedCache.append(s, d, DocTables.Cms)(
+        cmsRowsOf(batch).withColumn("cnt", -$"cnt"))))
   }
 
   /** tx6: fulltext AND-search over the inverted index. The probe is

@@ -97,11 +97,22 @@ object TimelineQueries {
   private def e04(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val g = GraphCache(s, d)
+    val at = Instant.ofEpochSecond(g.frameEpoch(g.probes.pf))
     val dateStr = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-      .withZone(ZoneOffset.UTC)
-      .format(Instant.ofEpochSecond(g.frameEpoch(g.probes.pf)))
+      .withZone(ZoneOffset.UTC).format(at)
+    // guide §6 (the c11b discipline, round 15): the probe date is known at
+    // plan time, and a frame's (year, month, day) partition is BY
+    // CONSTRUCTION the UTC calendar date of its ts_start
+    // (GraphBuilder.scala:93-95, session TZ pinned UTC) — so the equality
+    // lookup implies its own day-partition predicate. Stating it explicitly
+    // turns the whole-tree frames scan into a one-directory descent
+    // (PartitionFilters); the seconds-precision string truncation cannot
+    // move the calendar date, so this is a semantic no-op.
+    val utc = at.atZone(ZoneOffset.UTC)
     Timeline(g.frames)
       .nodesAt(to_timestamp(lit(dateStr), "yyyy-MM-dd HH:mm:ss"))
+      .filter($"year" === utc.getYear.toLong &&
+        $"month" === utc.getMonthValue.toLong && $"day" === utc.getDayOfMonth.toLong)
       .select($"frame_id", $"ts_start", $"year", $"month", $"day", $"hour",
         $"minute", $"second")
       .orderBy($"frame_id")

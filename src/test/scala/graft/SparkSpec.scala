@@ -16,6 +16,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // plan-audit suites substring-match FileScan locations (e.g. the
+      // at-rest table a scan must read); the 100-char default truncates
+      // the path inside "Location: InMemoryFileIndex(...)[file:/...]"
+      // before the table segment and the assertion can never match
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
