@@ -1426,7 +1426,9 @@ object DedupQueries {
         // helper must fail safe rather than assume it
         .select($"doc_id", $"label",
           ($"oldl".isNull || $"label" < $"oldl").as("imp"))
-    }, fixedAt = _(2) == 0L, oneAction = true)
+    // (oneAction A/B'd round 15: flat-to-worse — the corpus-sized merge
+    // groupBy wants AQE's coalescing; the folded init is the win here)
+    }, fixedAt = _(2) == 0L)
       .select($"doc_id", $"label")
   }
 

@@ -43,6 +43,12 @@ private[operators] object Fixpoint {
 
   private val KeepAqeKey = "spark.graft.fixpoint.aqe"
 
+  /** State rows per loop-shuffle partition under `oneAction` (the manual
+    * stand-in for AQE's coalescing, sized for these narrow ≤32-byte state
+    * rows; production tuning knob). Callers of `oneAction = true` must put
+    * the state ROW COUNT first in their signature — it drives the width. */
+  private val RowsPerPartitionKey = "spark.graft.fixpoint.rowsPerPartition"
+
   def iterate(init: DataFrame, cap: Int, what: String)(
       signature: DataFrame => Seq[Long])(
       step: (DataFrame, Seq[Long]) => DataFrame,
@@ -52,9 +58,21 @@ private[operators] object Fixpoint {
     val s = init.sparkSession
     val stats = sys.env.contains("SPARK_GRAFT_LOOP_STATS")
     val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
     val prevAqe = s.conf.get(aqeKey, "true")
+    val prevParts = s.conf.get(partsKey)
     val flipAqe = oneAction && prevAqe == "true" &&
       !s.conf.getOption(KeepAqeKey).exists(_.toBoolean)
+    // With AQE off, loop shuffles lose its runtime coalescing, so the width
+    // must be SCALE-ADAPTIVE rather than the session constant (guide §2.2):
+    // every oneAction caller's signature leads with the state row count, so
+    // each round plans its shuffles at ~rowsPerPartition state rows per
+    // task, clamped to the session width — one task at bench scale (what
+    // AQE coalesced to), the full session width once the state outgrows it.
+    val rowsPer = s.conf.getOption(RowsPerPartitionKey)
+      .map(_.toLong).getOrElse(100000L)
+    def loopWidth(n: Long): Int = math.max(1L,
+      math.min(prevParts.toLong, (n + rowsPer - 1) / rowsPer)).toInt
     if (flipAqe) s.conf.set(aqeKey, "false")
     try {
       var state = init.localCheckpoint(eager = false)
@@ -63,6 +81,7 @@ private[operators] object Fixpoint {
       var changed = true
       while (changed && round < cap) {
         val tr = System.nanoTime()
+        if (flipAqe) s.conf.set(partsKey, loopWidth(sig.head).toString)
         val next = step(state, sig).localCheckpoint(eager = false)
         val tc = System.nanoTime()
         val nextSig = signature(next)
@@ -90,7 +109,10 @@ private[operators] object Fixpoint {
           (if (flipAqe) " (oneAction)" else ""))
       state
     } finally {
-      if (flipAqe) s.conf.set(aqeKey, prevAqe)
+      if (flipAqe) {
+        s.conf.set(aqeKey, prevAqe)
+        s.conf.set(partsKey, prevParts)
+      }
     }
   }
 }

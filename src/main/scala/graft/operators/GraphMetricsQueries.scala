@@ -249,8 +249,9 @@ object GraphMetricsQueries {
       coreDegrees(members)
         .filter($"core_degree" >= CoreK)
         .select($"actor_id")
-    // oneAction: every join in coreDegrees is explicitly hinted (guarded)
-    }, oneAction = true)
+    // (oneAction A/B'd round 15: consistently worse — the peel's edge-sized
+    // degree recount wants AQE's coalescing more than it wants fewer jobs)
+    })
     coreDegrees(members)
       .select($"actor_id", $"core_degree")
       .orderBy($"actor_id")
@@ -626,6 +627,14 @@ object GraphMetricsQueries {
       .localCheckpoint(eager = false)
     val num = $"n_dir_edges".cast("double") * $"sxy" - $"sx".cast("double") * $"sx"
     val den = $"n_dir_edges".cast("double") * $"sxx" - $"sx".cast("double") * $"sx"
+    // Round-15 A/B (VERDICT item 6, exclusive same-box, 7 reps/rung): this
+    // vertex-probe shape vs the round-13 both-endpoint edge join measured
+    // sf0.1 0.578 s vs 0.479 s (v13 wins ~0.1 s) and sf1 3.95/8.98 s vs
+    // 3.47/10.9 s across two rounds (a tie inside a ±3× dirty-box band;
+    // the v13 arm was additionally bimodal at sf1 — its second edge-sized
+    // join sits on a borderline broadcast estimate). Verdict rule: keep on
+    // an sf1 win-or-tie — KEPT, the second exchange stays vertex-sized.
+    //
     // per-target partial moments: c = in-degree contribution count,
     // sxo = Σ x over o's neighbors, sxxo = Σ x² — all exact longs
     val byO = und.join(deg.select($"dkey", $"z", $"deg".as("x")), Seq("dkey", "z"))
@@ -839,7 +848,9 @@ object GraphMetricsQueries {
         .groupBy($"actor_id")
         .agg(min($"dist").as("dist"), min(when(!$"isnew", $"dist")).as("oldd"))
         .select($"actor_id", $"dist", $"oldd".isNull.as("imp"))
-    }, fixedAt = _(2) == 0L, oneAction = true)
+    }, fixedAt = _(2) == 0L)
+    // (oneAction measured flat-to-worse here: the BFS frontier is tiny and
+    // AQE's runtime coalescing beats the saved stage jobs — A/B'd round 15)
     state.select($"actor_id", $"dist".as("hops")).orderBy($"actor_id")
   }
 
