@@ -17,7 +17,8 @@ def main():
     rerun_path, rnd = sys.argv[1], int(sys.argv[2])
     base = json.load(open("CORRECTNESS_sf1.json"))
     rerun = json.load(open(rerun_path))
-    meta = base.pop("__sf1_meta__", {"merges": []})
+    meta = base.pop("__sf1_meta__", {})
+    meta.setdefault("merges", [])  # r14 wrote the meta without a merge log
     replaced = []
     # a typo'd or stale cell name must not silently ADD a bogus cell
     # (round-13 advice): every rerun cell must replace an existing one
