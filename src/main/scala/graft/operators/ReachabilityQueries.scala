@@ -162,6 +162,17 @@ object ReachabilityQueries {
     // set only ever grows, so (|state|, Σ arrivals, |frontier|) is strictly
     // monotone until the fixpoint.
     val init = Seq((pa1, -1L, true)).toDF("actor_id", "f", "imp")
+    // Round 15, session 2 (the VERDICT stretch item): TWO relaxation hops
+    // per round. The per-round driver-synchronous floor (checkpoint + the
+    // signature job) is most of what the long-diameter tail rounds cost
+    // (sf1 telemetry: 18 one-hop rounds), so halving the round count
+    // halves it while total candidate mass is unchanged — every arrival
+    // improvement still relaxes exactly once. Exactness: the earliest-
+    // arrival fixpoint is confluent (candidates relaxed from ANY sound
+    // upper bound stay sound upper bounds; the per-actor min only ever
+    // tightens toward the unique fixpoint), and hop 2 relaxes only hop-1
+    // per-actor mins that IMPROVE the state. The frontier flag stays exact
+    // via the propagated marker (src_k = 3, the g10 argument).
     val state = Fixpoint.iterate(init, MaxRounds,
       "temporal reachability (corpus temporal diameter exceeds the cap)") { df =>
       val r = df.agg(count(lit(1)), sum($"f"), sum($"imp".cast("long"))).collect()(0)
@@ -201,14 +212,36 @@ object ReachabilityQueries {
               graft.functions.ArraySearch.sortedFirstGeq($"fs", $"f").as("f"))
             .filter($"f".isNotNull)
         }
-      // merge = ONE hash aggregate: min arrival overall vs min arrival among
-      // the surviving old rows decides both the new state and the new
-      // frontier flag
-      state.select($"actor_id", $"f", lit(false).as("isnew"))
-        .unionAll(cand.select($"actor_id", $"f", lit(true).as("isnew")))
+      // hop-1 per-actor min arrivals, snapshotted: m1 feeds BOTH hop 2 and
+      // the merge (min-equivalent to cand there), and the lazy checkpoint
+      // makes the diamond compute the hop-1 probe once
+      val m1 = cand.groupBy($"actor_id").agg(min($"f").as("f"))
+        .localCheckpoint(eager = false)
+      // hop-2 frontier: hop-1 arrivals that improve the state — new actors
+      // or strictly earlier arrivals (relaxing anything else reproduces
+      // candidates an earlier hop already merged)
+      val stA = state.select($"actor_id".as("s_actor"), $"f".as("oldf0"))
+      val f2 = m1.join(broadcast(stA), $"actor_id" === $"s_actor", "left")
+        .filter($"oldf0".isNull || $"f" < $"oldf0")
+        .select($"actor_id".as("f_actor"), $"f".as("f_arr"))
+      val cand2 = adj.join(broadcast(f2), adj("src") === f2("f_actor"))
+        .select($"dst".as("actor_id"),
+          graft.functions.ArraySearch.sortedFirstGeq($"fs", $"f_arr").as("f"))
+        .filter($"f".isNotNull)
+      // merge = ONE hash aggregate. src_k: 1 = old state, 2 = hop-2
+      // candidate, 3 = hop-1 min (its improving values were already
+      // relaxed from in hop 2; marking the non-improving ones too is
+      // harmless — their merged arrival comes from oldf anyway)
+      state.select($"actor_id", $"f", lit(1).as("src_k"))
+        .unionAll(m1.select($"actor_id", $"f", lit(3).as("src_k")))
+        .unionAll(cand2.select($"actor_id", $"f", lit(2).as("src_k")))
         .groupBy($"actor_id")
-        .agg(min($"f").as("f"), min(when(!$"isnew", $"f")).as("oldf"))
-        .select($"actor_id", $"f", ($"oldf".isNull || $"f" < $"oldf").as("imp"))
+        .agg(min($"f").as("f"),
+          min(when($"src_k" === 1, $"f")).as("oldf"),
+          min(when($"src_k" === 3, $"f")).as("propf"))
+        .select($"actor_id", $"f",
+          (($"oldf".isNull || $"f" < $"oldf") &&
+            ($"propf".isNull || $"f" < $"propf")).as("imp"))
     })
     state.filter($"actor_id" =!= pa1)
       .select($"actor_id", $"f".as("first_frame"))
